@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * Every entry point (Verify, Bench, tests, interactive use) funnels through
+  * here so the scale-relevant knobs are set once:
+  *
+  *   - `spark.sql.shuffle.partitions` = 32 — matches local[32]; on a real
+  *     cluster this would be ~2-3x total cores (or left to AQE coalescing).
+  *   - AQE on — runtime re-planning (skew-join splitting, partition
+  *     coalescing) is the main defense when a 100 TB input has skewed keys.
+  *   - UTC session timezone — the reference's `datetime.fromtimestamp` is
+  *     local-time; we pin UTC (SURVEY §7.4) so results are host-independent.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", app: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise
+      // rejects outright; see Tables.events for the lossless conversion.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Get-or-create with graft defaults; used by tests. */
+  def get(master: String = "local[32]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

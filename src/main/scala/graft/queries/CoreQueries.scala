@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, aggregation, joins (broadcast + shuffle,
+  * semi/anti), analytic windows, sort/limit (top-k), set ops, scalar
+  * functions. The reference delegates all query execution to InfluxDB's Flux
+  * engine (SURVEY §2, §4); here the same — and wider — semantics are
+  * declared through the DataFrame API so Catalyst gets full freedom
+  * (pushdown, pruning, join selection, partial aggregation, AQE).
+  *
+  * Scale notes (100 TB):
+  *   - dimension joins (`nation`, `region`) are explicitly `broadcast()` —
+  *     no shuffle of the fact side;
+  *   - fact-fact joins shuffle on the join key only after filters/pruning;
+  *   - top-k is `orderBy().limit(n)` which Spark plans as
+  *     `TakeOrderedAndProject` — per-partition heaps, no global sort;
+  *   - all aggregations are partial+final hash aggregates (map-side combine)
+  *     planned automatically by Catalyst.
+  */
+object CoreQueries {
+
+  /** Exact-decimal accumulation pattern used by every money-sum here and
+    * below: floating sums are order-dependent (Spark's partial aggregation
+    * order is nondeterministic), so the input is cast to DECIMAL, summed
+    * exactly, and only the final exact value is cast back to DOUBLE. Both
+    * engines then produce bit-identical doubles at every scale factor — no
+    * `round()` epsilon games. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(27,$scale)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: wide-row scan reduced to 6 groups.
+    * Predicate and the 7 needed columns are pushed to the parquet scan. */
+  val q1Agg: Q = Q.sql(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1.00 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1.00 - CAST(l_discount AS DECIMAL(8,2))) * (1.00 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    doc = "TPC-H Q1 pricing summary (agg over pruned scan, exact decimal sums)") { (s, d) =>
+    val one = lit(java.math.BigDecimal.valueOf(100, 2)) // 1.00 as DECIMAL(3,2)
+    val price = col("l_extendedprice").cast("decimal(20,2)")
+    val disc = col("l_discount").cast("decimal(8,2)")
+    val tax = col("l_tax").cast("decimal(8,2)")
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Star join: fact (orders) ⋈ customer shuffles on the key; the two tiny
+    * dims ride along as broadcasts. */
+  val qJoinAgg: Q = Q.sql(
+    "q_join_agg",
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin,
+    doc = "orders⋈customer⋈nation⋈region revenue rollup (broadcast dims)") { (s, d) =>
+    val o = orders(s, d); val c = customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nation(s, d)), c("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-k: plans as TakeOrderedAndProject (no global sort at scale). */
+  val qTopK: Q = Q.sql(
+    "q_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin,
+    doc = "top-100 orders by price (TakeOrderedAndProject)") { (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** Anti join — customers that never ordered. */
+  val qAntiJoin: Q = Q.sql(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "left_anti join (NOT EXISTS): customers with no large order") { (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join — customers with at least one big order. */
+  val qSemiJoin: Q = Q.sql(
+    "q_semi_join",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "left_semi join (EXISTS) with pushed filter") { (s, d) =>
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000.0)
+    customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Analytic window: top-2 orders per customer by row_number. */
+  val qWindowRank: Q = Q.sql(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin,
+    doc = "ranking window function (row_number per group)") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Set operation: INTERSECT (distinct semantics on both engines). */
+  val qSetOps: Q = Q.sql(
+    "q_set_ops",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT DISTINCT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "INTERSECT of building-segment customers and active customers") { (s, d) =>
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val active = orders(s, d).select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(active).orderBy("c_custkey")
+  }
+
+  /** Scalar function battery: date parts, string ops, math, conditionals. */
+  val qScalarFns: Q = Q.sql(
+    "q_scalar_fns",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      |  upper(substr(o_orderpriority, 1, 4)) AS pri4,
+      |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+      |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 0.9 AS DOUBLE) AS disc_price,
+      |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kbucket,
+      |  CAST(o_orderkey % 7 AS BIGINT) AS k7,
+      |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin,
+    doc = "scalar string/date/math/conditional functions") { (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("pri4"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        (col("o_totalprice").cast("decimal(20,2)") * lit(java.math.BigDecimal.valueOf(9, 1)))
+          .cast("double").as("disc_price"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("kbucket"),
+        (col("o_orderkey") % 7).cast("long").as("k7"),
+        when(col("o_totalprice") > 200000.0, "big").otherwise("small").as("size_class"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Agg, qJoinAgg, qTopK, qAntiJoin, qSemiJoin, qWindowRank, qSetOps, qScalarFns)
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface (SURVEY §2.2 F5/F6, §2.4 A1, §2.6 O1) is a
+  * Flux pipeline over a time-series stream: `range` → `filter` (AND-ed bands,
+  * OR within a band) → `aggregateWindow` (tumbling, per series) → `sort`.
+  * These queries express exactly those semantics over the `events` table
+  * (`event_type` plays the series key role that `measurement`+`field` play
+  * for solar points; the solar-shaped variants live in SolarQueries).
+  *
+  * Scale notes: the range predicate reaches the parquet scan (and would prune
+  * date partitions on a partitioned bucket); tumbling windows are plain
+  * `date_trunc` group-bys — hash aggregation with map-side combine, no
+  * analytic-window shuffle; the pivot enumerates its key space explicitly so
+  * Spark skips the extra distinct-collection job.
+  */
+object TimeSeriesQueries {
+
+  /** Flux `from |> range(start, stop)` — time-range scan (F6 + S5). */
+  val qRangeScan: Q = Q.sql(
+    "q_range_scan",
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+      |ORDER BY event_id""".stripMargin,
+    doc = "Flux range(): time-bounded scan, predicate pushed to parquet") { (s, d) =>
+    events(s, d)
+      .filter(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-07 00:00:00")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** Flux filter bands (F5): bands AND together, `or` joins within a band —
+    * semantics pinned by `tests/classes/test_query_classes.py:88-108`. */
+  val qFilterBands: Q = Q.sql(
+    "q_filter_bands",
+    """SELECT event_id, event_type, value
+      |FROM events
+      |WHERE (event_type = 'click' OR event_type = 'view') AND value > 300.0
+      |ORDER BY event_id""".stripMargin,
+    doc = "Flux filter(): OR within band, AND across bands") { (s, d) =>
+    events(s, d)
+      .filter(col("event_type") === "click" || col("event_type") === "view") // band 1
+      .filter(col("value") > 300.0) // band 2 (new_band=True)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** Flux `aggregateWindow(every: 1h, fn: mean)` (A1): tumbling window per
+    * series. InfluxDB windows per series, so the group key includes the
+    * series column. One query exercises the whole fn dispatch table
+    * (mean/min/max/sum/count) the reference names in its docs. */
+  val qAggWindow: Q = Q.sql(
+    "q_agg_window",
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS mean_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value,
+      |  CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin,
+    doc = "Flux aggregateWindow(): tumbling 1h window per series") { (s, d) =>
+    val dsum = sum(col("value").cast("decimal(27,2)")).cast("double")
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        (dsum / count(lit(1))).as("mean_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        dsum.as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Flux `sort(columns: ["_value"], desc: true)` (O1) + limit. */
+  val qSortDesc: Q = Q.sql(
+    "q_sort_desc",
+    """SELECT event_id, event_type, value
+      |FROM events
+      |ORDER BY value DESC, event_id
+      |LIMIT 200""".stripMargin,
+    doc = "Flux sort() desc with deterministic tiebreak") { (s, d) =>
+    events(s, d)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(200)
+      .select("event_id", "event_type", "value")
+  }
+
+  /** Long→wide pivot (Flux tables → records view, SURVEY §1.4). The pivot
+    * key space is enumerated so no distinct-collection pre-pass runs. */
+  val qPivotWide: Q = Q.sql(
+    "q_pivot_wide",
+    """SELECT date_trunc('day', ts) AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin,
+    doc = "long→wide pivot with enumerated key space") { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast("decimal(27,2)")).cast("double"))
+      .orderBy("day")
+  }
+
+  /** Gap-based sessionization — the batch analog of a session window
+    * (SURVEY §2.9 T3 notes the reference has none; this is the extension a
+    * real events pipeline needs). lag + running sum over (user, time): one
+    * shuffle on user_id, both windows share the same partitioning. */
+  val qSessionize: Q = Q.sql(
+    "q_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin,
+    doc = "gap-based sessionization (30 min) via lag + running sum") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagTs = lag(col("ts"), 1).over(w)
+    events(s, d)
+      .withColumn(
+        "new_session",
+        when(lagTs.isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(lagTs) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize)
+}
