@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered verifiable queries, grouped by domain. */
   def registry: Seq[Q] =
-    CoreQueries.all ++ TimeSeriesQueries.all
+    CoreQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables._
+import graft.solar.{SolarIngest, SolarSynth, Topics}
+import org.apache.spark.sql.functions._
+
+/** End-to-end verification of the solar ingestion dataflow (SURVEY §3.1):
+  * every `events` row is deterministically encoded into a binary MATE-style
+  * packet (LE epoch prefix + big-endian struct + padding), pushed through
+  * the real decode pipeline (custom codegen extract expressions → field map
+  * → explode to long points), and aggregated per (measurement, field).
+  *
+  * The DuckDB oracle can't decode binary — instead it recomputes the
+  * decoded values in closed form from the same source rows (SolarSynth
+  * mirrors each decode float-op exactly), so a hash match proves the whole
+  * binary chain: time detach, endianness, bit-packing, scaling, explosion.
+  *
+  * Scale: encode+decode are narrow per-row transforms (one codegen stage);
+  * the only shuffle is the final aggregation — at 100 TB this is a scan-
+  * shaped pipeline identical to the real ingest path.
+  */
+object SolarQueries {
+
+  private def oracleIngestSql: String = {
+    def branch(measurement: String, rem: Int, specs: Seq[SolarSynth.FieldSpec]): Seq[String] =
+      specs.map { spec =>
+        s"""SELECT '$measurement' AS measurement, '${spec.name}' AS field,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(${SolarSynth.valueSql(spec)} AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+           |  CAST(max(floor(epoch(ts))) AS BIGINT) AS max_time_s
+           |FROM events WHERE user_id % 3 = $rem""".stripMargin
+      }
+    val branches =
+      branch(Topics.DcName, 0, SolarSynth.dcSpecs) ++
+        branch(Topics.FxName, 1, SolarSynth.fxSpecs) ++
+        branch(Topics.MxName, 2, SolarSynth.mxSpecs)
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY measurement, field")
+  }
+
+  /** Full binary ingest chain, aggregated: 55 (measurement, field) series. */
+  val qSolarIngest: Q = Q.sql(
+    "q_solar_ingest",
+    oracleIngestSql,
+    doc = "binary packet encode→decode→explode→aggregate, oracle-checked") { (s, d) =>
+    val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
+    val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
+    val raw = events(s, d).select(
+      topicOf(col("user_id")).as("topic"),
+      enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
+      col("ts").as("arrival"))
+    SolarIngest
+      .points(raw)
+      .groupBy(col("measurement"), col("field"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,4)")).cast("double").as("sum_value"),
+        max(unix_timestamp(col("time"))).as("max_time_s"))
+      .orderBy("measurement", "field")
+  }
+
+  /** The reference's status gate (F2) exercised end-to-end: a synthetic
+    * status changelog (derived from events: 'error' rows flip devices
+    * offline, 'signup' rows flip them back online; every 500th event flips
+    * the global mate status) interleaved with data packets; the gate must
+    * drop exactly the rows whose device or mate was offline at arrival.
+    * Oracle recomputes the gating with window functions. */
+  val qStatusGate: Q = Q.sql(
+    "q_status_gate",
+    """WITH tagged AS (
+      |  SELECT event_id, ts, user_id, value, user_id % 3 AS dev,
+      |    CASE WHEN event_id % 500 = 0 THEN (CASE WHEN event_id % 1000 = 0 THEN 'online' ELSE 'offline' END) END AS mate_flip,
+      |    CASE WHEN event_id % 500 = 0 THEN NULL
+      |         WHEN event_type = 'error' THEN 'offline'
+      |         WHEN event_type = 'signup' THEN 'online' END AS dev_flip
+      |  FROM events
+      |), with_state AS (
+      |  SELECT event_id, ts, dev, value, dev_flip, mate_flip,
+      |    coalesce(last_value(dev_flip IGNORE NULLS) OVER (
+      |      PARTITION BY dev ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'offline') AS dev_state,
+      |    coalesce(last_value(mate_flip IGNORE NULLS) OVER (
+      |      ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'offline') AS mate_state
+      |  FROM tagged
+      |)
+      |SELECT CAST(dev AS BIGINT) AS dev,
+      |  CAST(count(*) AS BIGINT) AS n_passed,
+      |  CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+      |FROM with_state
+      |WHERE dev_flip IS NULL AND mate_flip IS NULL
+      |  AND dev_state = 'online' AND mate_state = 'online'
+      |GROUP BY dev
+      |ORDER BY dev""".stripMargin,
+    doc = "stateful status gate over an interleaved status/data stream") { (s, d) =>
+    val ev = events(s, d)
+    val dev = col("user_id") % 3
+    val dataTopic = when(dev === 0, Topics.DcData).when(dev === 1, Topics.FxData)
+      .otherwise(Topics.MxData)
+    val devStatusTopic = when(dev === 0, Topics.DcStatus).when(dev === 1, Topics.FxStatus)
+      .otherwise(Topics.MxStatus)
+
+    // Build the interleaved raw stream. Each events row becomes exactly one
+    // raw message: a mate flip, a device flip, or a data packet.
+    val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
+    val mateFlip = col("event_id") % 500 === 0
+    val mateOnline = col("event_id") % 1000 === 0
+    val devFlip = col("event_type").isin("error", "signup")
+    val raw = ev.select(
+      when(mateFlip, Topics.MateStatus)
+        .when(devFlip, devStatusTopic)
+        .otherwise(dataTopic).as("topic"),
+      when(mateFlip, when(mateOnline, lit("online")).otherwise(lit("offline")).cast("binary"))
+        .when(devFlip,
+          when(col("event_type") === "signup", lit("online")).otherwise(lit("offline"))
+            .cast("binary"))
+        .otherwise(enc(col("user_id"), unix_timestamp(col("ts")), col("value"))).as("payload"),
+      // Broker delivery order must be total for deterministic gating —
+      // event_id is unique, so it becomes the (synthetic) arrival clock.
+      timestamp_micros(col("event_id")).as("arrival"),
+      col("value"))
+
+    // The gate sees only (topic, payload, arrival); re-join value by arrival
+    // would be brittle, so thread it through as an extra column (the gate
+    // preserves non-contract columns).
+    SolarIngest
+      .gated(raw)
+      .withColumn(
+        "dev",
+        when(col("topic") === Topics.DcData, 0L)
+          .when(col("topic") === Topics.FxData, 1L)
+          .otherwise(2L))
+      .groupBy(col("dev"))
+      .agg(
+        count(lit(1)).as("n_passed"),
+        sum(col("value").cast("decimal(27,2)")).cast("double").as("sum_value"))
+      .orderBy("dev")
+  }
+
+  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate)
+}

@@ -1,0 +1,220 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flux-parity query builder — the Spark-native equivalent of the
+  * reference's `QueryBuilder` (`/root/reference/src/classes/query_classes
+  * .py:14-148`) and its execution wrappers
+  * (`/root/reference/src/app/influx_query.py:20-85`).
+  *
+  * The reference accumulates Flux strings and ships them to InfluxDB; here
+  * each append declares DataFrame transforms and `build()` assembles them
+  * in the reference's **canonical order** — from → range → filters →
+  * aggregateWindow → sort — regardless of append order
+  * (`query_classes.py:73-84`). Catalyst then does locally what InfluxDB's
+  * engine did remotely: the range predicate prunes partitions/row-groups,
+  * filters push into the scan, the tumbling window becomes a partial+final
+  * hash aggregation.
+  *
+  * Filter semantics (F5, pinned by `tests/classes/test_query_classes
+  * .py:57-108`): successive `appendFilter` calls with `newBand = false`
+  * extend the current band with AND/OR as given by `joiner`; `newBand =
+  * true` starts a new band; bands combine conjunctively.
+  *
+  * `aggregateWindow` semantics (A1): tumbling `window(time, every)` per
+  * series (measurement, field) — InfluxDB windows per series. `_time` is
+  * the window END (Flux default) and empty windows are omitted (SURVEY
+  * §7.4 documents this choice; the reference's own emitted Flux is
+  * syntactically broken here, so intent, not syntax, is reproduced).
+  *
+  * Yield modes mirror `influx_query.py`: records (= `parse_flux`), csv
+  * (= `parse_csv` + `write_results_to_csv`), iterator (= the
+  * NotImplementedError'd `parse_stream`, done properly).
+  */
+final class QueryBuilder private (
+    spark: SparkSession,
+    from: () => DataFrame,
+    startRange: Option[String],
+    endRange: Option[String],
+    bands: Vector[Vector[(String, String, String)]], // (field, value, joiner)
+    aggregate: Option[(String, String)],
+    sortSpec: Option[(String, Boolean)],
+    nowOverride: Option[java.sql.Timestamp]) {
+
+  import QueryBuilder._
+
+  private def copyWith(
+      startRange: Option[String] = startRange,
+      endRange: Option[String] = endRange,
+      bands: Vector[Vector[(String, String, String)]] = bands,
+      aggregate: Option[(String, String)] = aggregate,
+      sortSpec: Option[(String, Boolean)] = sortSpec,
+      nowOverride: Option[java.sql.Timestamp] = nowOverride): QueryBuilder =
+    new QueryBuilder(spark, from, startRange, endRange, bands, aggregate, sortSpec, nowOverride)
+
+  /** `range(start, stop)` — start/stop accept relative durations ("-5m",
+    * "-2h", "-1d") or absolute ISO timestamps; stop defaults to now. */
+  def range(start: String, stop: String = null): QueryBuilder =
+    copyWith(startRange = Some(start), endRange = Option(stop))
+
+  /** Pin "now" for deterministic relative ranges (tests). */
+  def withNow(now: java.sql.Timestamp): QueryBuilder = copyWith(nowOverride = Some(now))
+
+  def appendFilter(
+      field: String,
+      value: String,
+      joiner: String = null,
+      newBand: Boolean = false): QueryBuilder = {
+    val entry = (field, value, Option(joiner).getOrElse("and").toLowerCase)
+    val next =
+      if (newBand || bands.isEmpty) bands :+ Vector(entry)
+      else bands.init :+ (bands.last :+ entry)
+    copyWith(bands = next)
+  }
+
+  def appendAggregate(collectionWindow: String, aggregateFunction: String): QueryBuilder =
+    copyWith(aggregate = Some((collectionWindow, aggregateFunction)))
+
+  def appendSort(field: String, desc: Boolean = false): QueryBuilder =
+    copyWith(sortSpec = Some((field, desc)))
+
+  /** Assemble the DataFrame in the reference's canonical operator order. */
+  def build(): DataFrame = {
+    var df = from()
+
+    // range
+    val now = nowOverride.map(t => lit(t)).getOrElse(current_timestamp())
+    def bound(spec: String): Column = parseRelative(spec) match {
+      case Some(interval) => now - expr(s"INTERVAL $interval")
+      case None => lit(java.sql.Timestamp.valueOf(spec.replace("T", " ").stripSuffix("Z")))
+    }
+    startRange.foreach(s => df = df.filter(col("time") >= bound(s)))
+    df = df.filter(col("time") < endRange.map(bound).getOrElse(now))
+
+    // filters: OR/AND within band, bands ANDed. The reference emits the
+    // joiner AFTER each clause (`query_classes.py:108-125`), so an entry's
+    // joiner connects it to the NEXT appended filter.
+    bands.foreach { band =>
+      val cond = band.zip(band.tail).foldLeft(bandPredicate(band.head._1, band.head._2)) {
+        case (acc, ((_, _, "or"), (f, v, _))) => acc || bandPredicate(f, v)
+        case (acc, (_, (f, v, _))) => acc && bandPredicate(f, v)
+      }
+      df = df.filter(cond)
+    }
+
+    // aggregateWindow: tumbling, per series, _time = window end
+    aggregate.foreach { case (every, fn) =>
+      val fnCol = aggregateFn(fn)
+      df = df
+        .groupBy(window(col("time"), toSparkInterval(every)), col("measurement"), col("field"))
+        .agg(fnCol.as("value"))
+        .select(
+          col("measurement"),
+          col("window.end").as("time"),
+          col("field"),
+          col("value"))
+    }
+
+    // sort
+    sortSpec.foreach { case (f, desc) =>
+      val c = col(columnFor(f))
+      df = df.orderBy(if (desc) c.desc else c.asc)
+    }
+    df
+  }
+
+  // ---- yield modes (influx_query.py result dispatch) -------------------
+
+  /** "flux"/records mode — long rows as `_measurement/_timestamp/_field/
+    * _value` records (`influx_query.py:36-54`). */
+  def records(): Seq[Map[String, Any]] =
+    renamed().collect().toSeq.map { r =>
+      r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+    }
+
+  /** Streaming-iterator mode — the reference declares this unimplemented
+    * (`influx_query.py:56-62`); `toLocalIterator` gives it for free without
+    * materializing the result on the driver. */
+  def iterator(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    renamed().toLocalIterator().asScala
+  }
+
+  /** CSV mode (S6/S7): single output file, configurable save mode —
+    * matches `write_results_to_csv` (`py_functions.py:13-35`). */
+  def csv(path: String, mode: String = "overwrite"): Unit =
+    renamed().coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+  private def renamed(): DataFrame =
+    build().withColumnsRenamed(Map(
+      "measurement" -> "_measurement",
+      "time" -> "_timestamp",
+      "field" -> "_field",
+      "value" -> "_value"))
+
+  private def bandPredicate(field: String, value: String): Column = {
+    val c = columnFor(field)
+    if (c == "value") col(c) === value.toDouble else col(c) === value
+  }
+}
+
+object QueryBuilder {
+
+  /** `from(bucket: path)` over a stored parquet bucket (S5). */
+  def apply(spark: SparkSession, bucketPath: String): QueryBuilder =
+    fromDataFrame(spark, () => spark.read.parquet(bucketPath))
+
+  /** `from` over any long-format point DataFrame. */
+  def fromDataFrame(spark: SparkSession, f: () => DataFrame): QueryBuilder =
+    new QueryBuilder(spark, f, None, None, Vector.empty, None, None, None)
+
+  /** Flux column names → point schema columns. */
+  def columnFor(fluxName: String): String = fluxName match {
+    case "_measurement" | "measurement" => "measurement"
+    case "_field" | "field" => "field"
+    case "_value" | "value" => "value"
+    case "_time" | "_timestamp" | "time" => "time"
+    case other => other
+  }
+
+  /** "-5m" → "5 minutes"; None for absolute specs. */
+  private[query] def parseRelative(spec: String): Option[String] = {
+    val Rel = """-(\d+)(s|m|h|d|w)""".r
+    spec match {
+      case Rel(n, u) =>
+        val unit = u match {
+          case "s" => "second"; case "m" => "minute"; case "h" => "hour"
+          case "d" => "day"; case "w" => "week"
+        }
+        Some(s"'$n' $unit")
+      case _ => None
+    }
+  }
+
+  /** Flux duration → Spark window duration ("5m" → "5 minutes"). */
+  private[query] def toSparkInterval(every: String): String = {
+    val D = """(\d+)(s|m|h|d)""".r
+    every match {
+      case D(n, "s") => s"$n seconds"
+      case D(n, "m") => s"$n minutes"
+      case D(n, "h") => s"$n hours"
+      case D(n, "d") => s"$n days"
+      case other => other
+    }
+  }
+
+  /** `aggregateWindow` fn-name dispatch (README.md:211 names the min/max/
+    * mean family; count/sum/first/last/median are the obvious closure). */
+  def aggregateFn(name: String): Column = name.toLowerCase match {
+    case "mean" | "avg" => avg(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    case "sum" => sum(col("value"))
+    case "count" => count(col("value")).cast("double")
+    case "first" => first(col("value"))
+    case "last" => last(col("value"))
+    case "median" => median(col("value"))
+    case other => throw new IllegalArgumentException(s"unknown aggregate fn: $other")
+  }
+}

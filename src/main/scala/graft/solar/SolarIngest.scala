@@ -1,0 +1,143 @@
+package graft.solar
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Topic model — mirrors `MqttTopics`
+  * (`/root/reference/src/classes/mqtt_classes.py:71-95`).
+  */
+object Topics {
+  val MateStatus = "mate/status"
+  val DcName = "dc-1"; val DcStatus = "mate/dc-1/status"; val DcData = "mate/dc-1/dc-status"
+  val FxName = "fx-1"; val FxStatus = "mate/fx-1/status"; val FxData = "mate/fx-1/fx-status"
+  val MxName = "mx-1"; val MxStatus = "mate/mx-1/status"; val MxData = "mate/mx-1/mx-status"
+
+  val dataTopics: Map[String, String] =
+    Map(DcData -> DcName, FxData -> FxName, MxData -> MxName)
+  val statusTopicFor: Map[String, String] =
+    Map(DcData -> DcStatus, FxData -> FxStatus, MxData -> MxStatus)
+}
+
+/** The ingestion dataflow (SURVEY §3.1), batch form: raw MQTT-shaped rows
+  * `(topic string, payload binary, arrival timestamp)` → long-format points
+  * `(measurement, time, field, value)`.
+  *
+  * Reference chain per message: topic dispatch → detach time → pymate
+  * decode → explode fields → float-cast
+  * (`/root/reference/src/classes/mqtt_classes.py:224-282,200-222`). Here the
+  * whole chain is one declarative plan: a `when`-dispatched decode into a
+  * `map<string,double>` column followed by `explode` — Catalyst plans a
+  * single pass over the input with every decode expression codegen'd; at
+  * 100 TB this is a shuffle-free narrow pipeline (the only shuffles are in
+  * whatever aggregation runs downstream).
+  *
+  * Malformed payloads (too short for their struct) decode to NULL and are
+  * split to a dead-letter frame rather than killing the job — the batch
+  * upgrade of the reference's log-and-swallow policy (T6, `mqtt_classes
+  * .py:289-296`).
+  */
+object SolarIngest {
+
+  /** map(field → value) literal for one packet type. */
+  private def fieldMap(fields: Seq[(String, Column)]): Column =
+    map(fields.flatMap { case (n, c) => Seq(lit(n), c) }: _*)
+
+  /** Decoded (measurement, time, fields) for data topics; null measurement
+    * for non-data topics. `base = 4` skips the LE epoch prefix. */
+  def decoded(raw: DataFrame): DataFrame = {
+    val p = col("payload")
+    raw
+      .withColumn(
+        "measurement",
+        when(col("topic") === Topics.DcData, Topics.DcName)
+          .when(col("topic") === Topics.FxData, Topics.FxName)
+          .when(col("topic") === Topics.MxData, Topics.MxName))
+      .withColumn("time", Packets.eventTime(p))
+      .withColumn(
+        "fields",
+        when(col("topic") === Topics.DcData, fieldMap(Packets.dcFields(p, Packets.TimeSize)))
+          .when(col("topic") === Topics.FxData, fieldMap(Packets.fxFields(p, Packets.TimeSize)))
+          .when(col("topic") === Topics.MxData, fieldMap(Packets.mxFields(p, Packets.TimeSize))))
+  }
+
+  /** Long-format points from raw messages (no status gating). */
+  def points(raw: DataFrame): DataFrame =
+    decoded(raw)
+      .filter(col("measurement").isNotNull && col("time").isNotNull)
+      .select(col("measurement"), col("time"), explode(col("fields")).as(Seq("field", "value")))
+      .filter(col("value").isNotNull)
+
+  /** Rows whose payload failed to decode (dead-letter channel, T6). */
+  def deadLetter(raw: DataFrame): DataFrame =
+    decoded(raw).filter(col("measurement").isNotNull && col("time").isNull)
+
+  /** Status gate (F2, `mqtt_classes.py:187-198,229-294`): a data message
+    * passes only if, as of its arrival, the per-device status topic AND the
+    * global `mate/status` topic last reported "online".
+    *
+    * Batch semantics (SURVEY §2.9 T4): status is applied in arrival order —
+    * `last("online"-flag)` over a window keyed by device. Scale notes: the
+    * per-device gate shuffles once on the device key (status rows and data
+    * rows share the partitioning); the global mate gate would serialize on
+    * a constant key, so instead the (tiny) mate changelog becomes interval
+    * rows broadcast against the fact stream — a broadcast range join, no
+    * extra shuffle of the data.
+    */
+  def gated(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val statusOf = Topics.statusTopicFor
+    val deviceKey = statusOf.foldLeft(lit(null: String)) { case (acc, (data, status)) =>
+      when(col("topic") === data || col("topic") === status, statusOf(data)).otherwise(acc)
+    }
+    // Reference compares the ascii payload to "online"/"offline"; anything
+    // else leaves the previous state — it only flips on exact matches, and
+    // unknown devices default to "offline" (`_status` init map). Binary
+    // equality avoids ANSI decode() throwing on binary packet payloads.
+    val online = lit("online".getBytes("US-ASCII"))
+    val offline = lit("offline".getBytes("US-ASCII"))
+    val isStatusRow = col("topic").isin(
+      (Topics.MateStatus +: statusOf.values.toSeq): _*)
+    val flag = when(isStatusRow && col("payload") === online, 1)
+      .when(isStatusRow && col("payload") === offline, 0)
+
+    // Per-device gate: union of a device's status+data rows, last status
+    // at-or-before each row in arrival order.
+    val keyed = raw
+      .withColumn("gate_key", deviceKey)
+      .withColumn("gate_flag", flag)
+    val w = Window
+      .partitionBy(col("gate_key"))
+      .orderBy(col("arrival"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deviceGated = keyed
+      .withColumn("device_online", coalesce(last(col("gate_flag"), ignoreNulls = true).over(w), lit(0)))
+      .filter(col("topic").isin(statusOf.keys.toSeq: _*) && col("device_online") === 1)
+      .drop("gate_key", "gate_flag", "device_online")
+
+    // Global mate gate: intervals from the tiny mate/status changelog,
+    // broadcast; a data row passes if it falls in an online interval.
+    val mateIntervals = raw
+      .filter(col("topic") === Topics.MateStatus)
+      .select(
+        col("arrival").as("on_from"),
+        when(col("payload") === online, "online")
+          .when(col("payload") === offline, "offline").as("sv"))
+      // non-matching payloads leave the state unchanged → they must not
+      // open or close an interval
+      .filter(col("sv").isNotNull)
+      .withColumn("on_to", lead(col("on_from"), 1, null).over(
+        Window.partitionBy(lit(1)).orderBy(col("on_from"))))
+      .filter(col("sv") === "online")
+      .select("on_from", "on_to")
+
+    deviceGated.join(
+      broadcast(mateIntervals),
+      col("arrival") >= col("on_from") &&
+        (col("on_to").isNull || col("arrival") < col("on_to")),
+      "left_semi")
+  }
+
+  /** Full reference pipeline: gate → decode → explode. */
+  def gatedPoints(raw: DataFrame): DataFrame = points(gated(raw))
+}

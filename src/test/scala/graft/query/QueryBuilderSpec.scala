@@ -1,0 +1,114 @@
+package graft.query
+
+import graft.GraftSession
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pinned by the reference's query-builder tests
+  * (`/root/reference/tests/classes/test_query_classes.py:32-141`) and the
+  * canonical example (`/root/reference/src/app/influx_query.py:88-100`).
+  */
+class QueryBuilderSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]")
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def points = Seq(
+    ("fx-1", ts("2024-01-01 10:00:30"), "battery_voltage", 27.4),
+    ("fx-1", ts("2024-01-01 10:01:30"), "battery_voltage", 27.6),
+    ("fx-1", ts("2024-01-01 10:01:45"), "battery_voltage", 27.8),
+    ("mx-1", ts("2024-01-01 10:00:10"), "pv_current", 5.0),
+    ("mx-1", ts("2024-01-01 10:03:10"), "pv_current", 7.0),
+    ("dc-1", ts("2024-01-01 09:00:00"), "state_of_charge", 100.0)
+  ).toDF("measurement", "time", "field", "value")
+
+  private def qb = QueryBuilder.fromDataFrame(spark, () => points)
+    .withNow(ts("2024-01-01 10:04:00"))
+
+  test("canonical example: OR band then AND band selects ∅") {
+    // (fx-1 OR mx-1) AND dc-1 — bands conjoin (test_query_classes.py:88-108)
+    val got = qb
+      .range("-5m")
+      .appendFilter("_measurement", "fx-1", joiner = "or")
+      .appendFilter("_measurement", "mx-1")
+      .appendFilter("_measurement", "dc-1", newBand = true)
+      .build()
+    assert(got.count() === 0)
+  }
+
+  test("range with relative duration prunes by time") {
+    val got = qb.range("-5m").build()
+    assert(got.count() === 5) // dc-1 point at 09:00 is outside -5m
+  }
+
+  test("range with absolute bounds") {
+    val got = qb.range("2024-01-01 10:01:00", "2024-01-01 10:02:00").build()
+    assert(got.count() === 2)
+  }
+
+  test("OR within a band") {
+    val got = qb
+      .range("-1h")
+      .appendFilter("_measurement", "fx-1", joiner = "or")
+      .appendFilter("_measurement", "mx-1")
+      .build()
+    assert(got.count() === 5)
+  }
+
+  test("aggregateWindow windows per series with _time = window end") {
+    val got = qb
+      .range("-1d")
+      .appendAggregate("1m", "mean")
+      .appendSort("_time")
+      .build()
+      .collect()
+    val fx = got.filter(_.getString(0) == "fx-1")
+    assert(fx.length === 2) // 10:00 and 10:01 minutes; empty windows omitted
+    assert(fx(0).getTimestamp(1) === ts("2024-01-01 10:01:00")) // window END
+    assert(fx(0).getDouble(3) === 27.4)
+    assert(math.abs(fx(1).getDouble(3) - 27.7) < 1e-9) // mean(27.6, 27.8)
+  }
+
+  test("aggregate fn dispatch: max/count/median") {
+    def agg(fn: String) = qb.range("-1d")
+      .appendFilter("_measurement", "mx-1")
+      .appendAggregate("1d", fn).build().collect()(0).getDouble(3)
+    assert(agg("max") === 7.0)
+    assert(agg("count") === 2.0)
+    assert(agg("median") === 6.0)
+    assertThrows[IllegalArgumentException](QueryBuilder.aggregateFn("bogus"))
+  }
+
+  test("sort desc on _value") {
+    val got = qb.range("-1h").appendSort("_value", desc = true).build().collect()
+    assert(got.map(_.getDouble(3)).toSeq === Seq(27.8, 27.6, 27.4, 7.0, 5.0))
+  }
+
+  test("records mode yields flux-named long rows") {
+    val recs = qb.range("-1h")
+      .appendFilter("_measurement", "mx-1")
+      .appendFilter("_value", "5.0", newBand = true)
+      .records()
+    assert(recs.size === 1)
+    val r = recs.head
+    assert(r("_measurement") === "mx-1")
+    assert(r("_field") === "pv_current")
+    assert(r("_value") === 5.0)
+  }
+
+  test("iterator mode streams rows without driver collect") {
+    val it = qb.range("-1h").iterator()
+    assert(it.size === 5)
+  }
+
+  test("csv mode writes a single headered file") {
+    val dir = java.nio.file.Files.createTempDirectory("qb_csv").toString + "/out"
+    qb.range("-1h").csv(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head === "_measurement,_timestamp,_field,_value")
+    assert(lines.size === 6)
+  }
+}
