@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables._
+import graft.text.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (content-hash groupBy),
+  * MinHash signatures, and MinHash-LSH near-duplicate candidate pairs with
+  * exact n-gram Jaccard verification.
+  *
+  * Scale design: exact dedup is one hash-shuffle on a 16-byte key; the
+  * LSH path is the classic shingle → minhash → band → bucket-join
+  * pipeline — candidate generation is an equi-join on (band, value), so
+  * the quadratic all-pairs comparison collapses to per-bucket pairs. Only
+  * candidate pairs (a vanishing fraction at 100 TB) pay the exact-Jaccard
+  * set intersection.
+  */
+object DedupQueries {
+
+  /** Exact dedup: group docs by content hash, mark non-canonical rows. */
+  val qDedupExact: Q = Q.sql(
+    "q_dedup_exact",
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_n,
+      |  CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS keep_id,
+      |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 0 ELSE 1 END AS is_dup
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "exact dedup via content-hash groupBy (hash shuffle on md5)") { (s, d) =>
+    val w = Window.partitionBy(md5(col("text")))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        count(lit(1)).over(w).as("group_n"),
+        min(col("doc_id")).over(w).as("keep_id"),
+        when(col("doc_id") === min(col("doc_id")).over(w), 0L).otherwise(1L).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures: k=8 seeded min-hashes over word 3-gram shingles. */
+  val qMinhashSignature: Q = Q.sql(
+    "q_minhash_signature",
+    (0 until MinhashK)
+      .map(j => s"  ${minhashSql(j)} AS h$j")
+      .mkString("SELECT doc_id,\n", ",\n", "\nFROM documents\nORDER BY doc_id"),
+    doc = "MinHash signatures (k=8) over word 3-gram shingles") { (s, d) =>
+    val cols = (0 until MinhashK).map(j => minhash(col("text"), j).as(s"h$j"))
+    documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  /** MinHash-LSH near-dup pairs: 4 bands × 2 rows; candidates share a
+    * band; exact Jaccard (distinct shingle sets) filters ≥ 0.5. */
+  val qDedupMinhash: Q = Q.sql(
+    "q_dedup_minhash", {
+      val sigCols = (0 until MinhashK).map(j => s"${minhashSql(j)} AS h$j").mkString(", ")
+      val bandRows = (0 until MinhashK / 2)
+        .map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bv FROM sigs")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $sigCols FROM documents
+         |), bands AS (
+         |$bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |), sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents
+         |)
+         |SELECT c.id1, c.id2,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jaccard
+         |FROM cand c JOIN sh x ON c.id1 = x.doc_id JOIN sh y ON c.id2 = y.doc_id
+         |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5
+         |ORDER BY id1, id2""".stripMargin
+    },
+    doc = "MinHash-LSH candidate pairs + exact Jaccard >= 0.5") { (s, d) =>
+    val docs = documents(s, d)
+    val sigs = docs.select(
+      col("doc_id") +: (0 until MinhashK).map(j => minhash(col("text"), j).as(s"h$j")): _*)
+    val bands = (0 until MinhashK / 2)
+      .map(b => sigs.select(
+        col("doc_id"),
+        lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv")))
+      .reduce(_.unionAll(_))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("s"))
+    val jac = size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+      size(array_distinct(concat(col("x.s"), col("y.s"))))
+    cand
+      .join(sh.as("x"), col("id1") === col("x.doc_id"))
+      .join(sh.as("y"), col("id2") === col("y.doc_id"))
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id1", "id2")
+  }
+
+  val all: Seq[Q] = Seq(qDedupExact, qMinhashSignature, qDedupMinhash)
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k (the exact baseline), cosine near-duplicate
+  * pairs, and a random-hyperplane LSH-bucketed ANN variant (the scale
+  * path — candidates come from an equi-join on the bucket signature
+  * instead of a full cross product).
+  *
+  * Implementation notes:
+  *   - dot products / norms are UNROLLED 64-term expressions (left-assoc
+  *     addition), not HOF lambdas: fully codegen'd, and the identical
+  *     op order makes Spark and DuckDB produce bit-identical doubles —
+  *     the oracle needs no epsilon;
+  *   - norms are precomputed per row BEFORE the join, so each pair costs
+  *     one dot product, not three;
+  *   - the query side of the top-k join is broadcast — the big side
+  *     streams through without a shuffle;
+  *   - LSH hyperplane signs are derived in Scala from md5 (deterministic)
+  *     and embedded as literals in both the Spark plan and the oracle SQL.
+  */
+object SimilarityQueries {
+
+  val Dim = 64
+  val NumQueries = 16 // vec_id < 16 act as query vectors
+  val TopK = 5
+  val LshPlanes = 8
+
+  // ---- shared expression builders (Spark + SQL twins) ------------------
+
+  private def el(side: String, i: Int) = element_at(col(s"$side.v"), i + 1)
+
+  /** Σ a[i]*b[i], left-associated. */
+  private def dotCol(a: String, b: String): Column =
+    (0 until Dim).map(i => el(a, i) * el(b, i)).reduce(_ + _)
+  private def dotSql(a: String, b: String): String =
+    (0 until Dim).map(i => s"$a.v[${i + 1}] * $b.v[${i + 1}]").mkString(" + ")
+
+  private def normSelfCol: Column =
+    sqrt((0 until Dim).map { i =>
+      val e = element_at(col("v"), i + 1); e * e
+    }.reduce(_ + _))
+  private def normSelfSql: String =
+    "sqrt(" + (0 until Dim).map(i => s"v[${i + 1}] * v[${i + 1}]").mkString(" + ") + ")"
+
+  /** Vectors with precomputed norm: (vec_id, v double[], nrm). */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", normSelfCol)
+
+  private val vecsSqlNested =
+    s"SELECT vec_id, v, $normSelfSql AS nrm FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) _inner"
+
+  private def cosCol: Column = dotCol("q", "c") / (col("q.nrm") * col("c.nrm"))
+  private def cosSql: String = s"(${dotSql("q", "c")}) / (q.nrm * c.nrm)"
+
+  // ---- queries ---------------------------------------------------------
+
+  /** Brute-force exact cosine top-k for the first NumQueries vectors. */
+  val qEmbedTopk: Q = Q.sql(
+    "q_embed_topk",
+    s"""WITH vecs AS ($vecsSqlNested)
+       |SELECT q_id, n_id, rn, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    $cosSql AS cos,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cosSql DESC, c.vec_id) AS BIGINT) AS rn
+       |  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin,
+    doc = s"brute-force cosine top-$TopK (broadcast queries, codegen dot)") { (s, d) =>
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < NumQueries).as("q")
+    val c = all.as("c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q)
+      .join(c, col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("q_id", "n_id", "rn", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs, threshold 0.35). */
+  val qEmbedNearDup: Q = Q.sql(
+    "q_embed_neardup",
+    s"""WITH vecs AS ($vecsSqlNested)
+       |SELECT q.vec_id AS id1, c.vec_id AS id2, $cosSql AS cos
+       |FROM vecs q JOIN vecs c ON q.vec_id < c.vec_id
+       |WHERE $cosSql >= 0.35
+       |ORDER BY id1, id2""".stripMargin,
+    doc = "embedding-cosine near-dup pairs (cos >= 0.35)") { (s, d) =>
+    val all = vecs(s, d)
+    all.as("q")
+      .join(all.as("c"), col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("id1"), col("c.vec_id").as("id2"), cosCol.as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("id1", "id2")
+  }
+
+  // ---- LSH ANN ---------------------------------------------------------
+
+  /** Deterministic ±1 hyperplane matrix: sign from md5("p:d"). */
+  lazy val lshSigns: Array[Array[Int]] = {
+    val mdigest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, Dim) { (p, d) =>
+      val h = mdigest.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1 else -1
+    }
+  }
+
+  private def bucketCol: Column =
+    concat((0 until LshPlanes).map { p =>
+      val proj = (0 until Dim).map { i =>
+        val e = element_at(col("v"), i + 1)
+        if (lshSigns(p)(i) > 0) e else -e
+      }.reduce(_ + _)
+      when(proj >= 0, "1").otherwise("0")
+    }: _*)
+
+  private def bucketSql(v: String): String =
+    (0 until LshPlanes).map { p =>
+      val proj = (0 until Dim).map { i =>
+        if (lshSigns(p)(i) > 0) s"$v[${i + 1}]" else s"-$v[${i + 1}]"
+      }.mkString(" + ")
+      s"CASE WHEN $proj >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+
+  /** ANN via random-hyperplane LSH: candidates share the 16-bit bucket;
+    * exact cosine ranks within the bucket. The equi-join on `bucket` is
+    * the whole point — at scale it replaces the cross product with a
+    * shuffle on a 16-char key. */
+  val qAnnLsh: Q = Q.sql(
+    "q_ann_lsh",
+    s"""WITH vecs AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket
+       |             FROM ($vecsSqlNested) _v)
+       |SELECT q_id, n_id, rn, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    $cosSql AS cos,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cosSql DESC, c.vec_id) AS BIGINT) AS rn
+       |  FROM vecs q JOIN vecs c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin,
+    doc = s"LSH-bucketed ANN top-$TopK ($LshPlanes hyperplanes, equi-join)") { (s, d) =>
+    val bucketed = vecs(s, d).withColumn("bucket", bucketCol)
+    val q = bucketed.as("q").filter(col("q.vec_id") < NumQueries)
+    val c = bucketed.as("c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("q_id", "n_id", "rn", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh)
+}

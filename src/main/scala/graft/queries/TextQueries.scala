@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables._
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (token counting, quality scoring, language ID,
+  * fingerprinting, SimHash, multimodal byte plumbing). All narrow per-row
+  * transforms: at 100 TB these are scan-shaped with zero shuffles (the
+  * ORDER BY here exists only for oracle determinism).
+  */
+object TextQueries {
+
+  val qTokenCount: Q = Q.sql(
+    "q_token_count",
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin,
+    doc = "token counting: whitespace tokens + BPE-ish estimate") { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        bpeEstimate(col("text")).as("bpe_est"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityScore: Q = Q.sql(
+    "q_quality_score",
+    s"""SELECT doc_id,
+       |  CAST($punctCountSql AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(${stopwordHitsSql(stopwordsEn)} AS DOUBLE) / len($tokensSql) AS stop_ratio,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($tokensSql) AS avg_word_len,
+       |  0.5 * (CAST(${stopwordHitsSql(stopwordsEn)} AS DOUBLE) / len($tokensSql))
+       |    + 0.3 * (1.0 / (1.0 + CAST($punctCountSql AS DOUBLE) / length(text) * 10.0))
+       |    + 0.2 * (CASE WHEN length(text) >= 200 THEN 1.0 ELSE 0.0 END) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin,
+    doc = "quality scoring: punctuation/stopword ratios, length prior") { (s, d) =>
+    val txt = col("text")
+    val punctRatio = punctCount(txt).cast("double") / length(txt)
+    val stopRatio = stopwordHits(txt, stopwordsEn).cast("double") / size(tokens(txt))
+    val awl = length(regexp_replace(txt, " ", "")).cast("double") / size(tokens(txt))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        awl.as("avg_word_len"),
+        (lit(0.5) * stopRatio
+          + lit(0.3) * (lit(1.0) / (lit(1.0) + punctRatio * 10.0))
+          + lit(0.2) * when(length(txt) >= 200, 1.0).otherwise(0.0)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qLangId: Q = Q.sql(
+    "q_lang_id",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${stopwordHitsSql(stopwordsEn)} AS BIGINT) AS s_en,
+       |    CAST(${stopwordHitsSql(stopwordsDe)} AS BIGINT) AS s_de,
+       |    CAST(${stopwordHitsSql(stopwordsEs)} AS BIGINT) AS s_es,
+       |    CAST(${stopwordHitsSql(stopwordsFr)} AS BIGINT) AS s_fr
+       |  FROM documents)
+       |SELECT doc_id, s_en, s_de, s_es, s_fr,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted,
+       |  CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS agree
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin,
+    doc = "language ID: stopword-profile scoring with deterministic argmax") { (s, d) =>
+    val txt = col("text")
+    val withScores = documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      stopwordHits(txt, stopwordsEn).as("s_en"),
+      stopwordHits(txt, stopwordsDe).as("s_de"),
+      stopwordHits(txt, stopwordsEs).as("s_es"),
+      stopwordHits(txt, stopwordsFr).as("s_fr"))
+    val predicted =
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr")
+    withScores
+      .select(
+        col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        predicted.as("predicted"),
+        when(predicted === col("lang"), 1L).otherwise(0L).as("agree"))
+      .orderBy("doc_id")
+  }
+
+  val qFingerprint: Q = Q.sql(
+    "q_fingerprint",
+    s"""SELECT doc_id, $fingerprintSql AS fp,
+       |  substr($fingerprintSql, 1, 16) AS fp16
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin,
+    doc = "document fingerprint: md5 of normalized text") { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        substring(fingerprint(col("text")), 1, 16).as("fp16"))
+      .orderBy("doc_id")
+  }
+
+  val qSimhash: Q = Q.sql(
+    "q_simhash",
+    s"""SELECT doc_id, $simhashSql AS simhash32
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin,
+    doc = "32-bit SimHash signatures (pure integer bit-vote, no UDF)") { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("simhash32"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal column plumbing: opaque bytes + typed metadata. The decode
+    * itself is stubbed (no media libs in this container — see
+    * graft.mm.Multimodal for the batched featurizer plumbing); the
+    * byte-level schema ops here are the real, oracle-checked part. */
+  val qMultimodalMeta: Q = Q.sql(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum,
+      |  CAST(floor((octet_length(encode(text)) + 255) / 256.0) AS BIGINT) AS n_frames,
+      |  substr(lower(hex(encode(text))), 1, 8) AS header_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "multimodal binary columns: lengths, checksums, frame counts") { (s, d) =>
+    val bin = col("text").cast("binary")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        length(bin).cast("long").as("byte_len"),
+        md5(col("text")).as("checksum"),
+        floor((length(bin) + 255) / 256.0).cast("long").as("n_frames"),
+        substring(lower(hex(bin)), 1, 8).as("header_hex"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta)
+}

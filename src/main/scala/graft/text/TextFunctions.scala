@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting, SimHash.
+  *
+  * Everything is a `Column` built from `org.apache.spark.sql.functions`
+  * higher-order functions — no UDFs, so the whole battery stays inside
+  * whole-stage codegen and scales as a narrow per-row map over 100 TB of
+  * documents. Every function has an exact ANSI-SQL twin (generated next to
+  * it where it's formulaic) so the DuckDB oracle can replay it; float op
+  * order is mirrored so results are bit-identical.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, shared token definition for all ops. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  val tokensSql = "regexp_split_to_array(lower(text), '\\s+')"
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish size estimate: ~4 chars/token (the standard rule of thumb). */
+  def bpeEstimate(text: Column): Column = ceil(length(text) / 4.0).cast("long")
+
+  // ---- quality scoring -------------------------------------------------
+
+  val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val stopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf")
+  val stopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por")
+  val stopwordsFr = Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce")
+
+  def stopwordHits(text: Column, stop: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stop))).cast("long")
+
+  def stopwordHitsSql(stop: Seq[String]): String =
+    s"len(list_filter($tokensSql, t -> t IN (${stop.map(s => s"'$s'").mkString(",")})))"
+
+  /** Punctuation character count (keep only punctuation, count what's left). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+  val punctCountSql = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+
+  // ---- fingerprinting --------------------------------------------------
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+  val fingerprintSql = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** Hex digits whose nibble has bit `b` (3 = MSB of the nibble) set. */
+  private def hexWithBit(b: Int): Seq[String] =
+    (0 until 16).filter(d => ((d >> b) & 1) == 1).map(d => Integer.toHexString(d))
+
+  /** 32-bit SimHash over the token set, as a '0'/'1' string (MSB first).
+    * Bit k of a token's hash is bit (3 - k%4) of hex digit (k/4) of
+    * md5(token); the simhash bit is 1 iff at least half the tokens have
+    * that bit set (2*hits - n >= 0). Pure integer arithmetic — exact in
+    * both engines.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bits = (0 until 32).map { k =>
+      val pos = 1 + k / 4
+      val chars = hexWithBit(3 - k % 4)
+      val hits = size(filter(toks, t => substring(md5(t), pos, 1).isInCollection(chars)))
+      when(hits * 2 - n >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  def simhashSql: String = {
+    val bits = (0 until 32).map { k =>
+      val pos = 1 + k / 4
+      val chars = hexWithBit(3 - k % 4).map(c => s"'$c'").mkString(",")
+      s"CASE WHEN len(list_filter($tokensSql, t -> substr(md5(t), $pos, 1) IN ($chars))) * 2 - len($tokensSql) >= 0 THEN '1' ELSE '0' END"
+    }
+    bits.mkString("concat(", ", ", ")")
+  }
+
+  // ---- shingles + MinHash ---------------------------------------------
+
+  /** Word 3-gram shingles (raw, order-preserving). */
+  def shingles(text: Column): Column = {
+    val w = tokens(text)
+    transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+  }
+  val shinglesSql =
+    s"list_transform(generate_series(1, len($tokensSql) - 2), i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2])"
+
+  /** MinHash value for seed `j`: the lexicographic minimum of the first 16
+    * md5 hex chars of `j:shingle` — a fixed-width hex string, so string
+    * order == unsigned integer order, portably. */
+  def minhash(text: Column, seed: Int): Column =
+    array_min(transform(shingles(text), s =>
+      substring(md5(concat(lit(s"$seed:"), s)), 1, 16)))
+
+  def minhashSql(seed: Int): String =
+    s"list_min(list_transform($shinglesSql, s -> substr(md5('$seed:' || s), 1, 16)))"
+
+  val MinhashK = 8
+}
