@@ -136,5 +136,62 @@ object SolarQueries {
       .orderBy("dev")
   }
 
-  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate)
+  /** The Flux-parity QueryBuilder exercised end-to-end over decoded points:
+    * `range(-20d)` → filter band (fx-1 OR mx-1) → band (battery_voltage OR
+    * bat_voltage) → `aggregateWindow(1d, mean)` → sort — the reference's
+    * canonical query shape (`influx_query.py:88-100`) against real decoded
+    * data, oracle-recomputed in closed form. Window ends are compared as
+    * epoch seconds (both engines align tumbling windows to the epoch). */
+  val qQueryBuilder: Q = {
+    val nowTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val nowS = 1706745600L // 2024-02-01 00:00:00 UTC
+    val startS = nowS - 20L * 86400
+    Q.sql(
+      "q_querybuilder_agg",
+      s"""WITH pts AS (
+         |  SELECT floor(epoch(ts)) AS t_s, 'fx-1' AS measurement, 'battery_voltage' AS field,
+         |    CAST((CAST(floor(value*10) AS BIGINT) % 5000) AS DOUBLE) / 10.0 AS value
+         |  FROM events WHERE user_id % 3 = 1
+         |  UNION ALL
+         |  SELECT floor(epoch(ts)), 'mx-1', 'bat_voltage',
+         |    CAST((CAST(floor(value*10) AS BIGINT) * 3 % 5000) AS DOUBLE) / 10.0
+         |  FROM events WHERE user_id % 3 = 2
+         |)
+         |SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+         |  field, round(avg(value), 3) AS value
+         |FROM pts
+         |WHERE t_s >= $startS AND t_s < $nowS
+         |GROUP BY 1, 2, 3
+         |ORDER BY measurement, window_end_s, field""".stripMargin,
+      doc = "QueryBuilder range→filter bands→aggregateWindow(1d,mean)→sort") { (s, d) =>
+      val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
+      val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
+      val raw = events(s, d).select(
+        topicOf(col("user_id")).as("topic"),
+        enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
+        col("ts").as("arrival"))
+      val points = SolarIngest.points(raw)
+      val built = graft.query.QueryBuilder
+        .fromDataFrame(s, () => points)
+        .withNow(nowTs)
+        .range("-20d")
+        .appendFilter("_measurement", "fx-1", joiner = "or")
+        .appendFilter("_measurement", "mx-1")
+        .appendFilter("_field", "battery_voltage", joiner = "or", newBand = true)
+        .appendFilter("_field", "bat_voltage")
+        .appendAggregate("1d", "mean")
+        .appendSort("_time")
+        .build()
+      // deterministic total order + epoch-seconds window key for the compare
+      built
+        .select(
+          col("measurement"),
+          unix_timestamp(col("time")).as("window_end_s"),
+          col("field"),
+          round(col("value"), 3).as("value"))
+        .orderBy("measurement", "window_end_s", "field")
+    }
+  }
+
+  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder)
 }
