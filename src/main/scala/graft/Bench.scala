@@ -3,10 +3,12 @@ package graft
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line the driver collects into BENCH_r{N}.json.
   *
-  * Each query is forced with a `count()` action (result materialization
-  * without driver-side collect). A warmup pass on the flagship query pays
-  * the one-time codegen/classload cost so per-query numbers measure the
-  * engine, not JIT warmup.
+  * Each query is forced through the `noop` sink — unlike `count()`, which
+  * lets Catalyst prune every projection (a projection-heavy query would
+  * "run" in milliseconds without computing anything), noop materializes
+  * all output columns without driver-side collect. A warmup pass on the
+  * flagship query pays the one-time codegen/classload cost so per-query
+  * numbers measure the engine, not JIT warmup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,13 +21,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JIT + codegen + parquet footer reads
-    try SparkEntry.entry(spark).count()
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results

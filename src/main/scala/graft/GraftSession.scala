@@ -29,6 +29,15 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark otherwise
       // rejects outright; see Tables.events for the lossless conversion.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate turns explode(expensive_expr) into a
+      // pushed-down `size(expensive_expr) > 0` filter, re-evaluating the
+      // full expression per input row (measured 70s vs 2s on the MinHash
+      // pipeline, and it can never prune here — decoded packet maps and
+      // shingle arrays are non-empty by construction). The rule only pays
+      // off when a generator's input is often empty AND cheap.
+      .config(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Get-or-create with graft defaults; used by tests. */

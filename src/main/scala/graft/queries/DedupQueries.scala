@@ -46,9 +46,19 @@ object DedupQueries {
       .map(j => s"  ${minhashSql(j)} AS h$j")
       .mkString("SELECT doc_id,\n", ",\n", "\nFROM documents\nORDER BY doc_id"),
     doc = "MinHash signatures (k=8) over word 3-gram shingles") { (s, d) =>
-    val cols = (0 until MinhashK).map(j => minhash(col("text"), j).as(s"h$j"))
-    documents(s, d).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    sigsOf(documents(s, d).repartition(s.sparkContext.defaultParallelism)).orderBy("doc_id")
   }
+
+  /** Staged signature pipeline: tokens → shingles → k minhashes. Each stage
+    * is its own select so the expensive upstream column is computed once
+    * per row (CollapseProject won't re-inline a non-cheap expression that
+    * is referenced k times). */
+  private def sigsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      .select(
+        col("doc_id") +: (0 until MinhashK).map(j => minhashOf(col("sh"), j).as(s"h$j")): _*)
 
   /** MinHash-LSH near-dup pairs: 4 bands × 2 rows; candidates share a
     * band; exact Jaccard (distinct shingle sets) filters ≥ 0.5. */
@@ -75,22 +85,31 @@ object DedupQueries {
          |ORDER BY id1, id2""".stripMargin
     },
     doc = "MinHash-LSH candidate pairs + exact Jaccard >= 0.5") { (s, d) =>
-    val docs = documents(s, d)
-    val sigs = docs.select(
-      col("doc_id") +: (0 until MinhashK).map(j => minhash(col("text"), j).as(s"h$j")): _*)
-    val bands = (0 until MinhashK / 2)
-      .map(b => sigs.select(
+    // the corpus arrives as one small parquet file = one partition; the
+    // per-row hashing is CPU-bound, so spread it across the cluster first
+    // (at 100 TB the scan is naturally parallel and this is a no-op cost)
+    val docs = documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    // one pass computes all bands (posexplode, not a 4-way union that
+    // would recompute the signatures per branch); persisted because the
+    // self-join below reads it twice — at scale this materialization is
+    // the standard "signature table" of an LSH pipeline (tiny vs corpus)
+    val bands = sigsOf(docs)
+      .select(
         col("doc_id"),
-        lit(b).as("band"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv")))
-      .reduce(_.unionAll(_))
+        array((0 until MinhashK / 2).map(b =>
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*).as("bvs"))
+      .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
+      .persist()
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"))).as("s"))
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s"))
+      .persist()
     val jac = size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
       size(array_distinct(concat(col("x.s"), col("y.s"))))
     cand

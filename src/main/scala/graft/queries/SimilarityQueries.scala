@@ -31,19 +31,17 @@ object SimilarityQueries {
   val LshPlanes = 8
 
   // ---- shared expression builders (Spark + SQL twins) ------------------
+  // Spark side: graft.expressions.DotProduct — a codegen loop (the unrolled
+  // 64-term form blew janino's 64 KB method limit and forced interpreted
+  // fallback). SQL side: left-associated term sums, which accumulate in
+  // the same index order → bit-identical doubles.
 
-  private def el(side: String, i: Int) = element_at(col(s"$side.v"), i + 1)
-
-  /** Σ a[i]*b[i], left-associated. */
   private def dotCol(a: String, b: String): Column =
-    (0 until Dim).map(i => el(a, i) * el(b, i)).reduce(_ + _)
+    graft.expressions.VectorOps.dot(col(s"$a.v"), col(s"$b.v"))
   private def dotSql(a: String, b: String): String =
     (0 until Dim).map(i => s"$a.v[${i + 1}] * $b.v[${i + 1}]").mkString(" + ")
 
-  private def normSelfCol: Column =
-    sqrt((0 until Dim).map { i =>
-      val e = element_at(col("v"), i + 1); e * e
-    }.reduce(_ + _))
+  private def normSelfCol: Column = graft.expressions.VectorOps.l2norm(col("v"))
   private def normSelfSql: String =
     "sqrt(" + (0 until Dim).map(i => s"v[${i + 1}] * v[${i + 1}]").mkString(" + ") + ")"
 
@@ -120,10 +118,10 @@ object SimilarityQueries {
 
   private def bucketCol: Column =
     concat((0 until LshPlanes).map { p =>
-      val proj = (0 until Dim).map { i =>
-        val e = element_at(col("v"), i + 1)
-        if (lshSigns(p)(i) > 0) e else -e
-      }.reduce(_ + _)
+      // proj = dot(v, ±1 vector): multiplying by ±1.0 is exact, so this
+      // equals the SQL's ±v[i] sum term-for-term
+      val signs = typedLit(lshSigns(p).map(_.toDouble).toSeq)
+      val proj = graft.expressions.VectorOps.dot(col("v"), signs)
       when(proj >= 0, "1").otherwise("0")
     }: _*)
 

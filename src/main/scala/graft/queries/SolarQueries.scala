@@ -44,7 +44,9 @@ object SolarQueries {
     doc = "binary packet encode→decode→explode→aggregate, oracle-checked") { (s, d) =>
     val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
     val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
-    val raw = events(s, d).select(
+    // single-file source → repartition so the encode/decode CPU spreads
+    // across cores (at scale the scan is already parallel)
+    val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
       topicOf(col("user_id")).as("topic"),
       enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
       col("ts").as("arrival"))
@@ -166,7 +168,7 @@ object SolarQueries {
       doc = "QueryBuilder range→filter bands→aggregateWindow(1d,mean)→sort") { (s, d) =>
       val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
       val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
-      val raw = events(s, d).select(
+      val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
         topicOf(col("user_id")).as("topic"),
         enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
         col("ts").as("arrival"))

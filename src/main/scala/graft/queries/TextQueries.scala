@@ -115,12 +115,15 @@ object TextQueries {
 
   val qSimhash: Q = Q.sql(
     "q_simhash",
-    s"""SELECT doc_id, $simhashSql AS simhash32
-       |FROM documents
+    s"""WITH hashed AS (SELECT doc_id, $tokenHashesSql AS hs FROM documents)
+       |SELECT doc_id, ${simhashOfSql("hs")} AS simhash32
+       |FROM hashed
        |ORDER BY doc_id""".stripMargin,
     doc = "32-bit SimHash signatures (pure integer bit-vote, no UDF)") { (s, d) =>
     documents(s, d)
-      .select(col("doc_id"), simhash(col("text")).as("simhash32"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), simhashOf(col("hs")).as("simhash32"))
       .orderBy("doc_id")
   }
 

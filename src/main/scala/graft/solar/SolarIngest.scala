@@ -42,34 +42,36 @@ object SolarIngest {
   private def fieldMap(fields: Seq[(String, Column)]): Column =
     map(fields.flatMap { case (n, c) => Seq(lit(n), c) }: _*)
 
-  /** Decoded (measurement, time, fields) for data topics; null measurement
-    * for non-data topics. `base = 4` skips the LE epoch prefix. */
+  /** Decoded (measurement, time, fields) for data topics. One branch per
+    * packet type, unioned: a single `when`-chain carrying all three field
+    * maps in one projection exceeds janino's 64 KB method limit and drops
+    * the whole stage out of codegen; per-branch projections stay small,
+    * and each branch's topic filter is pushed into the shared scan. */
   def decoded(raw: DataFrame): DataFrame = {
     val p = col("payload")
-    raw
-      .withColumn(
-        "measurement",
-        when(col("topic") === Topics.DcData, Topics.DcName)
-          .when(col("topic") === Topics.FxData, Topics.FxName)
-          .when(col("topic") === Topics.MxData, Topics.MxName))
-      .withColumn("time", Packets.eventTime(p))
-      .withColumn(
-        "fields",
-        when(col("topic") === Topics.DcData, fieldMap(Packets.dcFields(p, Packets.TimeSize)))
-          .when(col("topic") === Topics.FxData, fieldMap(Packets.fxFields(p, Packets.TimeSize)))
-          .when(col("topic") === Topics.MxData, fieldMap(Packets.mxFields(p, Packets.TimeSize))))
+    def branch(topic: String, name: String, fields: Seq[(String, Column)]): DataFrame =
+      raw
+        .filter(col("topic") === topic)
+        .select(
+          lit(name).as("measurement"),
+          Packets.eventTime(p).as("time"),
+          fieldMap(fields).as("fields"),
+          col("*"))
+    branch(Topics.DcData, Topics.DcName, Packets.dcFields(col("payload"), Packets.TimeSize))
+      .unionAll(branch(Topics.FxData, Topics.FxName, Packets.fxFields(col("payload"), Packets.TimeSize)))
+      .unionAll(branch(Topics.MxData, Topics.MxName, Packets.mxFields(col("payload"), Packets.TimeSize)))
   }
 
   /** Long-format points from raw messages (no status gating). */
   def points(raw: DataFrame): DataFrame =
     decoded(raw)
-      .filter(col("measurement").isNotNull && col("time").isNotNull)
+      .filter(col("time").isNotNull)
       .select(col("measurement"), col("time"), explode(col("fields")).as(Seq("field", "value")))
       .filter(col("value").isNotNull)
 
   /** Rows whose payload failed to decode (dead-letter channel, T6). */
   def deadLetter(raw: DataFrame): DataFrame =
-    decoded(raw).filter(col("measurement").isNotNull && col("time").isNull)
+    decoded(raw).filter(col("time").isNull)
 
   /** Status gate (F2, `mqtt_classes.py:187-198,229-294`): a data message
     * passes only if, as of its arrival, the per-device status topic AND the

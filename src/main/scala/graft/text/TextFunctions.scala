@@ -55,51 +55,64 @@ object TextFunctions {
   private def hexWithBit(b: Int): Seq[String] =
     (0 until 16).filter(d => ((d >> b) & 1) == 1).map(d => Integer.toHexString(d))
 
-  /** 32-bit SimHash over the token set, as a '0'/'1' string (MSB first).
-    * Bit k of a token's hash is bit (3 - k%4) of hex digit (k/4) of
-    * md5(token); the simhash bit is 1 iff at least half the tokens have
-    * that bit set (2*hits - n >= 0). Pure integer arithmetic — exact in
-    * both engines.
+  /** Token-hash array: one md5 per token. Simhash bit extraction reads
+    * this array 32 times, so hashing must happen once, not per bit (the
+    * naive per-bit form costs 32 md5/token — measured 11.5s vs 0.6s). */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => md5(t))
+  val tokenHashesSql = s"list_transform($tokensSql, t -> md5(t))"
+
+  /** 32-bit SimHash over the token set, as a '0'/'1' string (MSB first),
+    * from a materialized token-hash array column (stage [[tokenHashes]] in
+    * its own select first). Bit k of a token's hash is bit (3 - k%4) of
+    * hex digit (k/4); the simhash bit is 1 iff at least half the tokens
+    * have that bit set (2*hits - n >= 0). Pure integer arithmetic — exact
+    * in both engines.
     */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
+  def simhashOf(hashes: Column): Column = {
+    val n = size(hashes)
     val bits = (0 until 32).map { k =>
       val pos = 1 + k / 4
       val chars = hexWithBit(3 - k % 4)
-      val hits = size(filter(toks, t => substring(md5(t), pos, 1).isInCollection(chars)))
+      val hits = size(filter(hashes, h => substring(h, pos, 1).isInCollection(chars)))
       when(hits * 2 - n >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
 
-  def simhashSql: String = {
+  /** DuckDB twin of [[simhashOf]] over a hash-array column named `hs`. */
+  def simhashOfSql(hs: String): String = {
     val bits = (0 until 32).map { k =>
       val pos = 1 + k / 4
       val chars = hexWithBit(3 - k % 4).map(c => s"'$c'").mkString(",")
-      s"CASE WHEN len(list_filter($tokensSql, t -> substr(md5(t), $pos, 1) IN ($chars))) * 2 - len($tokensSql) >= 0 THEN '1' ELSE '0' END"
+      s"CASE WHEN len(list_filter($hs, h -> substr(h, $pos, 1) IN ($chars))) * 2 - len($hs) >= 0 THEN '1' ELSE '0' END"
     }
     bits.mkString("concat(", ", ", ")")
   }
 
   // ---- shingles + MinHash ---------------------------------------------
 
-  /** Word 3-gram shingles (raw, order-preserving). */
-  def shingles(text: Column): Column = {
-    val w = tokens(text)
+  /** Word 3-gram shingles from an already-materialized token array column.
+    * Callers should stage `tokens(text)` in its own select first — inlining
+    * the split into every lambda element makes Catalyst re-evaluate it per
+    * shingle after project collapse. */
+  def shinglesOf(w: Column): Column =
     transform(
       sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-  }
+
+  /** Word 3-gram shingles (raw, order-preserving). */
+  def shingles(text: Column): Column = shinglesOf(tokens(text))
   val shinglesSql =
     s"list_transform(generate_series(1, len($tokensSql) - 2), i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2])"
 
   /** MinHash value for seed `j`: the lexicographic minimum of the first 16
     * md5 hex chars of `j:shingle` — a fixed-width hex string, so string
     * order == unsigned integer order, portably. */
-  def minhash(text: Column, seed: Int): Column =
-    array_min(transform(shingles(text), s =>
-      substring(md5(concat(lit(s"$seed:"), s)), 1, 16)))
+  def minhash(text: Column, seed: Int): Column = minhashOf(shingles(text), seed)
+
+  /** MinHash from a materialized shingle-array column (see [[shinglesOf]]). */
+  def minhashOf(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => substring(md5(concat(lit(s"$seed:"), s)), 1, 16)))
 
   def minhashSql(seed: Int): String =
     s"list_min(list_transform($shinglesSql, s -> substr(md5('$seed:' || s), 1, 16)))"

@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.queries._
+
+/** Scratch profiling main: time a named query (or sub-stages) outside the
+  * bench harness. `runMain graft.tools.Profile <queryName> <sfDir>`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = GraftSession.builder(master = "local[32]", app = "profile").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (name == "minhash_stages") {
+      import graft.Tables._
+      import graft.text.TextFunctions._
+      import org.apache.spark.sql.functions._
+      val docs = documents(spark, sfDir).repartition(32)
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val w = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      t("tokens")(w.count())
+      val sh = w.select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      t("shingles")(sh.count())
+      val sigs = sh.select(
+        col("doc_id") +: (0 until MinhashK).map(j => minhashOf(col("sh"), j).as(s"h$j")): _*)
+      t("sigs")(sigs.count())
+      val bands = sigs
+        .select(col("doc_id"), array((0 until 4).map(b =>
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*).as("bvs"))
+        .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
+      t("bands")(bands.count())
+      if (sys.env.contains("GRAFT_PLAN")) {
+        println("=== bands optimized plan ===")
+        println(bands.queryExecution.optimizedPlan.toString.take(8000))
+        return
+      }
+      val bp = bands.persist()
+      t("bands persist")(bp.count())
+      val cand = bp.as("a").join(bp.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+      t("cand")(println("pairs: " + cand.count()))
+      val shd = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s")).persist()
+      t("sh persist")(shd.count())
+      val jac = size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+        size(array_distinct(concat(col("x.s"), col("y.s"))))
+      val out = cand.join(shd.as("x"), col("id1") === col("x.doc_id"))
+        .join(shd.as("y"), col("id2") === col("y.doc_id"))
+        .select(col("id1"), col("id2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      t("jaccard")(out.count())
+    } else {
+      val q = SparkEntryLookup.find(name)
+      val t0 = System.nanoTime()
+      val n = q.run(spark, sfDir).count()
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      val t1 = System.nanoTime()
+      q.run(spark, sfDir).count()
+      println(f"$name (2nd): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
+
+object SparkEntryLookup {
+  def find(name: String): Q =
+    graft.SparkEntry.registry.find(_.name == name).getOrElse(sys.error(s"no query $name"))
+}
