@@ -152,6 +152,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
+    * replays the byte fold with list_reduce over character codes (inputs
+    * are ASCII, where ord(char) == utf8 byte). */
+  val qRollingFingerprint: Q = Q.sql(
+    "q_rolling_fingerprint",
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % ${graft.expressions.RollingHash.M}) AS rh
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin,
+    doc = "Karp-Rabin rolling-hash fingerprint (codegen expression)") { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.expressions.RollingHash.rollingHash(col("text").cast("binary")).as("rh"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta)
+    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
+      qRollingFingerprint)
 }
