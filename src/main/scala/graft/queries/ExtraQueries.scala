@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables._
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Additional engine surface: as-of join, hierarchical aggregation
+  * (ROLLUP), and approximate aggregates.
+  */
+object ExtraQueries {
+
+  /** As-of join: each purchase picks up the user's latest click value
+    * at-or-before it. Right side deduped to unique (user, ts) so the
+    * tie-break is well-defined in both engines. DuckDB replays with its
+    * native ASOF LEFT JOIN. */
+  val qAsofJoin: Q = Q.sql(
+    "q_asof_join",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') t
+      |  WHERE rn = 1
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.value, c.value AS asof_value
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin,
+    doc = "as-of join via union+window (one shuffle, no range nested-loop)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin
+      .asOf(purchases, clicks, key = "user_id", time = "ts",
+        valueCols = Seq("value"), tieBreak = "event_id")
+      .select(
+        col("event_id"), col("user_id"), col("value"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  /** Hierarchical aggregation: ROLLUP over returnflag/linestatus with
+    * exact decimal sums; NULL ordering pinned explicitly (Spark defaults
+    * NULLS FIRST, DuckDB NULLS LAST). */
+  val qRollup: Q = Q.sql(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    doc = "ROLLUP hierarchical aggregation (grouping sets)") { (s, d) =>
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(27,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Approximate aggregates: HLL++ distinct counts and quantile sketches.
+    * Sketch implementations differ across engines, so there is no value
+    * oracle — the driver records a rows-only check and ApproxSpec bounds
+    * the error against exact values. */
+  val qApprox: Q = Q.rowsOnly(
+    "q_approx_aggs",
+    doc = "approx_count_distinct (HLL++) + approx_percentile sketches") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qApprox)
+}
