@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,14 +77,16 @@ class MqttSimTable(broker: String) extends Table with SupportsRead {
   override def schema(): StructType = MqttSimTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MqttSimTable.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttSimStream(broker)
+          new MqttSimStream(broker, maxPerTrigger)
       }
     }
+  }
 }
 
 /** Offset = number of messages consumed from the append-only log. */
@@ -92,11 +94,32 @@ case class IndexOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-class MqttSimStream(broker: String) extends MicroBatchStream {
+/** @param maxPerTrigger backpressure bound (SURVEY §2.9 T5): the
+  *   reference blocks its producer at 150 queued points; here the
+  *   admission-control API caps how much of the backlog one micro-batch
+  *   admits, so a large backlog drains in bounded batches instead of one
+  *   giant catch-up batch. */
+class MqttSimStream(broker: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = IndexOffset(0L)
   override def latestOffset(): Offset = IndexOffset(MqttSimBroker.size(broker))
   override def deserializeOffset(json: String): Offset = IndexOffset(json.toLong)
   override def commit(end: Offset): Unit = () // log retained; a real client would ack here
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[IndexOffset].index
+    val avail = MqttSimBroker.size(broker)
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        IndexOffset(math.min(avail, start + r.maxRows()))
+      case _ => IndexOffset(avail)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = IndexOffset(MqttSimBroker.size(broker))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(MqttSimPartition(
