@@ -74,7 +74,9 @@ object StreamingIngest {
         gateFn(_ == Topics.MateStatus, passthroughKeys = Set.empty))
   }
 
-  /** The full streaming pipeline: subscribe → gate → decode → append. */
+  /** The full streaming pipeline: subscribe → gate → decode → append.
+    * Undecodable payloads land in `<bucket>_deadletter` with their raw
+    * bytes (T6: the reference logs-and-drops; here nothing is lost). */
   def start(
       spark: SparkSession,
       broker: String,
@@ -91,8 +93,12 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[RawMsg], _: Long) =>
-        val pts = SolarIngest.points(batch.toDF())
+        val df = batch.toDF()
+        val pts = SolarIngest.points(df)
         if (!pts.isEmpty) PointStore.write(pts, bucketPath)
+        val dead = SolarIngest.deadLetter(df).select("topic", "payload", "arrival")
+        if (!dead.isEmpty)
+          dead.write.mode("append").parquet(s"${bucketPath}_deadletter")
       }
       .start()
   }

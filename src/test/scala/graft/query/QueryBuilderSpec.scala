@@ -102,6 +102,17 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(it.size === 5)
   }
 
+  test("relative-duration parsing: all units, absolute fallback") {
+    import QueryBuilder.parseRelative
+    assert(parseRelative("-5m") === Some("'5' minute"))
+    assert(parseRelative("-30s") === Some("'30' second"))
+    assert(parseRelative("-2h") === Some("'2' hour"))
+    assert(parseRelative("-1d") === Some("'1' day"))
+    assert(parseRelative("-1w") === Some("'1' week"))
+    assert(parseRelative("2024-01-01 00:00:00") === None)
+    assert(parseRelative("-5x") === None) // unknown unit → absolute parse → fails loudly
+  }
+
   test("csv mode writes a single headered file") {
     val dir = java.nio.file.Files.createTempDirectory("qb_csv").toString + "/out"
     qb.range("-1h").csv(dir)

@@ -64,9 +64,15 @@ class StreamingIngestSpec extends AnyFunSuite {
     MqttSimBroker.publish(broker, Topics.MateStatus, "offline".getBytes, us(4))
     MqttSimBroker.publish(broker, Topics.FxData, fx, us(5)) // dropped again
 
+    // plus one truncated packet while everything is online → dead letter
+    MqttSimBroker.publish(broker, Topics.MateStatus, "online".getBytes, us(6))
+    MqttSimBroker.publish(broker, Topics.FxStatus, "online".getBytes, us(7))
+    MqttSimBroker.publish(broker, Topics.FxData, Array[Byte](1, 2), us(8))
+
     val q = StreamingIngest.start(spark, broker, s"$tmp/bucket", s"$tmp/chk")
     q.processAllAvailable()
     q.stop()
     assert(PointStore.read(spark, s"$tmp/bucket").count() === 14)
+    assert(spark.read.parquet(s"$tmp/bucket_deadletter").count() === 1)
   }
 }
