@@ -36,4 +36,25 @@ object PointStore {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(path) || fs.mkdirs(path)
   }
+
+  /** Compact a bucket in place: streaming `foreachBatch` appends produce
+    * one small file per partition per micro-batch; at scale the file
+    * count — not the data volume — becomes the scan bottleneck (driver
+    * listing, task-per-file scheduling). Rewrites each (measurement,
+    * date) partition to `filesPerPartition` files via an atomic
+    * temp-dir swap. Run out-of-band, like a TSDB's background
+    * compaction. */
+  def compact(spark: SparkSession, bucketPath: String, filesPerPartition: Int = 1): Unit = {
+    val tmp = bucketPath + "_compacting"
+    spark.read.parquet(bucketPath)
+      .repartition(filesPerPartition, col("measurement"), col("date"))
+      .write
+      .partitionBy("measurement", "date")
+      .mode("overwrite")
+      .parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(bucketPath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(bucketPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(bucketPath))
+  }
 }
