@@ -17,15 +17,19 @@ class BucketedJoinSpec extends AnyFunSuite {
     // runtime-settable (the suite may share a session created elsewhere)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     val d = "/root/testdata/sf0.001"
+    // unique names: a previous JVM's managed-table location may survive in
+    // spark-warehouse/ while the fresh catalog has no entry to overwrite
+    val suffix = System.nanoTime()
+    val liT = s"li_bucketed_$suffix"; val oT = s"o_bucketed_$suffix"
     Tables.lineitem(spark, d).write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_bucketed")
+      .mode("overwrite").saveAsTable(liT)
     Tables.orders(spark, d).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_bucketed")
+      .mode("overwrite").saveAsTable(oT)
 
-    val j = spark.table("li_bucketed")
-      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    val j = spark.table(liT)
+      .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
 
