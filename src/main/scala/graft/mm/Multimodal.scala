@@ -79,4 +79,26 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th one — the video/audio windowing primitive. Pure
+    * columnar ops (sequence + transform over binary substring), so the
+    * sampling itself never leaves codegen; only the kept frames move
+    * downstream. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / frameBytes.toDouble).cast("int")
+    media.withColumn(
+      "frames",
+      transform(
+        filter(sequence(lit(0), nFrames - 1), i => i % stride === 0),
+        i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+  }
+
+  /** "Resize" stub: a real implementation hands each frame to a native
+    * decoder; the stub truncates/pads to the target size, preserving the
+    * schema contract (binary in → fixed-length binary out). */
+  def resizeStub(media: DataFrame, targetBytes: Int = 64): DataFrame =
+    media.withColumn(
+      "thumb",
+      rpad(substring(col("payload"), 1, targetBytes), targetBytes, Array[Byte](0)))
 }

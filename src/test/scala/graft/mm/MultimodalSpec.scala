@@ -25,4 +25,21 @@ class MultimodalSpec extends AnyFunSuite {
     val one = Multimodal.extractFeatures(media.repartition(1)).collect().sortBy(_.media_id)
     assert(one.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
   }
+
+  test("frame sampling and resize keep the binary schema contract") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs).toDF()
+
+    val sampled = Multimodal.frameSample(media, frameBytes = 256, stride = 4)
+    val r = sampled.select(col("media_id"), col("frames"), length(col("payload"))).head()
+    val frames = r.getSeq[Array[Byte]](1)
+    val totalFrames = math.ceil(r.getInt(2) / 256.0).toInt
+    assert(frames.size === (0 until totalFrames).count(_ % 4 == 0))
+    assert(frames.head.length <= 256)
+
+    val resized = Multimodal.resizeStub(media, targetBytes = 64)
+    val lens = resized.select(length(col("thumb"))).collect().map(_.getInt(0)).toSet
+    assert(lens === Set(64)) // fixed-size output regardless of input length
+  }
 }
