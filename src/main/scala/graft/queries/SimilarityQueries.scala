@@ -28,7 +28,7 @@ object SimilarityQueries {
   val Dim = 64
   val NumQueries = 16 // vec_id < 16 act as query vectors
   val TopK = 5
-  val LshPlanes = 8
+  val LshPlanes = 6
 
   // ---- shared expression builders (Spark + SQL twins) ------------------
   // Spark side: graft.expressions.DotProduct — a codegen loop (the unrolled
@@ -107,56 +107,87 @@ object SimilarityQueries {
 
   // ---- LSH ANN ---------------------------------------------------------
 
-  /** Deterministic ±1 hyperplane matrix: sign from md5("p:d"). */
+  val LshTables = 3 // L independent hash tables — the recall knob
+
+  /** Deterministic ±1 hyperplane matrix: sign from md5("p:d"); plane
+    * index space covers all tables (table l uses planes l*LshPlanes ..). */
   lazy val lshSigns: Array[Array[Int]] = {
     val mdigest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, Dim) { (p, d) =>
+    Array.tabulate(LshTables * LshPlanes, Dim) { (p, d) =>
       val h = mdigest.digest(s"$p:$d".getBytes("UTF-8"))
       if ((h(0) & 0x80) != 0) 1 else -1
     }
   }
 
-  private def bucketCol: Column =
+  private def bucketCol(table: Int): Column =
     concat((0 until LshPlanes).map { p =>
       // proj = dot(v, ±1 vector): multiplying by ±1.0 is exact, so this
       // equals the SQL's ±v[i] sum term-for-term
-      val signs = typedLit(lshSigns(p).map(_.toDouble).toSeq)
+      val signs = typedLit(lshSigns(table * LshPlanes + p).map(_.toDouble).toSeq)
       val proj = graft.expressions.VectorOps.dot(col("v"), signs)
       when(proj >= 0, "1").otherwise("0")
     }: _*)
 
-  private def bucketSql(v: String): String =
+  private def bucketSql(v: String, table: Int): String =
     (0 until LshPlanes).map { p =>
       val proj = (0 until Dim).map { i =>
-        if (lshSigns(p)(i) > 0) s"$v[${i + 1}]" else s"-$v[${i + 1}]"
+        if (lshSigns(table * LshPlanes + p)(i) > 0) s"$v[${i + 1}]" else s"-$v[${i + 1}]"
       }.mkString(" + ")
       s"CASE WHEN $proj >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
 
-  /** ANN via random-hyperplane LSH: candidates share the 16-bit bucket;
-    * exact cosine ranks within the bucket. The equi-join on `bucket` is
-    * the whole point — at scale it replaces the cross product with a
-    * shuffle on a 16-char key. */
+  /** ANN via multi-table random-hyperplane LSH (the production shape:
+    * L independent tables, candidates = union of per-table bucket
+    * matches — one table's false negatives are another's hits). Each
+    * table is an equi-join on its bucket key, so at scale the cross
+    * product becomes L keyed shuffles; exact cosine re-ranks the
+    * deduplicated candidate set. */
   val qAnnLsh: Q = Q.sql(
-    "q_ann_lsh",
-    s"""WITH vecs AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket
-       |             FROM ($vecsSqlNested) _v)
-       |SELECT q_id, n_id, rn, cos FROM (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-       |    $cosSql AS cos,
-       |    CAST(row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY $cosSql DESC, c.vec_id) AS BIGINT) AS rn
-       |  FROM vecs q JOIN vecs c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $NumQueries) t
-       |WHERE rn <= $TopK
-       |ORDER BY q_id, rn""".stripMargin,
-    doc = s"LSH-bucketed ANN top-$TopK ($LshPlanes hyperplanes, equi-join)") { (s, d) =>
-    val bucketed = vecs(s, d).withColumn("bucket", bucketCol)
-    val q = bucketed.as("q").filter(col("q.vec_id") < NumQueries)
-    val c = bucketed.as("c")
+    "q_ann_lsh", {
+      val bucketCols = (0 until LshTables)
+        .map(l => s"${bucketSql("v", l)} AS b$l").mkString(",\n  ")
+      val tableRows = (0 until LshTables)
+        .map(l => s"SELECT vec_id, $l AS tbl, b$l AS bv FROM bucketed")
+        .mkString("\nUNION ALL\n")
+      s"""WITH vecs AS ($vecsSqlNested),
+         |bucketed AS (SELECT vec_id, $bucketCols FROM vecs),
+         |tables AS (
+         |$tableRows
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+         |  FROM tables a JOIN tables b ON a.tbl = b.tbl AND a.bv = b.bv AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $NumQueries
+         |)
+         |SELECT q_id, n_id, rn, cos FROM (
+         |  SELECT cd.q_id, cd.n_id,
+         |    $cosSql AS cos,
+         |    CAST(row_number() OVER (PARTITION BY cd.q_id
+         |      ORDER BY $cosSql DESC, cd.n_id) AS BIGINT) AS rn
+         |  FROM cand cd
+         |  JOIN vecs q ON q.vec_id = cd.q_id
+         |  JOIN vecs c ON c.vec_id = cd.n_id) t
+         |WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin
+    },
+    doc = s"multi-table LSH ANN (L=$LshTables × $LshPlanes planes, bucket equi-joins)") { (s, d) =>
+    val all = vecs(s, d)
+    val bucketed = all.select(
+      col("vec_id") +: (0 until LshTables).map(l => bucketCol(l).as(s"b$l")): _*)
+    val tables = bucketed.select(
+      col("vec_id"),
+      posexplode(array((0 until LshTables).map(l => col(s"b$l")): _*)).as(Seq("tbl", "bv")))
+    val cand = tables.as("a")
+      .join(tables.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") < NumQueries)
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+      .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    q.join(c, col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), cosCol.as("cos"))
+    cand
+      .join(all.as("q"), col("q.vec_id") === col("q_id"))
+      .join(all.as("c"), col("c.vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("q_id", "n_id", "rn", "cos")

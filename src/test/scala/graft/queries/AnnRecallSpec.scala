@@ -29,7 +29,10 @@ class AnnRecallSpec extends AnyFunSuite {
     val ivf = recall(topkSet(SimilarityQueries.qAnnIvf))
     info(f"recall@5 — lsh: $lsh%.2f, ivf: $ivf%.2f")
     assert(ivf > 0.15, s"IVF recall $ivf")
-    assert(lsh >= 0.0) // LSH with 8 planes on near-orthogonal vectors is weak; presence-checked
+    // near-orthogonal gaussians are hyperplane-LSH's worst case; L=3
+    // tables lifts recall 0.03 → 0.14 — the structure, not the tuning,
+    // is what this pins
+    assert(lsh > 0.05, s"LSH recall $lsh")
     assert(topkSet(SimilarityQueries.qAnnIvf).nonEmpty)
   }
 }
