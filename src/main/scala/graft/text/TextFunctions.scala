@@ -110,9 +110,12 @@ object TextFunctions {
     * order == unsigned integer order, portably. */
   def minhash(text: Column, seed: Int): Column = minhashOf(shingles(text), seed)
 
-  /** MinHash from a materialized shingle-array column (see [[shinglesOf]]). */
+  /** MinHash from a materialized shingle-array column (see [[shinglesOf]]):
+    * single-pass custom expression; value-identical to the declarative
+    * `array_min(transform(sh, s -> substring(md5('seed:' || s), 1, 16)))`
+    * the oracle replays. */
   def minhashOf(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => substring(md5(concat(lit(s"$seed:"), s)), 1, 16)))
+    graft.expressions.MinHashHex.minhashHex(sh, seed)
 
   def minhashSql(seed: Int): String =
     s"list_min(list_transform($shinglesSql, s -> substr(md5('$seed:' || s), 1, 16)))"
