@@ -87,11 +87,16 @@ object Multimodal {
     * downstream. */
   def frameSample(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
     val nFrames = ceil(length(col("payload")) / frameBytes.toDouble).cast("int")
+    // Empty payload → zero frames (unguarded, sequence(0, -1) would run
+    // descending and leak one empty frame through the stride filter).
     media.withColumn(
       "frames",
-      transform(
-        filter(sequence(lit(0), nFrames - 1), i => i % stride === 0),
-        i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+      when(
+        nFrames > 0,
+        transform(
+          filter(sequence(lit(0), nFrames - 1), i => i % stride === 0),
+          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+        .otherwise(array().cast("array<binary>")))
   }
 
   /** "Resize" stub: a real implementation hands each frame to a native

@@ -83,14 +83,18 @@ final class QueryBuilder private (
   def build(): DataFrame = {
     var df = from()
 
-    // range
+    // range — applied only when range() was called; an unranged query
+    // scans the whole bucket (Flux requires range(), but a builder user
+    // who never calls it must not silently lose rows stamped after "now").
     val now = nowOverride.map(t => lit(t)).getOrElse(current_timestamp())
     def bound(spec: String): Column = parseRelative(spec) match {
       case Some(interval) => now - expr(s"INTERVAL $interval")
       case None => lit(java.sql.Timestamp.valueOf(spec.replace("T", " ").stripSuffix("Z")))
     }
-    startRange.foreach(s => df = df.filter(col("time") >= bound(s)))
-    df = df.filter(col("time") < endRange.map(bound).getOrElse(now))
+    if (startRange.isDefined || endRange.isDefined) {
+      startRange.foreach(s => df = df.filter(col("time") >= bound(s)))
+      df = df.filter(col("time") < endRange.map(bound).getOrElse(now))
+    }
 
     // filters: OR/AND within band, bands ANDed. The reference emits the
     // joiner AFTER each clause (`query_classes.py:108-125`), so an entry's

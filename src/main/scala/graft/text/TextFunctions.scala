@@ -96,9 +96,15 @@ object TextFunctions {
     * the split into every lambda element makes Catalyst re-evaluate it per
     * shingle after project collapse. */
   def shinglesOf(w: Column): Column =
-    transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    // Guard the short-doc case: for <3 tokens, sequence(1, size-2) would
+    // run DESCENDING and element_at(w, i+2) throws under ANSI mode. The
+    // DuckDB twin's generate_series(1, 0) is empty — mirror that exactly.
+    when(
+      size(w) >= 3,
+      transform(
+        sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** Word 3-gram shingles (raw, order-preserving). */
   def shingles(text: Column): Column = shinglesOf(tokens(text))
