@@ -33,6 +33,28 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  /** `events` restricted to `[start, stop)` with the predicate applied to
+    * the RAW nanos long BEFORE the timestamp conversion, so it reaches the
+    * parquet scan (`PushedFilters` → row-group min/max pruning). Filtering
+    * the converted column instead hides the bound behind an expression and
+    * forces a full scan — at 100 TB the difference between reading two days
+    * and reading everything. Bounds are converted via epoch millis, so the
+    * two forms are exactly equivalent. */
+  def eventsRange(
+      s: SparkSession,
+      d: String,
+      start: java.sql.Timestamp,
+      stop: java.sql.Timestamp): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType) {
+      val lo = start.getTime * 1000000L
+      val hi = stop.getTime * 1000000L
+      raw
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else raw.filter(col("ts") >= lit(start) && col("ts") < lit(stop))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

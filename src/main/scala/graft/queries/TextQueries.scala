@@ -119,11 +119,10 @@ object TextQueries {
        |SELECT doc_id, ${simhashOfSql("hs")} AS simhash32
        |FROM hashed
        |ORDER BY doc_id""".stripMargin,
-    doc = "32-bit SimHash signatures (pure integer bit-vote, no UDF)") { (s, d) =>
+    doc = "32-bit SimHash signatures (single-pass codegen bit-vote)") { (s, d) =>
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
-      .select(col("doc_id"), simhashOf(col("hs")).as("simhash32"))
+      .select(col("doc_id"), simhashFast(col("text")).as("simhash32"))
       .orderBy("doc_id")
   }
 

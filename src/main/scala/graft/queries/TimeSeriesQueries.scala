@@ -27,10 +27,11 @@ object TimeSeriesQueries {
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
       |ORDER BY event_id""".stripMargin,
     doc = "Flux range(): time-bounded scan, predicate pushed to parquet") { (s, d) =>
-    events(s, d)
-      .filter(
-        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-07 00:00:00")))
+    eventsRange(
+      s,
+      d,
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
   }

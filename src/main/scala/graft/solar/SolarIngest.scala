@@ -38,28 +38,32 @@ object Topics {
   */
 object SolarIngest {
 
-  /** map(field → value) literal for one packet type. */
-  private def fieldMap(fields: Seq[(String, Column)]): Column =
-    map(fields.flatMap { case (n, c) => Seq(lit(n), c) }: _*)
-
-  /** Decoded (measurement, time, fields) for data topics. One branch per
-    * packet type, unioned: a single `when`-chain carrying all three field
-    * maps in one projection exceeds janino's 64 KB method limit and drops
-    * the whole stage out of codegen; per-branch projections stay small,
-    * and each branch's topic filter is pushed into the shared scan. */
+  /** Decoded (measurement, time, fields) for data topics, in ONE pass.
+    *
+    * Round-1 shape was a 3-branch union (one filtered projection per packet
+    * type) because a `when`-chain carrying all three per-field expression
+    * maps in one projection exceeds janino's 64 KB method limit. That union
+    * scanned — and re-evaluated any upstream expressions over — the input
+    * three times. The [[graft.expressions.DecodePacket]] expression decodes
+    * a whole packet as one static call, so the dispatch collapses to a
+    * single tiny `when`-chain: one scan, one codegen stage, regardless of
+    * how many packet types exist. */
   def decoded(raw: DataFrame): DataFrame = {
+    import graft.expressions.DecodePacket
     val p = col("payload")
-    def branch(topic: String, name: String, fields: Seq[(String, Column)]): DataFrame =
-      raw
-        .filter(col("topic") === topic)
-        .select(
-          lit(name).as("measurement"),
-          Packets.eventTime(p).as("time"),
-          fieldMap(fields).as("fields"),
-          col("*"))
-    branch(Topics.DcData, Topics.DcName, Packets.dcFields(col("payload"), Packets.TimeSize))
-      .unionAll(branch(Topics.FxData, Topics.FxName, Packets.fxFields(col("payload"), Packets.TimeSize)))
-      .unionAll(branch(Topics.MxData, Topics.MxName, Packets.mxFields(col("payload"), Packets.TimeSize)))
+    val measurement = when(col("topic") === Topics.DcData, Topics.DcName)
+      .when(col("topic") === Topics.FxData, Topics.FxName)
+      .when(col("topic") === Topics.MxData, Topics.MxName)
+    val fields = when(col("topic") === Topics.DcData, DecodePacket.dc(p, Packets.TimeSize))
+      .when(col("topic") === Topics.FxData, DecodePacket.fx(p, Packets.TimeSize))
+      .when(col("topic") === Topics.MxData, DecodePacket.mx(p, Packets.TimeSize))
+    raw
+      .filter(col("topic").isin(Topics.dataTopics.keys.toSeq: _*))
+      .select(
+        measurement.as("measurement"),
+        Packets.eventTime(p).as("time"),
+        fields.as("fields"),
+        col("*"))
   }
 
   /** Long-format points from raw messages (no status gating). */

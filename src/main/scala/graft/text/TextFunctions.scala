@@ -79,6 +79,13 @@ object TextFunctions {
     concat(bits: _*)
   }
 
+  /** Single-pass SimHash directly over the token array: one md5 + bit-vote
+    * loop per token via a custom codegen expression, value-identical to
+    * `simhashOf(tokenHashes(text))` (SimHashParitySpec) but without the
+    * staged hash array and the 32 interpreted HOF passes over it. */
+  def simhashFast(text: Column): Column =
+    graft.expressions.SimHash32.simhash32(tokens(text))
+
   /** DuckDB twin of [[simhashOf]] over a hash-array column named `hs`. */
   def simhashOfSql(hs: String): String = {
     val bits = (0 until 32).map { k =>

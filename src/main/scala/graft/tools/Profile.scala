@@ -58,12 +58,14 @@ object Profile {
       t("jaccard")(out.count())
     } else {
       val q = SparkEntryLookup.find(name)
-      val t0 = System.nanoTime()
-      val n = q.run(spark, sfDir).count()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
-      val t1 = System.nanoTime()
-      q.run(spark, sfDir).count()
-      println(f"$name (2nd): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      // same action as Bench (noop sink materializes all columns)
+      (1 to 4).foreach { i =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (sys.env.contains("GRAFT_PLAN"))
+        q.run(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -54,6 +54,20 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getDouble(3) === (5 % 5000) / 10.0)
   }
 
+  test("q_range_scan: time bound reaches the parquet scan (raw nanos filter)") {
+    val p = plan(TimeSeriesQueries.qRangeScan)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"))
+    assert(p.contains("LessThan(ts"))
+  }
+
+  test("solar decode: single pass — no union, one scan for all packet types") {
+    val p = plan(SolarQueries.qSolarIngest)
+    assert(!p.contains("Union"), "decode should dispatch in one projection, not a 3-way union")
+    assert(p.contains("decode_dc") && p.contains("decode_fx") && p.contains("decode_mx"))
+    // exactly one events scan in the whole pipeline
+    assert("FileScan parquet".r.findAllIn(p).size === 1)
+  }
+
   test("q_embed_topk: dot product present and stage codegen'd (final AQE plan)") {
     val df = SimilarityQueries.qEmbedTopk.run(spark, sf)
     df.collect() // finalize the adaptive plan
