@@ -120,5 +120,109 @@ object DedupQueries {
       .orderBy("id1", "id2")
   }
 
-  val all: Seq[Q] = Seq(qDedupExact, qMinhashSignature, qDedupMinhash)
+  /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= 3 over the 32-bit
+    * signatures, found via hamming-LSH banding — the signature splits into
+    * 4 8-bit bands and, by pigeonhole, any pair within distance 3 shares
+    * at least one untouched band. So the band equi-join is not an
+    * approximation here: it finds EXACTLY the pairs a quadratic scan
+    * would, while touching only per-bucket pairs (the standard SimHash
+    * dedup index; at 100 TB the band table shuffles once on (band, bits)).
+    */
+  val qDedupSimhash: Q = Q.sql(
+    "q_dedup_simhash", {
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, sig, $b AS band, substr(sig, ${8 * b + 1}, 8) AS bv FROM sigs")
+        .mkString("\nUNION ALL\n")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, $tokenHashesSql AS hs FROM documents
+         |), sigs AS (
+         |  SELECT doc_id, ${simhashOfSql("hs")} AS sig FROM hashed
+         |), bands AS (
+         |$bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |)
+         |SELECT id1, id2,
+         |  CAST(len(list_filter(generate_series(1, 32), i -> substr(s1, i, 1) != substr(s2, i, 1))) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 32), i -> substr(s1, i, 1) != substr(s2, i, 1))) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
+    doc = "SimHash near-dup pairs (hamming <= 3) via exact 4-band hamming-LSH") { (s, d) =>
+    val sigs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhashFast(col("text")).as("sig"))
+    val bands = sigs
+      .select(
+        col("doc_id"),
+        col("sig"),
+        posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
+          .as(Seq("band", "bv")))
+      .persist()
+    val cand = bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .distinct()
+    val hamming = size(filter(
+      sequence(lit(1), lit(32)),
+      i => col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
+      .cast("long")
+    cand
+      .select(col("id1"), col("id2"), hamming.as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id1", "id2")
+  }
+
+  /** Exact n-gram Jaccard similarity via an inverted-index join — the
+    * no-approximation dedup path: explode each doc's distinct word
+    * 3-grams, self-join on the gram (the inverted index), count shared
+    * grams per pair, jaccard = inter / (n1 + n2 - inter). Unlike the
+    * MinHash-LSH pipeline there is no hashing error: every pair sharing
+    * at least one gram is scored exactly. Scale: the join shuffles on the
+    * gram key; frequency skew (stop-gram buckets) is the known hazard —
+    * word 3-grams are rare enough that bucket sizes stay bounded, which
+    * is why the gram is 3 words and not characters. */
+  val qJaccardNgram: Q = Q.sql(
+    "q_jaccard_ngram",
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents
+       |), ex AS (
+       |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id1, id2, inter,
+       |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+       |FROM pairs
+       |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
+       |ORDER BY id1, id2""".stripMargin,
+    doc = "exact n-gram Jaccard >= 0.5 via inverted-index join (no LSH)") { (s, d) =>
+    val ex = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    val jac = round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6)
+    ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id1"), col("id2"), col("inter"), jac.as("jaccard"))
+      .filter(jac >= 0.5)
+      .orderBy("id1", "id2")
+  }
+
+  val all: Seq[Q] =
+    Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram)
 }
