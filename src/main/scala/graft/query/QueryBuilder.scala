@@ -120,10 +120,13 @@ final class QueryBuilder private (
           col("value"))
     }
 
-    // sort
-    sortSpec.foreach { case (f, desc) =>
-      val c = col(columnFor(f))
-      df = df.orderBy(if (desc) c.desc else c.asc)
+    // sort — bounded results only; a streaming build yields windows in
+    // append order (global sort is undefined over an unbounded stream)
+    if (!df.isStreaming) {
+      sortSpec.foreach { case (f, desc) =>
+        val c = col(columnFor(f))
+        df = df.orderBy(if (desc) c.desc else c.asc)
+      }
     }
     df
   }
@@ -172,6 +175,22 @@ object QueryBuilder {
   /** `from` over any long-format point DataFrame. */
   def fromDataFrame(spark: SparkSession, f: () => DataFrame): QueryBuilder =
     new QueryBuilder(spark, f, None, None, Vector.empty, None, None, None)
+
+  /** Streaming `from(bucket)`: the same query surface over a LIVE tail of
+    * the stored bucket — files appended after start become micro-batches,
+    * filters/range apply per batch, and `appendAggregate` becomes a
+    * watermarked tumbling window (append mode emits each window once it
+    * is final). `build()` returns a streaming DataFrame to hand to
+    * `writeStream`; sort is skipped (undefined over an unbounded stream).
+    * The reference can only poll InfluxDB for this view; here it is the
+    * identical builder with a streaming source. */
+  def streaming(
+      spark: SparkSession,
+      bucketPath: String,
+      watermark: String = "10 minutes"): QueryBuilder =
+    fromDataFrame(
+      spark,
+      () => graft.solar.PointStore.readStream(spark, bucketPath).withWatermark("time", watermark))
 
   /** Flux column names → point schema columns. */
   def columnFor(fluxName: String): String = fluxName match {

@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object PointStore {
 
+  /** On-disk bucket schema (partition columns last, as laid out). Needed
+    * by streaming readers: the file stream source cannot infer schema. */
+  val bucketSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("time", TimestampType),
+      StructField("field", StringType),
+      StructField("value", DoubleType),
+      StructField("measurement", StringType),
+      StructField("date", DateType)))
+  }
+
+  /** Tail the bucket as a stream: every file appended after the query
+    * starts becomes a micro-batch — the "live dashboard" view of the
+    * store the reference polls InfluxDB for. */
+  def readStream(spark: SparkSession, bucketPath: String): DataFrame =
+    spark.readStream
+      .schema(bucketSchema)
+      .parquet(bucketPath)
+      .select("measurement", "time", "field", "value")
+
   /** Append points (measurement, time, field, value) to the bucket. */
   def write(points: DataFrame, bucketPath: String, mode: String = "append"): Unit =
     points

@@ -56,6 +56,29 @@ object Profile {
         .select(col("id1"), col("id2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       t("jaccard")(out.count())
+    } else if (name == "ivf_diag") {
+      import graft.queries.SimilarityQueries._
+      import org.apache.spark.sql.functions._
+      val all = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", graft.expressions.VectorOps.l2norm(col("v")))
+      def cellSizes(cents: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val centCos = graft.expressions.VectorOps.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+        val sizes = all.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"), centCos.as("ccos"))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") === 1)
+          .groupBy("cid").count().orderBy(desc("count"))
+          .collect().map(_.getLong(1))
+        println(s"$label cell sizes: ${sizes.mkString(",")}")
+      }
+      val fixedCents = all.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      cellSizes(fixedCents, "fixed")
+      cellSizes(trainedCentroids(spark, sfDir), "trained")
     } else {
       val q = SparkEntryLookup.find(name)
       // same action as Bench (noop sink materializes all columns)
