@@ -151,6 +151,52 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling through the real [[graft.mm.Multimodal.frameSample]]
+    * path: payloads split into 256-byte frames, every 4th kept — the
+    * video/audio windowing primitive, oracle-replayed byte-for-byte
+    * (frame count, kept bytes, first-frame hex prefix). */
+  val qFrameSample: Q = Q.sql(
+    "q_frame_sample",
+    """WITH media AS (
+      |  -- DuckDB cannot slice BLOBs, so the oracle replays the frame math
+      |  -- over the hex encoding: 1 payload byte == 2 hex chars, exactly.
+      |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+      |    CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS nf
+      |  FROM documents
+      |), fr AS (
+      |  SELECT media_id,
+      |    CASE WHEN nf > 0
+      |      THEN list_transform(list_filter(generate_series(0, nf - 1), i -> i % 4 = 0),
+      |                          i -> substr(ph, i * 512 + 1, 512))
+      |      ELSE CAST([] AS VARCHAR[]) END AS frames
+      |  FROM media
+      |)
+      |SELECT media_id,
+      |  CAST(len(frames) AS BIGINT) AS n_kept,
+      |  CAST(CASE WHEN len(frames) = 0 THEN 0
+      |    ELSE list_sum(list_transform(frames, f -> length(f) // 2)) END AS BIGINT) AS kept_bytes,
+      |  CASE WHEN len(frames) > 0 THEN substr(frames[1], 1, 16) END AS f0_hex
+      |FROM fr
+      |ORDER BY media_id""".stripMargin,
+    doc = "frame sampling (256-byte frames, stride 4), oracle-replayed") { (s, d) =>
+    val media = documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    val framed = graft.mm.Multimodal.frameSample(media, frameBytes = 256, stride = 4)
+    val keptBytes = when(size(col("frames")) === 0, 0L)
+      .otherwise(aggregate(
+        transform(col("frames"), f => length(f).cast("long")),
+        lit(0L),
+        (a, x) => a + x))
+    framed
+      .select(
+        col("media_id"),
+        size(col("frames")).cast("long").as("n_kept"),
+        keptBytes.cast("long").as("kept_bytes"),
+        when(size(col("frames")) > 0,
+          substring(lower(hex(element_at(col("frames"), 1))), 1, 16)).as("f0_hex"))
+      .orderBy("media_id")
+  }
+
   /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
     * replays the byte fold with list_reduce over character codes (inputs
     * are ASCII, where ord(char) == utf8 byte). */
@@ -173,5 +219,5 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qRollingFingerprint)
+      qFrameSample, qRollingFingerprint)
 }
