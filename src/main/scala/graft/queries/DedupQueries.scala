@@ -130,33 +130,40 @@ object DedupQueries {
     */
   val qDedupSimhash: Q = Q.sql(
     "q_dedup_simhash", {
+      val sigInt = "CAST(list_sum(list_transform(generate_series(1, 32), " +
+        "i -> CASE WHEN substr(sig, i, 1) = '1' THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT)"
       val bandRows = (0 until 4)
-        .map(b => s"SELECT doc_id, sig, $b AS band, substr(sig, ${8 * b + 1}, 8) AS bv FROM sigs")
+        .map(b => s"SELECT doc_id, si, $b AS band, substr(sig, ${8 * b + 1}, 8) AS bv FROM sigs")
         .mkString("\nUNION ALL\n")
       s"""WITH hashed AS (
          |  SELECT doc_id, $tokenHashesSql AS hs FROM documents
-         |), sigs AS (
+         |), sigs0 AS (
          |  SELECT doc_id, ${simhashOfSql("hs")} AS sig FROM hashed
+         |), sigs AS (
+         |  SELECT doc_id, sig, $sigInt AS si FROM sigs0
          |), bands AS (
          |$bandRows
          |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.si AS i1, b.si AS i2
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |)
-         |SELECT id1, id2,
-         |  CAST(len(list_filter(generate_series(1, 32), i -> substr(s1, i, 1) != substr(s2, i, 1))) AS BIGINT) AS hamming
+         |SELECT id1, id2, CAST(bit_count(xor(i1, i2)) AS BIGINT) AS hamming
          |FROM cand
-         |WHERE len(list_filter(generate_series(1, 32), i -> substr(s1, i, 1) != substr(s2, i, 1))) <= 3
+         |WHERE bit_count(xor(i1, i2)) <= 3
          |ORDER BY id1, id2""".stripMargin
     },
     doc = "SimHash near-dup pairs (hamming <= 3) via exact 4-band hamming-LSH") { (s, d) =>
+    // signature carried as the integer form: the hamming check is one
+    // bit_count(xor) per candidate instead of a 32-element HOF walk, and
+    // the candidate distinct dedups longs, not 32-char strings
     val sigs = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), simhashFast(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"), conv(col("sig"), 2, 10).cast("long").as("si"))
     val bands = sigs
       .select(
         col("doc_id"),
-        col("sig"),
+        col("si"),
         posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
           .as(Seq("band", "bv")))
       .persist()
@@ -167,14 +174,12 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
+        col("a.si").as("i1"), col("b.si").as("i2"))
       .distinct()
-    val hamming = size(filter(
-      sequence(lit(1), lit(32)),
-      i => col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))))
-      .cast("long")
     cand
-      .select(col("id1"), col("id2"), hamming.as("hamming"))
+      .select(
+        col("id1"), col("id2"),
+        bit_count(col("i1").bitwiseXOR(col("i2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("id1", "id2")
   }
