@@ -160,7 +160,7 @@ object SolarQueries {
          |  FROM events WHERE user_id % 3 = 2
          |)
          |SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
-         |  field, round(avg(value), 3) AS value
+         |  field, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 3) AS value
          |FROM pts
          |WHERE t_s >= $startS AND t_s < $nowS
          |GROUP BY 1, 2, 3

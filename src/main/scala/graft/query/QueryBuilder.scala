@@ -228,12 +228,21 @@ object QueryBuilder {
   }
 
   /** `aggregateWindow` fn-name dispatch (README.md:211 names the min/max/
-    * mean family; count/sum/first/last/median are the obvious closure). */
+    * mean family; count/sum/first/last/median are the obvious closure).
+    *
+    * mean/sum accumulate in DECIMAL and cast the result back to double:
+    * double summation is partition-order-dependent (the same query can
+    * return last-ulp-different means on different cluster layouts — seen
+    * as a 1-ulp round() flip vs the oracle at sf0.001), while decimal
+    * accumulation is exact and therefore deterministic under ANY
+    * partitioning. Telemetry values are scaled fixed-point (≤ 4 decimal
+    * digits), so the decimal cast is lossless. */
   def aggregateFn(name: String): Column = name.toLowerCase match {
-    case "mean" | "avg" => avg(col("value"))
+    case "mean" | "avg" =>
+      sum(col("value").cast("decimal(30,6)")).cast("double") / count(col("value"))
     case "min" => min(col("value"))
     case "max" => max(col("value"))
-    case "sum" => sum(col("value"))
+    case "sum" => sum(col("value").cast("decimal(30,6)")).cast("double")
     case "count" => count(col("value")).cast("double")
     case "first" => first(col("value"))
     case "last" => last(col("value"))
