@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 final class QueryBuilder private (
     spark: SparkSession,
     from: () => DataFrame,
+    sourceName: String,
     startRange: Option[String],
     endRange: Option[String],
     bands: Vector[Vector[(String, String, String)]], // (field, value, joiner)
@@ -51,7 +52,8 @@ final class QueryBuilder private (
       aggregate: Option[(String, String)] = aggregate,
       sortSpec: Option[(String, Boolean)] = sortSpec,
       nowOverride: Option[java.sql.Timestamp] = nowOverride): QueryBuilder =
-    new QueryBuilder(spark, from, startRange, endRange, bands, aggregate, sortSpec, nowOverride)
+    new QueryBuilder(
+      spark, from, sourceName, startRange, endRange, bands, aggregate, sortSpec, nowOverride)
 
   /** `range(start, stop)` — start/stop accept relative durations ("-5m",
     * "-2h", "-1d") or absolute ISO timestamps; stop defaults to now. */
@@ -131,6 +133,41 @@ final class QueryBuilder private (
     df
   }
 
+  /** The Flux text this query denotes — the reference's only observable
+    * query artifact (`query_classes.py:73-148` accumulates exactly this
+    * string and ships it to InfluxDB; its tests assert it verbatim).
+    * Reproduced with the reference's canonical operator order, `\n\t|> `
+    * separators, and per-clause formatting, with two deliberate deltas
+    * (SURVEY §2 A1-bug/O1-bug): `aggregateWindow` and `sort` CLOSE their
+    * parens (the reference emits syntactically invalid Flux there), and
+    * `desc:` renders as Flux booleans `true`/`false`, not Python's
+    * `True`/`False`. */
+  def fluxString: String = {
+    val sb = new StringBuilder(s"""from(bucket: "$sourceName")""")
+    startRange.foreach { s =>
+      sb.append(endRange match {
+        case Some(e) => s"\n\t|> range(start: $s, stop: $e)"
+        case None => s"\n\t|> range(start: $s)"
+      })
+    }
+    bands.foreach { band =>
+      sb.append("\n\t|> filter(fn: (r) => ")
+      band.zipWithIndex.foreach { case ((f, v, joiner), i) =>
+        sb.append(s"""r["$f"] == "$v"""")
+        if (i < band.size - 1) sb.append(s" $joiner ") else sb.append(")")
+      }
+    }
+    aggregate.foreach { case (w, fn) =>
+      sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn)")
+    }
+    sortSpec.foreach { case (f, desc) =>
+      sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
+    }
+    sb.toString
+  }
+
+  override def toString: String = fluxString
+
   // ---- yield modes (influx_query.py result dispatch) -------------------
 
   /** "flux"/records mode — long rows as `_measurement/_timestamp/_field/
@@ -170,11 +207,14 @@ object QueryBuilder {
 
   /** `from(bucket: path)` over a stored parquet bucket (S5). */
   def apply(spark: SparkSession, bucketPath: String): QueryBuilder =
-    fromDataFrame(spark, () => spark.read.parquet(bucketPath))
+    fromDataFrame(spark, () => spark.read.parquet(bucketPath), bucketPath)
 
   /** `from` over any long-format point DataFrame. */
-  def fromDataFrame(spark: SparkSession, f: () => DataFrame): QueryBuilder =
-    new QueryBuilder(spark, f, None, None, Vector.empty, None, None, None)
+  def fromDataFrame(
+      spark: SparkSession,
+      f: () => DataFrame,
+      sourceName: String = "dataframe"): QueryBuilder =
+    new QueryBuilder(spark, f, sourceName, None, None, Vector.empty, None, None, None)
 
   /** Streaming `from(bucket)`: the same query surface over a LIVE tail of
     * the stored bucket — files appended after start become micro-batches,
@@ -190,7 +230,8 @@ object QueryBuilder {
       watermark: String = "10 minutes"): QueryBuilder =
     fromDataFrame(
       spark,
-      () => graft.solar.PointStore.readStream(spark, bucketPath).withWatermark("time", watermark))
+      () => graft.solar.PointStore.readStream(spark, bucketPath).withWatermark("time", watermark),
+      bucketPath)
 
   /** Flux column names → point schema columns. */
   def columnFor(fluxName: String): String = fluxName match {

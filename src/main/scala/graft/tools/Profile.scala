@@ -56,6 +56,27 @@ object Profile {
         .select(col("id1"), col("id2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       t("jaccard")(out.count())
+    } else if (name == "ingest_throughput") {
+      // packets/s and points/s through the full decode chain (encode UDF
+      // excluded from the timed region by materializing raw first)
+      import graft.Tables._
+      import graft.solar._
+      import org.apache.spark.sql.functions._
+      val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
+      val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
+      val raw = events(spark, sfDir).repartition(spark.sparkContext.defaultParallelism).select(
+        topicOf(col("user_id")).as("topic"),
+        enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
+        col("ts").as("arrival")).persist()
+      val nPackets = raw.count() // materialize: encode cost paid here
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        SolarIngest.points(raw).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val nPoints = 31L * nPackets / 3 + 14L * nPackets / 3 + 10L * nPackets / 3
+        println(f"decode run $i: $dt%.2f s, $nPackets packets (${nPackets / dt}%.0f pkt/s), " +
+          f"~$nPoints points (${nPoints / dt}%.0f pts/s)")
+      }
     } else if (name == "ivf_diag") {
       import graft.queries.SimilarityQueries._
       import org.apache.spark.sql.functions._

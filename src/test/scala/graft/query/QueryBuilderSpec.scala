@@ -23,7 +23,7 @@ class QueryBuilderSpec extends AnyFunSuite {
     ("dc-1", ts("2024-01-01 09:00:00"), "state_of_charge", 100.0)
   ).toDF("measurement", "time", "field", "value")
 
-  private def qb = QueryBuilder.fromDataFrame(spark, () => points)
+  private def qb = QueryBuilder.fromDataFrame(spark, () => points, sourceName = "Bucket")
     .withNow(ts("2024-01-01 10:04:00"))
 
   test("canonical example: OR band then AND band selects ∅") {
@@ -121,5 +121,44 @@ class QueryBuilderSpec extends AnyFunSuite {
     val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
     assert(lines.head === "_measurement,_timestamp,_field,_value")
     assert(lines.size === 6)
+  }
+
+  // ---- Flux text emission — the reference's observable artifact --------
+  // (`test_query_classes.py:32-141` asserts these strings verbatim; ours
+  // differ ONLY where the reference emits invalid Flux: aggregateWindow
+  // and sort close their parens, desc renders true/false.)
+
+  test("fluxString: from + range, with and without stop") {
+    assert(qb.range("-5m").fluxString ===
+      "from(bucket: \"Bucket\")\n\t|> range(start: -5m)")
+    assert(qb.range("-20m", "-5m").fluxString ===
+      "from(bucket: \"Bucket\")\n\t|> range(start: -20m, stop: -5m)")
+  }
+
+  test("fluxString: canonical example — OR within band, bands as filters") {
+    val got = qb
+      .range("-5m")
+      .appendFilter("_measurement", "fx-1", joiner = "or")
+      .appendFilter("_measurement", "mx-1")
+      .appendFilter("_measurement", "dc-1", newBand = true)
+      .fluxString
+    assert(got ===
+      "from(bucket: \"Bucket\")" +
+        "\n\t|> range(start: -5m)" +
+        "\n\t|> filter(fn: (r) => r[\"_measurement\"] == \"fx-1\" or r[\"_measurement\"] == \"mx-1\")" +
+        "\n\t|> filter(fn: (r) => r[\"_measurement\"] == \"dc-1\")")
+  }
+
+  test("fluxString: aggregateWindow and sort close their parens (A1/O1 bug fixed)") {
+    val got = qb
+      .range("-1d")
+      .appendAggregate("1h", "mean")
+      .appendSort("_time", desc = true)
+      .fluxString
+    assert(got ===
+      "from(bucket: \"Bucket\")" +
+        "\n\t|> range(start: -1d)" +
+        "\n\t|> aggregateWindow(every: 1h, fn: mean)" +
+        "\n\t|> sort(columns: [\"_time\"], desc: true)")
   }
 }
