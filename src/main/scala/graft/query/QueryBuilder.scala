@@ -277,7 +277,13 @@ object QueryBuilder {
     * as a 1-ulp round() flip vs the oracle at sf0.001), while decimal
     * accumulation is exact and therefore deterministic under ANY
     * partitioning. Telemetry values are scaled fixed-point (≤ 4 decimal
-    * digits), so the decimal cast is lossless. */
+    * digits), so the decimal cast is lossless.
+    *
+    * first/last are EVENT-TIME ordered (`min_by`/`max_by` on the point's
+    * time), matching Flux: InfluxDB's first()/last() return the
+    * earliest/latest point of the window, not Spark's
+    * partition-encounter-order `first()`/`last()`, which are
+    * nondeterministic on a cluster. */
   def aggregateFn(name: String): Column = name.toLowerCase match {
     case "mean" | "avg" =>
       sum(col("value").cast("decimal(30,6)")).cast("double") / count(col("value"))
@@ -285,8 +291,8 @@ object QueryBuilder {
     case "max" => max(col("value"))
     case "sum" => sum(col("value").cast("decimal(30,6)")).cast("double")
     case "count" => count(col("value")).cast("double")
-    case "first" => first(col("value"))
-    case "last" => last(col("value"))
+    case "first" => min_by(col("value"), col("time"))
+    case "last" => max_by(col("value"), col("time"))
     case "median" => median(col("value"))
     case other => throw new IllegalArgumentException(s"unknown aggregate fn: $other")
   }

@@ -77,6 +77,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(agg("max") === 7.0)
     assert(agg("count") === 2.0)
     assert(agg("median") === 6.0)
+    // Flux first/last = earliest/latest point BY EVENT TIME (mx-1 points:
+    // 5.0 @ 10:00:10, 7.0 @ 10:03:10), not partition encounter order
+    assert(agg("first") === 5.0)
+    assert(agg("last") === 7.0)
     assertThrows[IllegalArgumentException](QueryBuilder.aggregateFn("bogus"))
   }
 
