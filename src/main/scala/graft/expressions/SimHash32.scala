@@ -29,11 +29,14 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash32.eval(input.asInstanceOf[ArrayData])
+    SimHash32.simhash(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.SimHash32.eval($c);")
+      // NOTE: must not be named `eval` — the companion class inherits
+      // Expression.eval(InternalRow), which shadows the object's static
+      // forwarder in generated code and breaks janino resolution
+      s"${ev.value} = graft.expressions.SimHash32.simhash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,7 +44,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
 
-  def eval(tokens: ArrayData): UTF8String = {
+  def simhash(tokens: ArrayData): UTF8String = {
     val n = tokens.numElements()
     val hits = new Array[Int](32)
     val digest = MinHashHex.digests.get()

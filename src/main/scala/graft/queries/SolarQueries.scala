@@ -195,5 +195,54 @@ object SolarQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder)
+  /** Flux `aggregateWindow(createEmpty: true)` + `fill(usePrevious)` —
+    * the dense-grid + gap-fill semantics InfluxDB provides and the
+    * reference's builder never reaches (SURVEY §7.4 documented the gap;
+    * this closes it). A sparse series (rare high-value purchase events)
+    * is windowed hourly: most windows are empty, appear in the output
+    * (createEmpty), and carry the previous observation forward (LOCF).
+    * Oracle replays the grid with generate_series and the fill with a
+    * window max over a running value-count (DuckDB's last_value IGNORE
+    * NULLS equivalent). */
+  val qGapfill: Q = Q.sql(
+    "q_gapfill",
+    """WITH pts AS (
+      |  SELECT 'purchase' AS measurement, ts AS time, 'value' AS field, value
+      |  FROM events WHERE event_type = 'purchase' AND value > 200.0
+      |), agg AS (
+      |  SELECT measurement, field,
+      |    date_trunc('hour', time) + INTERVAL 1 HOUR AS time,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS value
+      |  FROM pts GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT measurement, field, unnest(generate_series(min(time), max(time), INTERVAL 1 HOUR)) AS time
+      |  FROM agg GROUP BY measurement, field
+      |), dense AS (
+      |  SELECT g.measurement, g.time, g.field, a.value
+      |  FROM grid g LEFT JOIN agg a
+      |    ON a.measurement = g.measurement AND a.field = g.field AND a.time = g.time
+      |)
+      |SELECT measurement, time, field,
+      |  last_value(value IGNORE NULLS) OVER (
+      |    PARTITION BY measurement, field ORDER BY time
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM dense
+      |ORDER BY time""".stripMargin,
+    doc = "aggregateWindow(createEmpty) + fill(usePrevious) gap-filled series") { (s, d) =>
+    val pts = events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 200.0)
+      .select(
+        lit("purchase").as("measurement"),
+        col("ts").as("time"),
+        lit("value").as("field"),
+        col("value"))
+    graft.query.QueryBuilder
+      .fromDataFrame(s, () => pts)
+      .appendAggregate("1h", "mean", createEmpty = true)
+      .fillPrevious()
+      .appendSort("_time")
+      .build()
+  }
+
+  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill)
 }

@@ -39,7 +39,8 @@ final class QueryBuilder private (
     startRange: Option[String],
     endRange: Option[String],
     bands: Vector[Vector[(String, String, String)]], // (field, value, joiner)
-    aggregate: Option[(String, String)],
+    aggregate: Option[(String, String, Boolean)], // (every, fn, createEmpty)
+    fillMode: Option[String], // "previous" | literal double
     sortSpec: Option[(String, Boolean)],
     nowOverride: Option[java.sql.Timestamp]) {
 
@@ -49,11 +50,13 @@ final class QueryBuilder private (
       startRange: Option[String] = startRange,
       endRange: Option[String] = endRange,
       bands: Vector[Vector[(String, String, String)]] = bands,
-      aggregate: Option[(String, String)] = aggregate,
+      aggregate: Option[(String, String, Boolean)] = aggregate,
+      fillMode: Option[String] = fillMode,
       sortSpec: Option[(String, Boolean)] = sortSpec,
       nowOverride: Option[java.sql.Timestamp] = nowOverride): QueryBuilder =
     new QueryBuilder(
-      spark, from, sourceName, startRange, endRange, bands, aggregate, sortSpec, nowOverride)
+      spark, from, sourceName, startRange, endRange, bands, aggregate, fillMode, sortSpec,
+      nowOverride)
 
   /** `range(start, stop)` — start/stop accept relative durations ("-5m",
     * "-2h", "-1d") or absolute ISO timestamps; stop defaults to now. */
@@ -75,8 +78,21 @@ final class QueryBuilder private (
     copyWith(bands = next)
   }
 
-  def appendAggregate(collectionWindow: String, aggregateFunction: String): QueryBuilder =
-    copyWith(aggregate = Some((collectionWindow, aggregateFunction)))
+  /** `aggregateWindow(every, fn, createEmpty)`. `createEmpty = true` is
+    * Flux's DEFAULT semantic (the reference never exercises it; SURVEY
+    * §7.4): every window in each series' observed span appears in the
+    * output, with NULL value where no points fell — the dense grid a
+    * dashboard plots. false (our default) omits empty windows. */
+  def appendAggregate(
+      collectionWindow: String,
+      aggregateFunction: String,
+      createEmpty: Boolean = false): QueryBuilder =
+    copyWith(aggregate = Some((collectionWindow, aggregateFunction, createEmpty)))
+
+  /** Flux `fill(usePrevious: true)`: after aggregation, NULL window
+    * values take the previous non-null value of the same series
+    * (last-observation-carried-forward). Leading NULLs stay NULL. */
+  def fillPrevious(): QueryBuilder = copyWith(fillMode = Some("previous"))
 
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
@@ -110,7 +126,7 @@ final class QueryBuilder private (
     }
 
     // aggregateWindow: tumbling, per series, _time = window end
-    aggregate.foreach { case (every, fn) =>
+    aggregate.foreach { case (every, fn, createEmpty) =>
       val fnCol = aggregateFn(fn)
       df = df
         .groupBy(window(col("time"), toSparkInterval(every)), col("measurement"), col("field"))
@@ -120,6 +136,32 @@ final class QueryBuilder private (
           col("window.end").as("time"),
           col("field"),
           col("value"))
+      // dense grid + LOCF need a second aggregation / analytic window over
+      // the agg output — batch-only (streaming emits observed windows)
+      if (createEmpty && !df.isStreaming) {
+        // Dense grid: every `every`-spaced window end between each
+        // series' first and last observed window. Grid generation is a
+        // per-series min/max + sequence-explode (tiny vs the data), and
+        // the left join shuffles on the same (series, time) keys the
+        // aggregation just produced.
+        val step = expr(s"INTERVAL ${toSparkInterval(every)}")
+        val grid = df
+          .groupBy(col("measurement"), col("field"))
+          .agg(min(col("time")).as("t0"), max(col("time")).as("t1"))
+          .select(
+            col("measurement"),
+            col("field"),
+            explode(sequence(col("t0"), col("t1"), step)).as("time"))
+        df = grid.join(df, Seq("measurement", "field", "time"), "left")
+          .select(col("measurement"), col("time"), col("field"), col("value"))
+      }
+      if (!df.isStreaming) fillMode.foreach { case "previous" =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("measurement"), col("field"))
+          .orderBy(col("time"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        df = df.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      }
     }
 
     // sort — bounded results only; a streaming build yields windows in
@@ -157,9 +199,11 @@ final class QueryBuilder private (
         if (i < band.size - 1) sb.append(s" $joiner ") else sb.append(")")
       }
     }
-    aggregate.foreach { case (w, fn) =>
-      sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn)")
+    aggregate.foreach { case (w, fn, createEmpty) =>
+      if (createEmpty) sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn, createEmpty: true)")
+      else sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn)")
     }
+    fillMode.foreach { case "previous" => sb.append("\n\t|> fill(usePrevious: true)") }
     sortSpec.foreach { case (f, desc) =>
       sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
     }
@@ -214,7 +258,7 @@ object QueryBuilder {
       spark: SparkSession,
       f: () => DataFrame,
       sourceName: String = "dataframe"): QueryBuilder =
-    new QueryBuilder(spark, f, sourceName, None, None, Vector.empty, None, None, None)
+    new QueryBuilder(spark, f, sourceName, None, None, Vector.empty, None, None, None, None)
 
   /** Streaming `from(bucket)`: the same query surface over a LIVE tail of
     * the stored bucket — files appended after start become micro-batches,

@@ -165,4 +165,24 @@ class QueryBuilderSpec extends AnyFunSuite {
         "\n\t|> aggregateWindow(every: 1h, fn: mean)" +
         "\n\t|> sort(columns: [\"_time\"], desc: true)")
   }
+
+  test("createEmpty + fillPrevious: dense grid with LOCF, leading nulls stay") {
+    // fx-1 battery_voltage points at 10:00 and 10:01 windows; a 4-minute
+    // span with only those two observed → dense grid emits 10:01..10:02
+    // window ends, gaps filled with the previous value
+    val got = qb
+      .range("-1h")
+      .appendFilter("_measurement", "fx-1")
+      .appendAggregate("1m", "max", createEmpty = true)
+      .fillPrevious()
+      .appendSort("_time")
+      .build()
+      .collect()
+    val byTime = got.map(r => r.getTimestamp(1).toString -> r.getDouble(3)).toMap
+    assert(byTime("2024-01-01 10:01:00.0") === 27.4) // window (10:00,10:01]
+    assert(byTime("2024-01-01 10:02:00.0") === 27.8) // max(27.6, 27.8)
+    assert(got.length === 2) // grid spans observed windows only
+    assert(qb.appendAggregate("1m", "mean", createEmpty = true).fillPrevious().fluxString
+      .endsWith("|> aggregateWindow(every: 1m, fn: mean, createEmpty: true)\n\t|> fill(usePrevious: true)"))
+  }
 }
