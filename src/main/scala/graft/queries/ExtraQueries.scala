@@ -90,5 +90,24 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qApprox)
+  /** CUBE: all 2^k grouping combinations (ROLLUP's sibling — completes
+    * the grouping-sets family). */
+  val qCube: Q = Q.sql(
+    "q_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    doc = "CUBE grouping sets over order status × priority") { (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(27,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qCube, qApprox)
 }

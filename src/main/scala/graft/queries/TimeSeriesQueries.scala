@@ -161,6 +161,70 @@ object TimeSeriesQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Flux `derivative(unit: 1s, nonNegative: false)` — per-series rate of
+    * change between consecutive points: (v - lag(v)) / seconds between.
+    * THE canonical query over the reference's cumulative counters
+    * (kwh_today, ah_today). One shuffle on the series key; lag and the
+    * projection share the partitioning. */
+  val qDerivative: Q = Q.sql(
+    "q_derivative",
+    """WITH seq AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    lag(value) OVER w AS pv,
+      |    lag(ts) OVER w AS pt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      |)
+      |SELECT event_type, event_id,
+      |  round((value - pv) / (epoch_us(ts) - epoch_us(pt)) * 1000000.0, 6) AS deriv
+      |FROM seq
+      |WHERE pv IS NOT NULL AND epoch_us(ts) > epoch_us(pt)
+      |ORDER BY event_type, event_id""".stripMargin,
+    doc = "Flux derivative(): per-series rate of change per second") { (s, d) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(
+        col("event_type"), col("ts"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("pv"),
+        lag(col("ts"), 1).over(w).as("pt"))
+      .filter(col("pv").isNotNull && unix_micros(col("ts")) > unix_micros(col("pt")))
+      .select(
+        col("event_type"), col("event_id"),
+        round(
+          (col("value") - col("pv")) /
+            (unix_micros(col("ts")) - unix_micros(col("pt"))) * 1000000.0,
+          6).as("deriv"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Flux `movingAverage(n: 5)` — trailing 5-point mean per series, exact
+    * decimal accumulation inside the frame so partial order can't flip
+    * the last ulp. */
+  val qMovingAvg: Q = Q.sql(
+    "q_moving_avg",
+    """SELECT event_type, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(27,2))) OVER (
+      |    PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / count(*) OVER (
+      |    PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5
+      |FROM events
+      |ORDER BY event_type, event_id""".stripMargin,
+    doc = "Flux movingAverage(): trailing 5-point mean per series") { (s, d) =>
+    val frame = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_type"), col("event_id"),
+        (sum(col("value").cast("decimal(27,2)")).over(frame).cast("double")
+          / count(lit(1)).over(frame)).as("ma5"))
+      .orderBy("event_type", "event_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize)
+    Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
+      qDerivative, qMovingAvg)
 }
