@@ -58,6 +58,27 @@ object PointStore {
     fs.exists(path) || fs.mkdirs(path)
   }
 
+  /** Downsample a bucket into a coarser one — the TSDB retention/rollup
+    * job (InfluxDB task parity): tumbling `every` windows per series,
+    * aggregated with `fn` (QueryBuilder's dispatch, so mean/sum are
+    * decimal-exact and first/last event-time ordered), written as a
+    * partitioned bucket keyed by the window END. Readers use the same
+    * QueryBuilder surface on either resolution. At scale this runs
+    * out-of-band over closed date partitions; each run is one shuffle
+    * on (window, series). */
+  def downsample(
+      spark: SparkSession,
+      bucketPath: String,
+      outPath: String,
+      every: String,
+      fn: String,
+      mode: String = "append"): Unit = {
+    val pts = graft.query.QueryBuilder(spark, bucketPath)
+      .appendAggregate(every, fn)
+      .build()
+    write(pts, outPath, mode)
+  }
+
   /** Compact a bucket in place: streaming `foreachBatch` appends produce
     * one small file per partition per micro-batch; at scale the file
     * count — not the data volume — becomes the scan bottleneck (driver

@@ -67,6 +67,32 @@ class SolarIngestSpec extends AnyFunSuite {
     assert(SolarIngest.gatedPoints(raw).count() === 28)
   }
 
+  test("downsample: raw bucket rolls up to a coarser bucket, same query surface") {
+    val raw = Seq(
+      ("fx-1", ts("2024-01-01 10:00:10"), "battery_voltage", 10.0),
+      ("fx-1", ts("2024-01-01 10:00:50"), "battery_voltage", 30.0),
+      ("fx-1", ts("2024-01-01 10:02:10"), "battery_voltage", 50.0),
+      ("mx-1", ts("2024-01-01 10:00:20"), "pv_current", 7.0)
+    ).toDF("measurement", "time", "field", "value")
+    val base = java.nio.file.Files.createTempDirectory("ds").toString
+    PointStore.write(raw, s"$base/raw")
+    PointStore.downsample(spark, s"$base/raw", s"$base/1m", every = "1m", fn = "mean")
+
+    val back = PointStore.read(spark, s"$base/1m").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(back.size === 3) // two fx windows + one mx window
+    assert(back(("fx-1", ts("2024-01-01 10:01:00"), "battery_voltage")) === 20.0)
+    assert(back(("fx-1", ts("2024-01-01 10:03:00"), "battery_voltage")) === 50.0)
+    assert(back(("mx-1", ts("2024-01-01 10:01:00"), "pv_current")) === 7.0)
+
+    // the downsampled bucket serves the same QueryBuilder surface
+    val recs = graft.query.QueryBuilder(spark, s"$base/1m")
+      .appendFilter("_measurement", "fx-1")
+      .appendSort("_time")
+      .records()
+    assert(recs.map(_("_value")) === Seq(20.0, 50.0))
+  }
+
   test("point store: partitioned write, measurement+date pruning in plan") {
     val epoch = 1700000000L
     val raw = Seq(
