@@ -201,6 +201,56 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Set operation: EXCEPT (distinct semantics) — completes the set-op
+    * family next to q_set_ops' INTERSECT. */
+  val qExcept: Q = Q.sql(
+    "q_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |EXCEPT
+      |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "EXCEPT: automobile-segment customers minus big spenders") { (s, d) =>
+    val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val big = orders(s, d)
+      .filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    auto.except(big).orderBy("c_custkey")
+  }
+
+  /** JSON functions — the metadata-parsing surface every training-data
+    * pipeline needs: documents carry a synthesized JSON envelope; the
+    * query parses it back with get_json_object / from_json (DuckDB:
+    * json_extract_string). Round-trip through REAL json-parser code
+    * paths on both engines, not string ops. */
+  val qJsonExtract: Q = Q.sql(
+    "q_json_extract",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    '{"id": ' || doc_id || ', "lang": "' || lang || '", "n": ' || length(text) || '}' AS meta
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  json_extract_string(meta, '$.lang') AS lang,
+      |  CAST(json_extract(meta, '$.n') AS BIGINT) AS n_chars,
+      |  CAST(json_extract(meta, '$.id') AS BIGINT) = doc_id AS id_roundtrip
+      |FROM j
+      |ORDER BY doc_id""".stripMargin,
+    doc = "JSON metadata envelope parse (get_json_object round-trip)") { (s, d) =>
+    val meta = concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"),
+      lit("\", \"n\": "), length(col("text")), lit("}"))
+    documents(s, d)
+      .select(col("doc_id"), meta.as("meta"))
+      .select(
+        col("doc_id"),
+        get_json_object(col("meta"), "$.lang").as("lang"),
+        get_json_object(col("meta"), "$.n").cast("long").as("n_chars"),
+        (get_json_object(col("meta"), "$.id").cast("long") === col("doc_id")).as("id_roundtrip"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    q1Agg, qJoinAgg, qTopK, qAntiJoin, qSemiJoin, qWindowRank, qSetOps, qScalarFns)
+    q1Agg, qJoinAgg, qTopK, qAntiJoin, qSemiJoin, qWindowRank, qSetOps, qExcept,
+    qScalarFns, qJsonExtract)
 }
