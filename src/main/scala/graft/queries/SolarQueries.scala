@@ -42,13 +42,12 @@ object SolarQueries {
     "q_solar_ingest",
     oracleIngestSql,
     doc = "binary packet encode→decode→explode→aggregate, oracle-checked") { (s, d) =>
-    val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
-    val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
     // single-file source → repartition so the encode/decode CPU spreads
     // across cores (at scale the scan is already parallel)
     val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
-      topicOf(col("user_id")).as("topic"),
-      enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
+      SolarSynth.topicCol(col("user_id")).as("topic"),
+      SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value"))
+        .as("payload"),
       col("ts").as("arrival"))
     SolarIngest
       .points(raw)
@@ -103,7 +102,6 @@ object SolarQueries {
 
     // Build the interleaved raw stream. Each events row becomes exactly one
     // raw message: a mate flip, a device flip, or a data packet.
-    val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
     val mateFlip = col("event_id") % 500 === 0
     val mateOnline = col("event_id") % 1000 === 0
     val devFlip = col("event_type").isin("error", "signup")
@@ -115,7 +113,8 @@ object SolarQueries {
         .when(devFlip,
           when(col("event_type") === "signup", lit("online")).otherwise(lit("offline"))
             .cast("binary"))
-        .otherwise(enc(col("user_id"), unix_timestamp(col("ts")), col("value"))).as("payload"),
+        .otherwise(SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value")))
+        .as("payload"),
       // Broker delivery order must be total for deterministic gating —
       // event_id is unique, so it becomes the (synthetic) arrival clock.
       timestamp_micros(col("event_id")).as("arrival"),
@@ -166,11 +165,10 @@ object SolarQueries {
          |GROUP BY 1, 2, 3
          |ORDER BY measurement, window_end_s, field""".stripMargin,
       doc = "QueryBuilder range→filter bands→aggregateWindow(1d,mean)→sort") { (s, d) =>
-      val enc = udf((u: Long, t: Long, v: Double) => SolarSynth.encode(u, t, v))
-      val topicOf = udf((u: Long) => SolarSynth.topicOf(u))
       val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
-        topicOf(col("user_id")).as("topic"),
-        enc(col("user_id"), unix_timestamp(col("ts")), col("value")).as("payload"),
+        SolarSynth.topicCol(col("user_id")).as("topic"),
+        SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value"))
+          .as("payload"),
         col("ts").as("arrival"))
       val points = SolarIngest.points(raw)
       val built = graft.query.QueryBuilder

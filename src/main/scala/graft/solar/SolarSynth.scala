@@ -201,4 +201,19 @@ object SolarSynth {
     case 1 => Topics.FxData
     case _ => Topics.MxData
   }
+
+  // ---- column-level encoders (no UDF: codegen expression + when-chain) --
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.when
+
+  /** [[topicOf]] as a plain when-chain column. */
+  def topicCol(userId: Column): Column =
+    when(userId % 3 === 0, Topics.DcData)
+      .when(userId % 3 === 1, Topics.FxData)
+      .otherwise(Topics.MxData)
+
+  /** [[encode]] as a codegen expression column. */
+  def encodeCol(userId: Column, epochSec: Column, value: Column): Column =
+    graft.expressions.EncodePacket.encode(userId, epochSec, value)
 }
