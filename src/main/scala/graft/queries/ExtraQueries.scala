@@ -109,5 +109,28 @@ object ExtraQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qCube, qApprox)
+  /** Exact distinct aggregation — kept OUT of q_approx_aggs because a
+    * distinct aggregate beside sketch buffers forces an Expand plan that
+    * doubles rows through every buffer (NOTES.md lesson 4); standalone,
+    * Catalyst plans the standard two-phase distinct aggregation. */
+  val qCountDistinct: Q = Q.sql(
+    "q_count_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "exact COUNT(DISTINCT) — two-phase distinct aggregation") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qCube, qApprox, qCountDistinct)
 }
