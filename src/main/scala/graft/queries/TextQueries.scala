@@ -217,7 +217,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation stats — the readability layer of quality
+    * scoring: split on sentence-ending punctuation, count non-empty
+    * sentences, average their token lengths. Narrow per-row transform
+    * like the rest of the text battery. */
+  val qSentenceStats: Q = Q.sql(
+    "q_sentence_stats",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+       |                x -> x != '') AS sents
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(sents) AS BIGINT) AS n_sents,
+       |  CASE WHEN len(sents) = 0 THEN NULL
+       |    ELSE CAST(list_sum(list_transform(sents, x -> len(regexp_split_to_array(x, '\\s+')))) AS DOUBLE)
+       |      / len(sents) END AS avg_sent_tokens
+       |FROM s
+       |ORDER BY doc_id""".stripMargin,
+    doc = "sentence segmentation: count + mean token length per sentence") { (s, d) =>
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => x =!= "")
+    documents(s, d)
+      .select(col("doc_id"), sents.as("sents"))
+      .select(
+        col("doc_id"),
+        size(col("sents")).cast("long").as("n_sents"),
+        when(size(col("sents")) === 0, lit(null).cast("double"))
+          .otherwise(
+            aggregate(
+              transform(col("sents"), x => size(split(x, "\\s+")).cast("long")),
+              lit(0L),
+              (a, x) => a + x).cast("double") / size(col("sents")))
+          .as("avg_sent_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qRollingFingerprint)
+      qFrameSample, qRollingFingerprint, qSentenceStats)
 }
