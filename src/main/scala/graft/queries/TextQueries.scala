@@ -197,6 +197,39 @@ object TextQueries {
       .orderBy("media_id")
   }
 
+  /** The resize stub through the real [[graft.mm.Multimodal.resizeStub]]
+    * path: payload truncated/zero-padded to a fixed 64-byte thumb —
+    * binary in, fixed-length binary out, the schema contract a native
+    * resizer would honor. Oracle replays over hex (2 hex chars per
+    * byte; zero pad = '00'). */
+  val qResizeStub: Q = Q.sql(
+    "q_resize_stub",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph FROM documents
+      |), t AS (
+      |  SELECT media_id,
+      |    rpad(substr(ph, 1, 128), 128, '0') AS thumb_hex
+      |  FROM m
+      |)
+      |SELECT media_id,
+      |  CAST(length(thumb_hex) / 2 AS BIGINT) AS thumb_len,
+      |  substr(thumb_hex, 1, 24) AS head_hex,
+      |  substr(thumb_hex, 105, 24) AS tail_hex
+      |FROM t
+      |ORDER BY media_id""".stripMargin,
+    doc = "resize stub: fixed 64-byte thumb (truncate/zero-pad), oracle-replayed") { (s, d) =>
+    val media = documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.mm.Multimodal
+      .resizeStub(media, targetBytes = 64)
+      .select(
+        col("media_id"),
+        length(col("thumb")).cast("long").as("thumb_len"),
+        substring(lower(hex(col("thumb"))), 1, 24).as("head_hex"),
+        substring(lower(hex(col("thumb"))), 105, 24).as("tail_hex"))
+      .orderBy("media_id")
+  }
+
   /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
     * replays the byte fold with list_reduce over character codes (inputs
     * are ASCII, where ord(char) == utf8 byte). */
@@ -257,5 +290,5 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qRollingFingerprint, qSentenceStats)
+      qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats)
 }
