@@ -8,12 +8,12 @@ package graft
   * "run" in milliseconds without computing anything), noop materializes
   * all output columns without driver-side collect.
   *
-  * Warmup runs EVERY registry query once at sf0.001 first: profiling shows
-  * the first execution of each code path costs 5-10 s of one-time work
-  * (janino compile, JIT, classloading — e.g. q_querybuilder_agg: 11.3 s
-  * cold, 2.0 s warm at sf0.1) that has nothing to do with the 100 TB
-  * steady state being graded. Paying it on the tiny SF moves that cost out
-  * of every measured number.
+  * Every query gets one untimed warm pass at the bench SF before its timed
+  * passes: the first execution of each code path costs 5-10 s of one-time
+  * work (janino compile, C2 JIT, classloading — e.g. q_querybuilder_agg:
+  * 11.3 s cold, 2.0 s warm at sf0.1) that has nothing to do with the
+  * 100 TB steady state being graded, and C2 only fires at realistic row
+  * counts (a tiny-SF warmup loop measurably failed to trigger it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,38 +25,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT + codegen + classload for every query's code path
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    SparkEntry.registry.foreach { q =>
-      try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
 
-    // Two timed passes per query, report the MIN: this host shows ±3 s
-    // random background-load spikes on single runs (a different query
-    // each time); min-of-2 measures the engine, not the neighbor's cron
-    // job. Queries are noop-sunk (no result reuse between passes).
+    // Per query: ONE untimed warm pass at the bench SF, then `passes` timed
+    // passes, report min + all. The warm pass pays the one-time costs the
+    // 100 TB steady state never sees — janino compile, classloading, and
+    // crucially C2 JIT, which needs hot loops at real row counts (warming
+    // at sf0.001 left decimal-agg/regex paths interpreted: q1_agg measured
+    // 8.9 s in BENCH_r02 but 0.9-1.5 s warm — the regression was JIT state,
+    // not the plan). Min-of-passes then drops this host's ±3 s background
+    // spikes; the full pass list is reported so a plan-cost problem (slow
+    // in every pass) is distinguishable from one contended pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = SparkEntry.registry.map { q =>
-      val times = (1 to passes).map { _ =>
+      val times = (0 to passes).map { i =>
         // drop caches a query persisted internally (LSH signature tables):
-        // pass 2 must recompute, not read pass 1's cache
+        // every pass must recompute, not read the previous pass's cache
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }
-      q.name -> times.min
+      }.drop(1) // pass 0 = warmup, untimed
+      q.name -> times
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .map { case (k, v) => "\"" + k + f"""\":${v.min}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // every pass, not just the min: a plan-cost problem is slow in ALL
+    // passes; a host-contention spike is one outlier — readers of this
+    // JSON can tell the two apart without rerunning
+    val ps = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

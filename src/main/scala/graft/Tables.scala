@@ -57,4 +57,15 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread `df` across the cluster ONLY when its scan under-parallelizes
+    * (small-SF single-file parquet = one partition doing all the CPU-bound
+    * work downstream). At 100 TB a table is thousands of files and the scan
+    * is naturally parallel, so the gate makes this a true no-op there — no
+    * unconditional repartition shuffle sneaks into the production plan.
+    * The partition probe plans the RDD but runs no job. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

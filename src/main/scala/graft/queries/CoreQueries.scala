@@ -53,18 +53,38 @@ object CoreQueries {
     val price = col("l_extendedprice").cast("decimal(20,2)")
     val disc = col("l_discount").cast("decimal(8,2)")
     val tax = col("l_tax").cast("decimal(8,2)")
-    lineitem(s, d)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-01 00:00:00")))
+    // disc_price is staged once per row and charge derives from it — the
+    // same left-associated product tree as the SQL, so values are
+    // bit-identical, but 2 decimal multiplies per row instead of 3. The
+    // averages are post-projections over the summed outputs (one aggregate
+    // per distinct sum, not one per output column), and the decimal-heavy
+    // aggregation runs on a spread scan (single small file would otherwise
+    // put every BigDecimal op on one core — NOTES.md lesson 6).
+    val spreadScan = graft.Tables.spread(
+      s,
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-12-01 00:00:00"))))
+    spreadScan
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        (price * (one - disc)).as("dp"),
+        (price * (one - disc) * (one + tax)).as("charge"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        sum(col("dp")).cast("double").as("sum_disc_price"),
+        sum(col("charge")).cast("double").as("sum_charge"),
+        dsum(col("l_discount")).as("sum_disc"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price") / col("count_order")).as("avg_price"),
+        (col("sum_disc") / col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -42,19 +42,30 @@ object TextQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin,
     doc = "quality scoring: punctuation/stopword ratios, length prior") { (s, d) =>
+    // Stage the token array once (NOTES.md lesson 3): the three ratios and
+    // the quality blend all derive from per-row ints computed over the
+    // SHARED `w` — the naive form re-runs the regex split per ratio.
     val txt = col("text")
-    val punctRatio = punctCount(txt).cast("double") / length(txt)
-    val stopRatio = stopwordHits(txt, stopwordsEn).cast("double") / size(tokens(txt))
-    val awl = length(regexp_replace(txt, " ", "")).cast("double") / size(tokens(txt))
+    val punctRatio = col("pc").cast("double") / col("nc")
+    val stopRatio = col("sw").cast("double") / col("nw")
     documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), txt, tokens(txt).as("w"))
+      .select(
+        col("doc_id"),
+        punctCount(txt).as("pc"),
+        length(txt).as("nc"),
+        stopwordHitsOf(col("w"), stopwordsEn).as("sw"),
+        size(col("w")).as("nw"),
+        length(regexp_replace(txt, " ", "")).as("nosp"))
       .select(
         col("doc_id"),
         punctRatio.as("punct_ratio"),
         stopRatio.as("stop_ratio"),
-        awl.as("avg_word_len"),
+        (col("nosp").cast("double") / col("nw")).as("avg_word_len"),
         (lit(0.5) * stopRatio
           + lit(0.3) * (lit(1.0) / (lit(1.0) + punctRatio * 10.0))
-          + lit(0.2) * when(length(txt) >= 200, 1.0).otherwise(0.0)).as("quality"))
+          + lit(0.2) * when(col("nc") >= 200, 1.0).otherwise(0.0)).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -77,14 +88,19 @@ object TextQueries {
        |FROM scored
        |ORDER BY doc_id""".stripMargin,
     doc = "language ID: stopword-profile scoring with deterministic argmax") { (s, d) =>
-    val txt = col("text")
-    val withScores = documents(s, d).select(
-      col("doc_id"),
-      col("lang"),
-      stopwordHits(txt, stopwordsEn).as("s_en"),
-      stopwordHits(txt, stopwordsDe).as("s_de"),
-      stopwordHits(txt, stopwordsEs).as("s_es"),
-      stopwordHits(txt, stopwordsFr).as("s_fr"))
+    // One tokenization, four profile scores over the shared array — the
+    // inlined form re-ran the regex split once per language (4× per row,
+    // benched 7.8 s vs ~0.6 s staged at sf0.1).
+    val withScores = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        stopwordHitsOf(col("w"), stopwordsEn).as("s_en"),
+        stopwordHitsOf(col("w"), stopwordsDe).as("s_de"),
+        stopwordHitsOf(col("w"), stopwordsEs).as("s_es"),
+        stopwordHitsOf(col("w"), stopwordsFr).as("s_fr"))
     val predicted =
       when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
         .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
@@ -105,11 +121,12 @@ object TextQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin,
     doc = "document fingerprint: md5 of normalized text") { (s, d) =>
+    // fp staged once; fp16 is a substring of the SAME column (the inlined
+    // form normalized + hashed the text twice per row).
     documents(s, d)
-      .select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fp"),
-        substring(fingerprint(col("text")), 1, 16).as("fp16"))
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 16).as("fp16"))
       .orderBy("doc_id")
   }
 
