@@ -77,6 +77,68 @@ object Profile {
         println(f"decode run $i: $dt%.2f s, $nPackets packets (${nPackets / dt}%.0f pkt/s), " +
           f"~$nPoints points (${nPoints / dt}%.0f pts/s)")
       }
+    } else if (name == "neardup_diag") {
+      // recall + candidate-count tradeoff of hyperplane-LSH blocking for
+      // the cos>=0.35 near-dup query, vs the all-pairs ground truth
+      import org.apache.spark.sql.functions._
+      val all = graft.queries.SimilarityQueries.vecsOf(spark, sfDir).persist()
+      val n = all.count()
+      val cos = graft.expressions.VectorOps.dot(col("q.v"), col("c.v")) /
+        (col("q.nrm") * col("c.nrm"))
+      val truth = all.as("q").join(all.as("c"), col("q.vec_id") < col("c.vec_id"))
+        .select(col("q.vec_id").as("id1"), col("c.vec_id").as("id2"), cos.as("cos"))
+        .filter(col("cos") >= 0.35).persist()
+      val nTruth = truth.count()
+      println(s"n=$n truth pairs=$nTruth")
+      truth.select(min("cos"), expr("percentile(cos, 0.1)"), expr("percentile(cos, 0.5)"), max("cos"))
+        .show(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for ((planes, tables) <- Seq((3, 6), (4, 6), (4, 8), (4, 12), (6, 8))) {
+        val signs = Array.tabulate(tables * planes, 64) { (p, dd) =>
+          val h = md.digest(s"nd:$planes:$p:$dd".getBytes("UTF-8"))
+          if ((h(0) & 0x80) != 0) 1.0 else -1.0
+        }
+        val bucketed = all.select(
+          col("vec_id") +: (0 until tables).map { t =>
+            concat((0 until planes).map { p =>
+              val proj = graft.expressions.VectorOps.dot(
+                col("v"), typedLit(signs(t * planes + p).toSeq))
+              when(proj >= 0, "1").otherwise("0")
+            }: _*).as(s"b$t")
+          }: _*)
+        val tbl = bucketed.select(
+          col("vec_id"),
+          posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bv")))
+        val cand = tbl.as("a").join(tbl.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bv") === col("b.bv") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct().persist()
+        val nCand = cand.count()
+        val hit = truth.join(cand, Seq("id1", "id2"), "left_semi").count()
+        println(f"planes=$planes L=$tables cand=$nCand (${nCand * 2.0 / (n * (n - 1))}%.3f of all pairs) recall=${hit.toDouble / nTruth}%.3f")
+        cand.unpersist()
+      }
+      // IVF blocking: candidates = pairs sharing any of their P probed cells
+      import org.apache.spark.sql.expressions.Window
+      for ((cells, probe) <- Seq((16, 1), (16, 2), (16, 3), (32, 2), (32, 3))) {
+        val cents = all.filter(col("vec_id") < cells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val ccos = graft.expressions.VectorOps.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+        val probed = all.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"), ccos.as("ccos"))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= probe)
+          .select(col("vec_id"), col("cid"))
+        val cand = probed.as("a").join(probed.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct().persist()
+        val nCand = cand.count()
+        val hit = truth.join(cand, Seq("id1", "id2"), "left_semi").count()
+        println(f"ivf cells=$cells probe=$probe cand=$nCand (${nCand * 2.0 / (n * (n - 1))}%.3f of all pairs) recall=${hit.toDouble / nTruth}%.3f")
+        cand.unpersist()
+      }
     } else if (name == "ivf_diag") {
       import graft.queries.SimilarityQueries._
       import org.apache.spark.sql.functions._
