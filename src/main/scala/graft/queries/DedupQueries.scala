@@ -214,10 +214,22 @@ object DedupQueries {
        |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
        |ORDER BY id1, id2""".stripMargin,
     doc = "exact n-gram Jaccard >= 0.5 via inverted-index join (no LSH)") { (s, d) =>
-    val ex = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    jaccardDirect(documents(s, d).repartition(s.sparkContext.defaultParallelism))
+  }
+
+  /** Distinct word-3-gram shingle sets: the shared first stage of every
+    * exact-Jaccard variant. */
+  private def shingleSets(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s"))
+
+  /** Direct inverted-index exact Jaccard (the benign-distribution plan —
+    * see [[qJaccardNgram]] scale note). */
+  def jaccardDirect(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val ex = shingleSets(docs)
       .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     val jac = round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6)
     ex.as("a")
@@ -227,7 +239,7 @@ object DedupQueries {
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id1"), col("id2"), col("inter"), jac.as("jaccard"))
-      .filter(jac >= 0.5)
+      .filter(jac >= lit(tau))
       .orderBy("id1", "id2")
   }
 
@@ -248,12 +260,15 @@ object DedupQueries {
   def jaccardPrefixJoin(
       s: org.apache.spark.sql.SparkSession,
       d: String,
-      tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+      tau: Double = 0.5): org.apache.spark.sql.DataFrame =
+    jaccardPrefixJoin(documents(s, d).repartition(s.sparkContext.defaultParallelism), tau)
+
+  /** [[jaccardPrefixJoin]] over any (doc_id, text) frame. */
+  def jaccardPrefixJoin(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s"))
+    val sh = shingleSets(docs)
       .persist() // read 3×: index build + both sides of the verify join
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
@@ -279,6 +294,59 @@ object DedupQueries {
       .select(col("id1"), col("id2"), col("inter"), jac.as("jaccard"))
       .filter(col("jaccard") >= lit(tau))
       .orderBy("id1", "id2")
+  }
+
+  /** What [[jaccardAdaptive]] decided and why: `hotShare` is the fraction
+    * of probed docs containing the most common gram. */
+  final case class JaccardChoice(
+      hotShare: Double,
+      usedPrefixJoin: Boolean,
+      result: org.apache.spark.sql.DataFrame)
+
+  /** Adaptive exact-Jaccard plan choice.
+    *
+    * The direct inverted-index join is ~4× faster on benign corpora but
+    * quadratic in the hottest gram bucket: a boilerplate shingle shared by
+    * a fraction f of N docs alone produces (fN)²/2 joined rows — at 100 TB
+    * a single hot gram is a job-killer. The prefix-filtered join is immune
+    * (hot grams never land in a prefix) but pays a frequency pass +
+    * per-doc ranking. So: probe a cheap sample's gram document-frequency
+    * first and pick the plan the distribution actually needs —
+    * Catalyst-style cost-based choice at the operator level, decided from
+    * data statistics rather than guessed. AQE's skew-split cannot save the
+    * direct join here: splitting a hot bucket still materializes its
+    * quadratic pair count; the fix is a different algorithm, not a finer
+    * partition.
+    *
+    * Both plans produce IDENTICAL pairs (JaccardEquivalenceSpec /
+    * AdaptiveJaccardSpec), so the choice affects cost only.
+    *
+    * @param hotShareThreshold document-share of the hottest gram above
+    *   which the corpus counts as skewed. 0.05 ⇒ the worst bucket alone
+    *   would contribute ≥ (0.05N)²/2 ≈ N²/800 pairs — already far beyond
+    *   linear work at any real N, while harmless for the sub-percent
+    *   shares benign shingle corpora show.
+    * @param probeFraction doc sample rate for the frequency probe; the
+    *   probe is two tiny jobs over the sample, not a pass over the corpus.
+    */
+  def jaccardAdaptive(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.5,
+      hotShareThreshold: Double = 0.05,
+      probeFraction: Double = 0.1): JaccardChoice = {
+    val probe = (if (probeFraction >= 1.0) docs else docs.sample(probeFraction, 7L)).persist()
+    val nProbe = probe.count().max(1L)
+    val hottest = shingleSets(probe)
+      .select(explode(col("s")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("m"))
+      .collect()(0)
+    val hotShare =
+      if (hottest.isNullAt(0)) 0.0 else hottest.getLong(0).toDouble / nProbe
+    probe.unpersist()
+    val skewed = hotShare >= hotShareThreshold
+    val out = if (skewed) jaccardPrefixJoin(docs, tau) else jaccardDirect(docs, tau)
+    JaccardChoice(hotShare, skewed, out)
   }
 
   val all: Seq[Q] =
