@@ -22,10 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * into an append-only in-memory log; the `MicroBatchStream` exposes the
   * log length as the offset, so each micro-batch reads a contiguous slice
   * — exactly how a production MQTT wrapper buffers a push-based client
-  * into Spark's pull-based offsets. [[MqttSimBroker]] stands in for the
-  * network client (tests publish into it directly); swapping in a real
-  * client means replacing `publish` callers, nothing in the Spark
-  * contract changes.
+  * into Spark's pull-based offsets. [[MqttSimBroker]] is that local log;
+  * what feeds it is the pluggable [[MqttClient]] seam (connect/auth/TLS +
+  * the reference's 7 lifecycle callbacks, bridged by [[IngestBridge]]) —
+  * swapping in a real network client implements one trait, nothing in the
+  * Spark contract changes.
   *
   * Each batch is a single input partition: one MQTT subscription is a
   * serial stream (broker delivery order is the reference's ordering
