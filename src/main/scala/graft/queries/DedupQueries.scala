@@ -349,6 +349,18 @@ object DedupQueries {
     JaccardChoice(hotShare, skewed, out)
   }
 
+  /** The adaptive chooser as a gated registry query. Its RESULT is
+    * plan-independent (both variants return identical pairs — spec-pinned),
+    * so the oracle is exactly [[qJaccardNgram]]'s SQL: the gate checks the
+    * full probe→choose→join pipeline lands on the same exact answer. */
+  val qJaccardAdaptive: Q = Q.sql(
+    "q_jaccard_adaptive",
+    qJaccardNgram.oracle.get,
+    doc = "exact Jaccard with probe-driven plan choice (direct vs prefix-filtered)") { (s, d) =>
+    jaccardAdaptive(documents(s, d).repartition(s.sparkContext.defaultParallelism)).result
+  }
+
   val all: Seq[Q] =
-    Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram)
+    Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
+      qJaccardAdaptive)
 }

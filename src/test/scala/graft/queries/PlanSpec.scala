@@ -75,4 +75,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_product"))
     assert(p.contains("*("))
   }
+
+  test("q_embed_neardup: LSH candidates via equi-join — no cartesian anywhere") {
+    val df = SimilarityQueries.qEmbedNearDup.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "near-dup default must not cross-join the corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "near-dup default must not nested-loop join")
+    // bucket equi-join on (tbl, bv) is the candidate generator
+    assert(p.contains("tbl") && p.contains("bv"))
+  }
+
+  test("q1_agg: each distinct sum aggregated once (deduped decimal work)") {
+    val p = plan(CoreQueries.q1Agg)
+    // 5 sums + 1 count in the partial aggregate — not one per output column
+    val partials = "partial_sum".r.findAllIn(p).size
+    assert(partials <= 5, s"expected <=5 partial sums after dedup, saw $partials")
+  }
+
+  test("minhash_hex: generated code, not interpreted fallback") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.text.TextFunctions.shinglesOf(col("w")).as("sh"))
+      .select(col("doc_id"), graft.expressions.MinHashHex.minhashHex(col("sh"), 0).as("h0"))
+    val p = docs.queryExecution.executedPlan.toString
+    assert(p.contains("*("), "minhash stage fell out of whole-stage codegen")
+    assert(docs.filter(col("h0").isNotNull).count() > 0)
+  }
 }
