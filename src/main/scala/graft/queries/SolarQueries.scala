@@ -230,7 +230,11 @@ object SolarQueries {
     val pts = events(s, d)
       .filter(col("event_type") === "purchase" && col("value") > 200.0)
       .select(
-        lit("purchase").as("measurement"),
+        // measurement = the filtered event_type column, not lit("purchase"):
+        // same value on every row, but non-foldable — a literal would
+        // constant-fold out of the LOCF window's partition spec and turn it
+        // into an unpartitioned (single-partition, warning-spewing) window
+        col("event_type").as("measurement"),
         col("ts").as("time"),
         lit("value").as("field"),
         col("value"))

@@ -126,14 +126,21 @@ object SolarIngest {
     val mateIntervals = raw
       .filter(col("topic") === Topics.MateStatus)
       .select(
+        col("topic"),
         col("arrival").as("on_from"),
         when(col("payload") === online, "online")
           .when(col("payload") === offline, "offline").as("sv"))
       // non-matching payloads leave the state unchanged → they must not
       // open or close an interval
       .filter(col("sv").isNotNull)
+      // partition by `topic` — constant by the filter above (one logical
+      // mate-status stream, so one partition is the SEMANTICS, and the
+      // changelog is a handful of flips), but non-foldable, so the
+      // partition spec survives optimization and WindowExec doesn't warn
+      // about a missing one. lit(1) here gets constant-folded to an empty
+      // spec and spams "No Partition Defined" over a ~10-row frame.
       .withColumn("on_to", lead(col("on_from"), 1, null).over(
-        Window.partitionBy(lit(1)).orderBy(col("on_from"))))
+        Window.partitionBy(col("topic")).orderBy(col("on_from"))))
       .filter(col("sv") === "online")
       .select("on_from", "on_to")
 
