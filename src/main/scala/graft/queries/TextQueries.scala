@@ -305,7 +305,90 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: top-100 terms by frequency — the
+    * vocabulary-building pass of a tokenizer-training pipeline. One
+    * explode + one hash-shuffle count + TakeOrderedAndProject: at 100 TB
+    * the term table is the only thing that moves, and the top-k never
+    * global-sorts. */
+  val qTopTerms: Q = Q.sql(
+    "q_top_terms",
+    s"""WITH toks AS (SELECT unnest($tokensSql) AS term FROM documents),
+       |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+       |SELECT term, cnt FROM counts
+       |ORDER BY cnt DESC, term
+       |LIMIT 100""".stripMargin,
+    doc = "vocabulary building: top-100 corpus terms (count shuffle + top-k)") { (s, d) =>
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(100)
+  }
+
+  /** Per-language corpus statistics — the sampling/balance report every
+    * multilingual training set needs. Integer sums divided exactly, so
+    * both engines emit bit-identical doubles. */
+  val qCorpusStats: Q = Q.sql(
+    "q_corpus_stats",
+    s"""WITH t AS (SELECT lang, length(text) AS nc, len($tokensSql) AS nw FROM documents)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(nw AS BIGINT)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CAST(nw AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
+       |  CAST(min(nc) AS BIGINT) AS min_chars,
+       |  CAST(max(nc) AS BIGINT) AS max_chars
+       |FROM t GROUP BY lang
+       |ORDER BY lang""".stripMargin,
+    doc = "per-language corpus stats: doc counts, token totals, length bounds") { (s, d) =>
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("lang"), length(col("text")).as("nc"), size(tokens(col("text"))).as("nw"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw").cast("long")).as("total_tokens"),
+        (sum(col("nw").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"),
+        min(col("nc")).cast("long").as("min_chars"),
+        max(col("nc")).cast("long").as("max_chars"))
+      .orderBy("lang")
+  }
+
+  /** Text normalization — the cleaning stage before dedup/tokenization:
+    * lowercase, collapse whitespace runs, trim. Narrow per-row transform;
+    * the staged `norm` column is computed once and reused (lesson 3). */
+  val qTextNormalize: Q = Q.sql(
+    "q_text_normalize",
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(norm) AS BIGINT) AS n_norm,
+      |  CAST(length(text) - length(norm) AS BIGINT) AS removed,
+      |  substr(norm, 1, 40) AS head,
+      |  md5(norm) AS norm_hash
+      |FROM n
+      |ORDER BY doc_id""".stripMargin,
+    doc = "text normalization: lowercase + whitespace collapse + trim") { (s, d) =>
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(
+        col("doc_id"),
+        col("text"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (length(col("text")) - length(col("norm"))).cast("long").as("removed"),
+        substring(col("norm"), 1, 40).as("head"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats)
+      qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
+      qTopTerms, qCorpusStats, qTextNormalize)
 }
