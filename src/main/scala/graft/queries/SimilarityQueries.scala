@@ -120,26 +120,26 @@ object SimilarityQueries {
       planes: Int = NdPlanes,
       tables: Int = NdTables): DataFrame = {
     val signs = ndSigns(planes, tables)
+    // bucket key = table * 2^planes + sign bits — ONE int per (vector,
+    // table), so the candidate self-join shuffles/compares ints, not
+    // strings, and the table id rides inside the key (no compound join)
     val bucketOf = (t: Int) =>
-      concat((0 until planes).map { p =>
+      (0 until planes).map { p =>
         val proj = graft.expressions.VectorOps.dot(
           col("v"), typedLit(signs(t * planes + p).toSeq))
-        when(proj >= 0, "1").otherwise("0")
-      }: _*)
-    val bucketed = vecsDf.select(
-      col("vec_id") +: (0 until tables).map(t => bucketOf(t).as(s"b$t")): _*)
+        when(proj >= 0, 1 << p).otherwise(0)
+      }.reduce(_ + _) + lit(t * (1 << planes))
     // the signature table is read by both sides of the candidate self-join;
     // persisting it is the standard LSH "index build" materialization
     // (signatures are tables*planes bits per vector — tiny vs the corpus)
-    val tbl = bucketed
+    val tbl = vecsDf
       .select(
         col("vec_id"),
-        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bv")))
+        explode(array((0 until tables).map(bucketOf): _*)).as("bucket"))
       .persist()
     val cand = tbl.as("a")
       .join(tbl.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
     cand

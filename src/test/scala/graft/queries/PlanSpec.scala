@@ -82,8 +82,8 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "near-dup default must not cross-join the corpus")
     assert(!p.contains("BroadcastNestedLoopJoin"), "near-dup default must not nested-loop join")
-    // bucket equi-join on (tbl, bv) is the candidate generator
-    assert(p.contains("tbl") && p.contains("bv"))
+    // bucket equi-join on the packed int key is the candidate generator
+    assert(p.contains("bucket"))
   }
 
   test("q1_agg: each distinct sum aggregated once (deduped decimal work)") {
