@@ -132,5 +132,60 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRollup, qCube, qApprox, qCountDistinct)
+  /** The maintenance windows `q_range_join` scores events against —
+    * fixed literals (some overlapping, one empty) so the DuckDB oracle
+    * replays them verbatim as a VALUES list. */
+  val RangeWindows: Seq[(Long, String, String)] = Seq(
+    (1L, "2024-01-02 00:00:00", "2024-01-04 12:00:00"),
+    (2L, "2024-01-04 00:00:00", "2024-01-05 00:00:00"), // overlaps 1
+    (3L, "2024-01-10 06:00:00", "2024-01-17 18:30:00"),
+    (4L, "2024-01-25 00:00:00", "2024-01-25 00:00:00"), // empty: start==stop
+    (5L, "2024-01-28 12:00:00", "2024-02-02 00:00:00")) // runs past the data
+
+  /** Point-in-interval range join via [[graft.operators.RangeJoin]] —
+    * bucketized equi-join, never a nested loop (RangeJoinSpec pins both
+    * the plan shape and random-data equivalence to the naive theta join).
+    * The global interval envelope is pushed into the events scan
+    * ([[graft.Tables.eventsRange]] nanos pushdown), so at 100 TB only the
+    * covered slice of the fact table is read at all. */
+  val qRangeJoin: Q = Q.sql(
+    "q_range_join", {
+      val values = RangeWindows
+        .map { case (id, a, b) => s"($id, TIMESTAMP '$a', TIMESTAMP '$b')" }
+        .mkString(",\n    ")
+      s"""WITH iv(iv_id, start, stop) AS (
+         |  VALUES
+         |    $values
+         |)
+         |SELECT iv_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         |FROM iv JOIN events e ON e.ts >= iv.start AND e.ts < iv.stop
+         |GROUP BY iv_id
+         |ORDER BY iv_id""".stripMargin
+    },
+    doc = "point-in-interval range join (bucketized equi-join, no nested loop)") { (s, d) =>
+    import s.implicits._
+    val iv = RangeWindows
+      .map { case (id, a, b) =>
+        (id, java.sql.Timestamp.valueOf(a), java.sql.Timestamp.valueOf(b)) }
+      .toDF("iv_id", "start", "stop")
+    // push the interval envelope into the parquet scan before the join
+    val envLo = RangeWindows.map(_._2).min
+    val envHi = RangeWindows.map(_._3).max
+    val pts = graft.Tables.eventsRange(
+      s, d, java.sql.Timestamp.valueOf(envLo), java.sql.Timestamp.valueOf(envHi))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, iv, "ts", "start", "stop")
+      .groupBy(col("iv_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .orderBy("iv_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qAsofJoin, qRollup, qCube, qApprox, qCountDistinct, qRangeJoin)
 }
