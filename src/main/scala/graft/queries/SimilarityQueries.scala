@@ -418,5 +418,51 @@ object SimilarityQueries {
       nProbe: Int = NProbe): DataFrame =
     ivfSearch(vecs(s, d), trainedCentroids(s, d), nProbe)
 
-  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf)
+  /** Int8 scalar quantization of the embedding column — the storage op a
+    * 100 TB embedding corpus runs before indexing (4× smaller vectors,
+    * ANN-compatible). Per-vector symmetric scale = 127/max|v_i|;
+    * quantized byte = round(v_i·scale); reconstruction MSE reported per
+    * vector. Narrow per-row transform (zero shuffles — the ORDER BY is
+    * oracle determinism only); the oracle replays the same arithmetic
+    * element-wise, with the float-sum MSE rounded on both sides per the
+    * [[Q]] convention. */
+  val qEmbedQuantize: Q = Q.sql(
+    "q_embed_quantize",
+    s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, v,
+       |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+       |  FROM vecs
+       |), q AS (
+       |  SELECT vec_id, scale,
+       |    list_transform(v, x -> CAST(round(x * scale) AS INT)) AS qv,
+       |    list_sum(list_transform(v, x -> power(x - round(x * scale) / scale, 2))) / $Dim AS mse
+       |  FROM s
+       |)
+       |SELECT vec_id, scale,
+       |  md5(array_to_string(qv, ',')) AS qhash,
+       |  round(mse, 9) AS mse_r
+       |FROM q
+       |ORDER BY vec_id""".stripMargin,
+    doc = "int8 scalar quantization: per-vector scale, quantized hash, recon MSE") { (s, d) =>
+    val v = col("v")
+    val absmax = aggregate(transform(v, x => abs(x)), lit(0.0), (a, x) => greatest(a, x))
+    val scale = lit(127.0) / col("am")
+    val qv = transform(v, x => round(x * scale).cast("int"))
+    val errSum = aggregate(
+      transform(v, x => pow(x - round(x * scale) / scale, 2)),
+      lit(0.0), (a, x) => a + x)
+    embeddings(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), v, absmax.as("am"))
+      .select(
+        col("vec_id"),
+        scale.as("scale"),
+        md5(concat_ws(",", transform(qv, _.cast("string")))).as("qhash"),
+        round((errSum / Dim).as("mse"), 9).as("mse_r"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize)
 }
