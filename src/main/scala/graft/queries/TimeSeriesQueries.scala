@@ -224,7 +224,49 @@ object TimeSeriesQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** Spark's NATIVE gap-based session operator (`session_window`) — the
+    * streaming-capable twin of [[qSessionize]]'s manual lag+cumsum: state
+    * store merging in Structured Streaming, one shuffle on user_id in
+    * batch. Session end is last-event + gap (Spark's definition); the
+    * oracle replays the islands algorithm with the SAME merge rule (a new
+    * session starts when the gap is >= 30 min — session_window merges an
+    * event iff it lands strictly inside the previous event's
+    * [ts, ts+gap) extension). */
+  val qSessionWindow: Q = Q.sql(
+    "q_session_window",
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), g AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id,
+      |  min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin,
+    doc = "native session_window sessionization (gap 30 min, streaming-capable)") { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg)
+      qDerivative, qMovingAvg, qSessionWindow)
 }
