@@ -387,8 +387,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling via
+    * [[graft.operators.Sampling.balanceStrata]]: every language
+    * downsampled to ≈ the smallest one's size with a multiplicative-hash
+    * bucket (NOT RNG — membership is a pure function of doc_id, so the
+    * sample is reproducible across runs/engines/partitionings; that's
+    * what a repeatable training-data mix requires, and what lets DuckDB
+    * replay it exactly). Output = per-language kept counts + an id
+    * checksum over the kept set. */
+  val qStratifiedSample: Q = Q.sql(
+    "q_stratified_sample",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT min(n) AS mn FROM c),
+       |r AS (SELECT lang, (${graft.operators.Sampling.Buckets} * mn) // n AS bp FROM c, m),
+       |kept AS (
+       |  SELECT d.lang, d.doc_id
+       |  FROM documents d JOIN r ON d.lang = r.lang
+       |  WHERE (d.doc_id * 2654435761) % ${graft.operators.Sampling.Buckets} < r.bp
+       |)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM kept GROUP BY lang
+       |ORDER BY lang""".stripMargin,
+    doc = "deterministic stratified sampling: balance languages via hash buckets") { (s, d) =>
+    graft.operators.Sampling
+      .balanceStrata(documents(s, d), "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
-      qTopTerms, qCorpusStats, qTextNormalize)
+      qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample)
 }
