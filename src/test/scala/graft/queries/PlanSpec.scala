@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite {
     assert(partials <= 5, s"expected <=5 partial sums after dedup, saw $partials")
   }
 
+  test("new text queries prune the documents scan to the needed columns") {
+    val topTerms = plan(TextQueries.qTopTerms)
+    assert(topTerms.contains("ReadSchema: struct<text:string>"),
+      "q_top_terms must read only `text`")
+    val strat = plan(TextQueries.qStratifiedSample)
+    assert(strat.contains("ReadSchema: struct<doc_id:bigint,lang:string>")
+      || strat.contains("ReadSchema: struct<lang:string,doc_id:bigint>"),
+      s"q_stratified_sample must read only (doc_id, lang)")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
