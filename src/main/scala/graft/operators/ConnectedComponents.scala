@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step a dedup pipeline runs AFTER near-duplicate pair detection:
+  * similarity pairs are transitive in intent (A≈B, B≈C ⇒ one document
+  * survives of {A,B,C}), so canonical selection needs components, not
+  * pairs.
+  *
+  * Algorithm: iterative minimum-label propagation. Every node starts
+  * labeled with itself; each round every node takes the min of its own
+  * and its neighbors' labels; stop when a round changes nothing. Rounds
+  * needed = graph diameter (near-dup clusters are small and dense, so
+  * a handful); each round is one shuffle on the edge key — the standard
+  * large-scale CC shape on Spark (GraphFrames does the same dance). The
+  * driver only ever sees the per-round change COUNT (one long), never
+  * the data.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column frame of undirected edges (src, dst) — any
+    *   orientation, duplicates fine.
+    * @return (node, component) — component = min node id reachable;
+    *   every node appearing in any edge is present. */
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val src = edges.columns(0)
+    val dst = edges.columns(1)
+    // symmetrize once. Iterative DataFrame algorithms MUST truncate
+    // lineage each round (localCheckpoint): otherwise every iteration's
+    // logical plan embeds the previous one's and Catalyst re-analysis
+    // grows without bound (measured: the loop "hangs" in planning after a
+    // few rounds) — the same reason GraphFrames checkpoints. Checkpointing
+    // also mints fresh attribute ids, so sym⋈labels is never a
+    // same-lineage self-join.
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels: node b's candidates = labels of its neighbors a
+      val neighborMin = sym
+        .join(labels, sym("a") === labels("node"))
+        .groupBy(col("b").as("node2"))
+        .agg(min(col("component")).as("nmin"))
+      val hop = labels
+        .join(neighborMin, labels("node") === col("node2"), "left")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // pointer doubling: also jump to the label OF the current label
+      // (labels are node ids, so it's a self-lookup). Propagation distance
+      // doubles per round → O(log diameter) rounds instead of O(diameter)
+      // — on a 100-node chain that's ~7 rounds, not 100 shuffle rounds.
+      val m = hop.select(col("node").as("cnode"), col("component").as("ccomp"))
+      val next = hop
+        .join(m, hop("component") === m("cnode"), "left")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("ccomp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("node"), col("component").as("old")), "node")
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

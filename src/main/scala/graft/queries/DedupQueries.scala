@@ -360,7 +360,44 @@ object DedupQueries {
     jaccardAdaptive(documents(s, d).repartition(s.sparkContext.defaultParallelism)).result
   }
 
+  /** Dedup CLUSTERING: near-dup pairs are transitive in intent (A≈B, B≈C
+    * ⇒ keep one of {A,B,C}), so canonical selection runs connected
+    * components over the pair graph — here the SimHash near-dup pairs,
+    * clustered by [[graft.operators.ConnectedComponents]] (iterative
+    * min-label propagation, one shuffle per round, diameter-bounded).
+    * The oracle replays components with a recursive CTE over the SAME
+    * pair SQL. Output: every paired doc, its cluster id (min doc id in
+    * the component), and whether it is the canonical survivor. */
+  val qDedupClusters: Q = Q.sql(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |${qDedupSimhash.oracle.get}
+       |), e2 AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2, id1 FROM pairs
+       |), walk AS (
+       |  SELECT a AS node, a AS label FROM e2
+       |  UNION
+       |  SELECT e2.a AS node, walk.label FROM e2 JOIN walk ON e2.b = walk.node
+       |)
+       |SELECT node AS doc_id,
+       |  CAST(min(label) AS BIGINT) AS cluster,
+       |  CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM walk GROUP BY node
+       |ORDER BY doc_id""".stripMargin,
+    doc = "dedup clustering: connected components over SimHash near-dup pairs") { (s, d) =>
+    val pairs = qDedupSimhash.run(s, d).select(col("id1"), col("id2"))
+    graft.operators.ConnectedComponents
+      .components(pairs)
+      .select(
+        col("node").as("doc_id"),
+        col("component").cast("long").as("cluster"),
+        when(col("node") === col("component"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
-      qJaccardAdaptive)
+      qJaccardAdaptive, qDedupClusters)
 }
