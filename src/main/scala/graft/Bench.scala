@@ -37,7 +37,10 @@ object Bench {
     // not the plan). Min-of-passes then drops this host's ±3 s background
     // spikes; the full pass list is reported so a plan-cost problem (slow
     // in every pass) is distinguishable from one contended pass.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // 3 passes: BENCH_r03 caught a host-contention window long enough to
+    // cover BOTH of 2 timed passes (q_jaccard_ngram 7.1/8.4 s vs 1.5-2.4 s
+    // warm locally) — a third pass gives min-of-passes a clean shot
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.registry.map { q =>
       val times = (0 to passes).map { i =>
         // drop caches a query persisted internally (LSH signature tables):
@@ -50,18 +53,33 @@ object Bench {
       }.drop(1) // pass 0 = warmup, untimed
       q.name -> times
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + f"""\":${v.min}%.3f""" }
-      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line found there; sbt appends a ~75-char "[success] Total time"
+    // trailer after it. BENCH_r03 exceeded that budget (the inline "passes"
+    // map doubled the line) and arrived as parsed:null — so the stdout line
+    // stays compact (adaptive decimal precision, no passes), and the full
+    // per-pass detail goes to a repo file instead.
+    def line(prec: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v.min) }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = (3 to 1 by -1).map(line).find(_.length <= 1900).getOrElse(line(1))
     // every pass, not just the min: a plan-cost problem is slow in ALL
-    // passes; a host-contention spike is one outlier — readers of this
-    // JSON can tell the two apart without rerunning
+    // passes; a host-contention spike is one outlier — written to a file so
+    // the stdout line stays within the driver's tail budget
     val ps = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_PASSES.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(f"""{"total":$total%.3f,"passes":$ps,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    println(out)
     spark.stop()
   }
 }

@@ -38,8 +38,14 @@ object ConnectedComponents {
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // round 0 fused into initialization: label = min(self, direct
+    // neighbors) is exactly what the first propagation round would
+    // compute, for the cost of one aggregation instead of a full
+    // join+checkpoint+count round (per-round fixed overhead dominates
+    // this operator at small scale)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
