@@ -14,8 +14,8 @@ object SparkEntry {
   /** All registered verifiable queries, grouped by domain. */
   def registry: Seq[Q] =
     CoreQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      ExtraQueries.all
+      TextQueries.all ++ RankQueries.all ++ StatsQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ ExtraQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.Tables._
+import graft.text.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relevance / language-model scoring operators over `documents` — the
+  * ranking and model-based-quality half of a training-data pipeline:
+  * TF-IDF term weighting, BM25 retrieval scoring, bigram-LM perplexity
+  * scoring, within-document repetition measurement, and deterministic
+  * train/val/test splitting.
+  *
+  * Scale design: every operator is explode → hash-shuffle aggregate →
+  * (small) join, the classic inverted-index shape. Corpus-level statistics
+  * (document count, vocabulary size, average doc length) are single-row
+  * aggregates crossed in via broadcast — never a driver collect. Float
+  * parity with the DuckDB oracle: products/logs are computed with the
+  * same association order on both sides and only rounded at the output
+  * edge; per-document log-prob sums use an explicit position-ordered fold
+  * (partial-aggregation order on doubles is not deterministic, a sorted
+  * fold is).
+  */
+object RankQueries {
+
+  /** Word bigrams from a materialized token array (guarded like
+    * [[graft.text.TextFunctions.shinglesOf]]: <2 tokens → empty, matching
+    * DuckDB's empty generate_series(1, 0)). */
+  private def bigramsOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(
+      size(w) >= 2,
+      transform(
+        sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  private val bigramsSql =
+    s"list_transform(generate_series(1, len($tokensSql) - 1), i -> $tokensSql[i] || ' ' || $tokensSql[i+1])"
+
+  /** TF-IDF: top-3 terms per document, idf = ln((N+1)/(df+1)).
+    *
+    * One shuffle on (doc_id, term) for tf, one on term for df, a term-key
+    * join (1:N fan-out — no quadratic bucket even on stop-words), and a
+    * per-document window for the top-k. N arrives via a broadcast
+    * single-row aggregate, not a driver collect. */
+  val qTfidf: Q = Q.sql(
+    "q_tfidf",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS s,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) DESC, tf.term) AS rk
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk, round(s, 6) AS tfidf
+       |FROM scored WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin,
+    doc = "TF-IDF top-3 terms per doc (inverted-index shuffles + top-k window)") { (s, d) =>
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"),
+        round(score, 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** BM25 (k1 = 1.2, b = 0.75) of a fixed 3-term query, top-50 documents.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term scores are summed
+    * in FIXED term order (s1 + s2 + s3 via conditional aggregation, not a
+    * float sum over an unordered group) so both engines add identically.
+    * avgdl / N / df are broadcast single-row aggregates. */
+  val qBm25: Q = {
+    val terms = Seq("spark", "join", "window")
+    val k1 = "1.2"; val b = "0.75"
+    def sqlTermScore(t: String) =
+      s"""coalesce(max(CASE WHEN term = '$t' THEN
+         |    ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1 + $k1)
+         |      / (tf + $k1 * (1 - $b + $b * dl / avgdl)) END), 0.0)""".stripMargin
+    Q.sql(
+      "q_bm25",
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS dl FROM documents
+         |), stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs
+         |), toks AS (
+         |  SELECT doc_id, unnest($tokensSql) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE term IN (${terms.map(t => s"'$t'").mkString(",")}) GROUP BY 1, 2
+         |), df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), parts AS (
+         |  SELECT tf.doc_id,
+         |    ${terms.map(t => s"${sqlTermScore(t)} AS s_$t").mkString(",\n    ")}
+         |  FROM tf JOIN df USING (term) JOIN docs ON tf.doc_id = docs.doc_id
+         |  CROSS JOIN stats
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(${terms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25
+         |FROM parts
+         |ORDER BY ${terms.map(t => s"s_$t").mkString(" + ")} DESC, doc_id
+         |LIMIT 50""".stripMargin,
+      doc = "BM25 top-50 docs for a fixed 3-term query (broadcast corpus stats)") { (s, d) =>
+      val docsAll = documents(s, d).transform(graft.Tables.spread(s, _))
+      val docs = docsAll.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val toks = docsAll.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks
+        .filter(col("term").isInCollection(terms))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val termScore = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * (lit(1) + lit(1.2)) /
+        (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      val termCols = terms.map(t =>
+        coalesce(max(when(col("term") === t, termScore)), lit(0.0)).as(s"s_$t"))
+      val parts = tf.join(dfT, "term")
+        .join(docs, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(termCols.head, termCols.tail: _*)
+      val total = terms.map(t => col(s"s_$t")).reduce(_ + _)
+      parts
+        .select(col("doc_id"), round(total, 6).as("bm25"), total.as("raw"))
+        .orderBy(col("raw").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("bm25"))
+    }
+  }
+
+  /** Bigram language-model scoring — the model-based quality filter: train
+    * add-one-smoothed bigram probabilities on the corpus itself, then score
+    * every document by its average negative log-likelihood (≈ log
+    * perplexity). p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V).
+    *
+    * The per-document Σ ln p runs as a POSITION-ORDERED fold over the
+    * document's bigrams (sort_array + aggregate), not a float sum over an
+    * unordered group — partial-aggregation order would wobble the last
+    * ulp; the ordered fold is bit-deterministic in both engines. Counts
+    * and V are exact integers; each ln is one deterministic double op. */
+  val qBigramLm: Q = Q.sql(
+    "q_bigram_lm",
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($bigramsSql) AS g,
+       |    generate_subscripts($bigramsSql, 1) AS pos
+       |  FROM documents
+       |), c2 AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+       |), c1 AS (
+       |  SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+       |  FROM c2 GROUP BY 1
+       |), v AS (
+       |  SELECT count(DISTINCT t) AS v FROM (
+       |    SELECT unnest($tokensSql) AS t FROM documents)
+       |), scored AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+       |  FROM bg JOIN c2 USING (g)
+       |    JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+       |    CROSS JOIN v
+       |), folded AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    list_reduce(list_prepend(0.0, list(lp ORDER BY pos)), (a, x) -> a + x) AS s
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_nll
+       |FROM folded
+       |ORDER BY doc_id""".stripMargin,
+    doc = "bigram-LM perplexity scoring (add-one smoothing, ordered log-prob fold)") { (s, d) =>
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(bigramsOf(col("w"))).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(split(col("g"), " ").getItem(0).as("w1")).agg(sum(col("c2")).as("c1"))
+    val v = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
+    val scored = bg
+      .join(c2, "g")
+      .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"), lp.as("lp"))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("lp")))), x => x("lp")),
+          lit(0.0),
+          (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition — the Gopher-style repetition filter:
+    * duplicate-bigram fraction and the hottest bigram's count per doc.
+    * Integer counts and one exact division; explode + two hash shuffles. */
+  val qRepNgram: Q = Q.sql(
+    "q_rep_ngram",
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($bigramsSql) AS g FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_rep
+       |  FROM cnt GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(p.n_distinct, 0) AS n_distinct,
+       |  CASE WHEN p.n_bigrams > 0
+       |    THEN round(CAST(p.n_bigrams - p.n_distinct AS DOUBLE) / p.n_bigrams, 6) END AS dup_frac,
+       |  coalesce(p.top_rep, 0) AS top_rep
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin,
+    doc = "repetition filter: duplicate-bigram fraction per doc") { (s, d) =>
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    val cnt = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramsOf(col("w"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val perDoc = cnt.groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_rep"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_bigrams") > 0,
+          round((col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"), 6))
+          .as("dup_frac"),
+        coalesce(col("top_rep"), lit(0L)).as("top_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split — reproducible-data-mix parity
+    * with [[graft.operators.Sampling]]: the bucket is a pure function of
+    * the CONTENT fingerprint (first md5 byte, decoded portably via hex
+    * char positions), so membership survives re-partitioning, re-runs,
+    * and engine changes, and moves with the document if ids are
+    * reassigned. 80/10/10 by bucket mod 10. Narrow per-row map. */
+  val qHashSplit: Q = Q.sql(
+    "q_hash_split",
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    CAST(((strpos('0123456789abcdef', substr(fp, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(fp, 2, 1)) - 1)) % 10 AS BIGINT) AS bucket
+      |  FROM h
+      |)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM b
+      |ORDER BY doc_id""".stripMargin,
+    doc = "deterministic train/val/test split from the content fingerprint") { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        // first fingerprint byte, decoded from its 2 hex chars (the oracle
+        // spells the same decode with strpos arithmetic — DuckDB has no conv)
+        (conv(substring(col("fp"), 1, 2), 16, 10).cast("long") % 10).as("bucket"))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-statistics operators — the profiling pass a data pipeline
+  * runs before deciding filters and normalizations: exact percentiles,
+  * correlation/covariance, and per-group feature scaling.
+  *
+  * Scale design: percentiles use Spark's exact `percentile` (sort-based
+  * within group — per-group data must fit a partition, which holds for
+  * per-flag/per-type groupings; the approx sketch variant lives in
+  * q_approx_aggs). Correlation/covariance are one-pass co-moment
+  * aggregates (partial+final, no sort). Feature scaling joins each row
+  * against broadcast per-group moments — two scans, no window over the
+  * whole fact table.
+  */
+object StatsQueries {
+
+  /** Exact interpolated percentiles of l_extendedprice per return flag.
+    * Both engines define p-quantile at rank p·(n−1) with linear
+    * interpolation, so values match to rounding. */
+  val qPercentiles: Q = Q.sql(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "exact interpolated percentiles per group (sort-based, per-group bounded)") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pearson correlation + sample covariance/stddev of quantity vs price
+    * per return flag — one-pass co-moment aggregation in both engines. */
+  val qCorrStats: Q = Q.sql(
+    "q_corr_stats",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "correlation / covariance / stddev per group (one-pass co-moments)") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-event-type feature scaling: z-score and min-max normalization of
+    * `value`. Group moments come from ONE aggregation broadcast back onto
+    * the fact rows (at 100 TB: a tiny dimension join, not a window sort
+    * over every row). */
+  val qFeatureScale: Q = Q.sql(
+    "q_feature_scale",
+    """WITH m AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+      |    min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type,
+      |  round(e.value, 6) AS value,
+      |  round((e.value - m.mu) / m.sd, 6) AS zscore,
+      |  round((e.value - m.mn) / (m.mx - m.mn), 6) AS minmax
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |ORDER BY e.event_id""".stripMargin,
+    doc = "feature scaling: z-score + min-max per event type (broadcast moments)") { (s, d) =>
+    val ev = events(s, d)
+    val m = ev.groupBy(col("event_type").as("mtype")).agg(
+      avg(col("value")).as("mu"),
+      stddev_samp(col("value")).as("sd"),
+      min(col("value")).as("mn"),
+      max(col("value")).as("mx"))
+    ev.join(broadcast(m), col("event_type") === col("mtype"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 6).as("value"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("zscore"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6).as("minmax"))
+      .orderBy("event_id")
+  }
+
+  /** Doc-length histogram: fixed 100-char bins over n_chars — the
+    * length-filter design pass. Pure integer arithmetic. */
+  val qLenHist: Q = Q.sql(
+    "q_len_hist",
+    """SELECT CAST(n_chars // 100 AS BIGINT) AS bin,
+      |  CAST(n_chars // 100 * 100 AS BIGINT) AS lo,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY bin""".stripMargin,
+    doc = "document-length histogram (fixed-width integer bins)") { (s, d) =>
+    documents(s, d)
+      .groupBy(
+        floor(col("n_chars") / 100).cast("long").as("bin"),
+        (floor(col("n_chars") / 100) * 100).cast("long").as("lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist)
+}
