@@ -397,7 +397,49 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Shingle CONTAINMENT — the asymmetric cousin of Jaccard that catches
+    * near-SUPERSETS (a doc whose text swallows another doc's: boilerplate
+    * wrapping, quote-and-extend, template stuffing). J(A,B) stays low when
+    * |A| ≪ |B| even if A ⊂ B; C = |A∩B| / min(|A|,|B|) is 1.0 there.
+    * Same inverted-index join shape as [[qJaccardNgram]] (and the same
+    * skew caveat → [[jaccardPrefixJoin]] hardening applies); integer
+    * counts + one exact division, so the oracle matches bit-for-bit. */
+  val qContainment: Q = Q.sql(
+    "q_containment",
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents
+       |), ex AS (
+       |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id1, id2, inter,
+       |  round(CAST(inter AS DOUBLE) / least(n1, n2), 6) AS containment,
+       |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / least(n1, n2) >= 0.8
+       |ORDER BY id1, id2""".stripMargin,
+    doc = "near-superset detection: shingle containment >= 0.8 (inverted-index join)") { (s, d) =>
+    val ex = shingleSets(documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    val cont = col("inter").cast("double") / least(col("n1"), col("n2"))
+    val jac = round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6)
+    ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(cont >= 0.8)
+      .select(col("id1"), col("id2"), col("inter"),
+        round(cont, 6).as("containment"), jac.as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
-      qJaccardAdaptive, qDedupClusters)
+      qJaccardAdaptive, qDedupClusters, qContainment)
 }

@@ -464,5 +464,87 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize)
+  val PqBlocks = 8
+  val PqSubDim = Dim / PqBlocks // 8 dims per sub-block
+  val PqCents = 16 // codebook entries per block (vec_id < 16, like IVF fixed cells)
+
+  /** Product quantization — the standard ANN compression: each vector
+    * splits into [[PqBlocks]] sub-vectors, each encoded as the id of its
+    * nearest codebook centroid, so a 64-dim float vector becomes 8 small
+    * codes (64× compression at scale).
+    *
+    * Scale design: the codebook is a fixed tiny table (here the first
+    * [[PqCents]] vectors' sub-blocks, the same deterministic convention as
+    * the IVF fixed cells — a trained codebook would plug in identically)
+    * broadcast against the corpus exploded to one row per (vector, block):
+    * a narrow broadcast join, no shuffle proportional to the corpus.
+    * Distances are position-ordered left folds, so Spark and DuckDB agree
+    * bit-for-bit; per-block argmin ties break on centroid id. */
+  val qEmbedPq: Q = Q.sql(
+    "q_embed_pq", {
+      val codeCols = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN cid END) AS c$b")
+        .mkString(",\n  ")
+      val errSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN d2 END)")
+        .mkString(" + ")
+      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |blocked AS (
+         |  SELECT vec_id, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS x
+         |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
+         |), cents AS (
+         |  SELECT vec_id AS cid, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS c
+         |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
+         |  WHERE vec_id < $PqCents
+         |), dists AS (
+         |  SELECT vec_id, blocked.b, cid,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, $PqSubDim),
+         |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y) AS d2,
+         |    row_number() OVER (PARTITION BY vec_id, blocked.b
+         |      ORDER BY list_reduce(list_prepend(0.0,
+         |        list_transform(generate_series(1, $PqSubDim),
+         |          i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y), cid) AS rn
+         |  FROM blocked JOIN cents ON blocked.b = cents.b
+         |), best AS (
+         |  SELECT vec_id, b, CAST(cid AS BIGINT) AS cid, d2 FROM dists WHERE rn = 1
+         |)
+         |SELECT vec_id,
+         |  $codeCols,
+         |  round($errSum, 6) AS sqerr
+         |FROM best GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin
+    },
+    doc = s"product quantization: $PqBlocks blocks × $PqCents-entry codebook, broadcast assign") {
+    (s, d) =>
+      val vecsAll = embeddings(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      def blockify(df: DataFrame, idAs: String): DataFrame = df.select(
+        col("vec_id").as(idAs),
+        explode(array((0 until PqBlocks).map(b =>
+          struct(lit(b).as("b"), slice(col("v"), b * PqSubDim + 1, PqSubDim).as("s"))): _*))
+          .as("e"))
+        .select(col(idAs), col("e.b").as("b"), col("e.s").as("s"))
+      val blocked = blockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
+      val cents = blockify(vecsAll.filter(col("vec_id") < PqCents), "cid")
+        .withColumnRenamed("s", "c")
+      // position-ordered left fold — the same accumulation order as the
+      // oracle's list_reduce, so distances are bit-identical
+      val d2 = aggregate(
+        zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, y) => acc + y)
+      val w = Window.partitionBy(col("vec_id"), col("b")).orderBy(col("d2"), col("cid"))
+      val best = blocked.join(broadcast(cents), "b")
+        .select(col("vec_id"), col("b"), col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val codeCols = (0 until PqBlocks).map(b =>
+        max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
+      val errSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("d2")))).reduce(_ + _)
+      best.groupBy(col("vec_id"))
+        .agg(codeCols.head, (codeCols.tail :+ round(errSum, 6).as("sqerr")): _*)
+        .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq)
 }
