@@ -9,14 +9,24 @@ import org.apache.spark.sql.functions._
   * survives of {A,B,C}), so canonical selection needs components, not
   * pairs.
   *
-  * Algorithm: iterative minimum-label propagation. Every node starts
-  * labeled with itself; each round every node takes the min of its own
-  * and its neighbors' labels; stop when a round changes nothing. Rounds
-  * needed = graph diameter (near-dup clusters are small and dense, so
-  * a handful); each round is one shuffle on the edge key — the standard
-  * large-scale CC shape on Spark (GraphFrames does the same dance). The
-  * driver only ever sees the per-round change COUNT (one long), never
-  * the data.
+  * Algorithm: iterative minimum-label propagation with pointer doubling.
+  * Every node starts labeled with itself; each round every node takes the
+  * min of its own and its neighbors' labels, then jumps to its label's
+  * label; stop when a round changes nothing — O(log diameter) rounds,
+  * each a constant number of hash shuffles on the (post-LSH, corpus-≪)
+  * pair graph. The driver only ever sees one aggregate per round (the
+  * label-sum convergence probe), never the data.
+  *
+  * Round cost engineering (this operator is fixed-overhead-bound at
+  * small scale, shuffle-bound at 100 TB — both favor fewer stages):
+  *   - self-loops are added during symmetrization, so a node's own label
+  *     rides the same neighbor-min aggregation and the hop is ONE join +
+  *     ONE groupBy — no separate "keep my own label" left-join per round;
+  *   - labels only ever decrease, so Σ(labels) is strictly monotone and
+  *     "sum unchanged" ⟺ "no node changed": convergence is a cheap
+  *     aggregate over the just-checkpointed frame, not a join against the
+  *     previous round;
+  *   - every round localCheckpoints (lineage MUST truncate — see below).
   */
 object ConnectedComponents {
 
@@ -27,39 +37,39 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
-    // symmetrize once. Iterative DataFrame algorithms MUST truncate
-    // lineage each round (localCheckpoint): otherwise every iteration's
-    // logical plan embeds the previous one's and Catalyst re-analysis
-    // grows without bound (measured: the loop "hangs" in planning after a
-    // few rounds) — the same reason GraphFrames checkpoints. Checkpointing
-    // also mints fresh attribute ids, so sym⋈labels is never a
-    // same-lineage self-join.
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    // materialize the pair list ONCE: the caller's edge frame is typically
+    // the whole near-dup detection pipeline, and the 4-branch
+    // symmetrization below would otherwise re-run it per branch
+    val e = edges.localCheckpoint(true)
+    // symmetrize once, with self-loops. Iterative DataFrame algorithms
+    // MUST truncate lineage each round (localCheckpoint): otherwise every
+    // iteration's logical plan embeds the previous one's and Catalyst
+    // re-analysis grows without bound (measured: the loop "hangs" in
+    // planning after a few rounds) — the same reason GraphFrames
+    // checkpoints. Checkpointing also mints fresh attribute ids, so
+    // sym⋈labels is never a same-lineage self-join.
+    val sym = e.select(col(src).as("a"), col(dst).as("b"))
+      .union(e.select(col(dst).as("a"), col(src).as("b")))
+      .union(e.select(col(src).as("a"), col(src).as("b")))
+      .union(e.select(col(dst).as("a"), col(dst).as("b")))
       .distinct()
       .localCheckpoint(true)
-    // round 0 fused into initialization: label = min(self, direct
-    // neighbors) is exactly what the first propagation round would
-    // compute, for the cost of one aggregation instead of a full
-    // join+checkpoint+count round (per-round fixed overhead dominates
-    // this operator at small scale)
+    // round 0 fused into initialization: with self-loops in sym, the
+    // neighbor-min aggregation IS "min(self, direct neighbors)" — exactly
+    // the first propagation round, for one aggregation.
     var labels = sym.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("nmin"))
-      .select(col("node"), least(col("node"), col("nmin")).as("component"))
+      .agg(min(col("b")).as("component"))
       .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("component"))).first().getLong(0)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // neighbor labels: node b's candidates = labels of its neighbors a
-      val neighborMin = sym
+    var changed = true
+    while (changed && iter < maxIter) {
+      // hop: every node takes min over its neighborhood's labels (own
+      // label included via the self-loop)
+      val hop = sym
         .join(labels, sym("a") === labels("node"))
-        .groupBy(col("b").as("node2"))
-        .agg(min(col("component")).as("nmin"))
-      val hop = labels
-        .join(neighborMin, labels("node") === col("node2"), "left")
-        .select(
-          col("node"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .groupBy(col("b").as("node"))
+        .agg(min(col("component")).as("component"))
       // pointer doubling: also jump to the label OF the current label
       // (labels are node ids, so it's a self-lookup). Propagation distance
       // doubles per round → O(log diameter) rounds instead of O(diameter)
@@ -71,10 +81,12 @@ object ConnectedComponents {
           col("node"),
           least(col("component"), coalesce(col("ccomp"), col("component"))).as("component"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("component").as("old")), "node")
-        .filter(col("component") =!= col("old"))
-        .count()
+      // labels are node ids and only ever decrease, so the label sum is
+      // strictly monotone decreasing until convergence: sum unchanged ⟺
+      // fixed point. One aggregate over checkpointed data, no join.
+      val s = next.agg(sum(col("component"))).first().getLong(0)
+      changed = s != prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
