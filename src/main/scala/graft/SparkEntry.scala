@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all ++
       TextQueries.all ++ RankQueries.all ++ StatsQueries.all ++
+      PrepQueries.all ++ LayoutQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ ExtraQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

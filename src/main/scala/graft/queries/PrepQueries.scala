@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables._
+import graft.text.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: sequence chunking, sequence
+  * packing, eval-set decontamination, and snapshot merge/upsert — the
+  * steps between "clean corpus" and "token stream a trainer reads".
+  *
+  * Scale design: chunking is a narrow per-row map + generate (no
+  * shuffle); packing is a per-shard running sum (shard count scales with
+  * data, so no global-order window ever exists); decontamination
+  * broadcasts the SMALL eval side's n-grams against the corpus
+  * (inverted-index semi-structure, never corpus×corpus); merge is one
+  * full-outer join on the key.
+  */
+object PrepQueries {
+
+  /** Chunk window/stride in tokens: 8-token overlap between consecutive
+    * chunks, the standard sliding-window training-sequence prep. */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** Sliding token-window chunking: split every document into
+    * (window=32, stride=24) token chunks — the map from documents to
+    * fixed-length training sequences with overlap. Pure per-row
+    * transform + generate: no shuffle anywhere, trivially linear at
+    * 100 TB. Chunk count = 1 + ceil(max(n-W,0)/S), so every doc emits at
+    * least one chunk and the last chunk is the only short one. */
+  val qChunk: Q = Q.sql(
+    "q_chunk", {
+      val W = ChunkWindow; val S = ChunkStride
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    list_transform(
+         |      generate_series(0, CAST(floor((greatest(len(w) - $W, 0) + ${S - 1}) / $S.0) AS BIGINT)),
+         |      i -> array_to_string(list_slice(w, i*$S + 1, i*$S + $W), ' ')) AS chunks
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+         |  CAST(least($W, n - (generate_subscripts(chunks, 1) - 1) * $S) AS BIGINT) AS n_tok,
+         |  unnest(chunks) AS chunk
+         |FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    doc = "sliding token-window chunking (window 32 / stride 24, no shuffle)") { (s, d) =>
+    val W = ChunkWindow; val S = ChunkStride
+    val t = documents(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
+    val nChunks = (floor((greatest(size(col("w")) - W, lit(0)) + (S - 1)) / lit(S.toDouble))
+      .cast("long") + 1).as("nc")
+    t.select(col("doc_id"), col("w"), size(col("w")).as("n"), nChunks)
+      .select(
+        col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), col("nc") - 1),
+          i => array_join(slice(col("w"), (i * S + 1).cast("int"), lit(W)), " "))).as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(W.toLong), col("n") - col("chunk_id") * S).cast("long").as("n_tok"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Packing capacity in tokens — a power of two so the bin assignment is
+    * pure bit arithmetic on both engines. */
+  val PackCap = 256
+  val PackShards = 8
+
+  /** Sequence packing: concatenate each shard's documents (in doc_id
+    * order) into one token stream and cut it at 256-token boundaries —
+    * the concat-and-cut packing an LLM data loader performs. Every doc
+    * gets its sequence id (bin), offset within the bin, and whether it
+    * straddles a cut.
+    *
+    * Scale design: the running sum is windowed PER SHARD, never global —
+    * here 8 fixed shards for a toy corpus; at 100 TB the shard key is
+    * hash(doc) % nOutputShards with nOutputShards scaled so one shard ≈
+    * one output file, which keeps every window partition-sized. A global
+    * ORDER BY window (single partition pulling the corpus) never
+    * appears. */
+  val qPack: Q = Q.sql(
+    "q_pack", {
+      val C = PackCap
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard, len($tokensSql) AS n_tok
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(excl >> 8 AS BIGINT) AS seq_id,
+         |  CAST(excl & ${C - 1} AS BIGINT) AS seq_off,
+         |  CAST(CASE WHEN ((excl + n_tok - 1) >> 8) > (excl >> 8) THEN 1 ELSE 0 END AS BIGINT)
+         |    AS spans_boundary
+         |FROM x
+         |ORDER BY doc_id""".stripMargin
+    },
+    doc = "sequence packing: per-shard concat-and-cut at 256-token boundaries") { (s, d) =>
+    val C = PackCap
+    val t = documents(s, d).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(PackShards)).as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("shard").cast("long").as("shard"),
+        col("n_tok"),
+        shiftright(col("excl"), 8).as("seq_id"),
+        col("excl").bitwiseAND(C - 1).as("seq_off"),
+        when(shiftright(col("excl") + col("n_tok") - 1, 8) > shiftright(col("excl"), 8), 1L)
+          .otherwise(0L).as("spans_boundary"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval docs = every 97th doc — stands in for the held-out benchmark
+    * set a decontamination pass guards. */
+  val EvalMod = 97
+
+  /** Eval-set decontamination: find corpus documents sharing ≥ 2 distinct
+    * word 5-grams with any eval-set document — the leakage scan run
+    * before training so benchmark text is filtered from the corpus.
+    *
+    * Scale design: the eval side is tiny by construction, so its distinct
+    * 5-grams BROADCAST to every executor and the corpus-side scan is one
+    * narrow pass + broadcast-hash join — the corpus is never shuffled,
+    * and corpus×corpus never happens. At a 100 TB corpus this stays one
+    * read; eval-gram growth only grows the broadcast (MBs for real
+    * benchmark suites). */
+  val qDecontaminate: Q = Q.sql(
+    "q_decontaminate",
+    s"""WITH ev AS (
+       |  SELECT doc_id AS eval_id, g FROM (
+       |    SELECT doc_id, unnest(list_distinct($gram5Sql)) AS g
+       |    FROM documents WHERE doc_id % $EvalMod = 0)
+       |), evn AS (
+       |  SELECT eval_id, CAST(count(*) AS BIGINT) AS ev_grams FROM ev GROUP BY 1
+       |), co AS (
+       |  SELECT doc_id, unnest(list_distinct($gram5Sql)) AS g
+       |  FROM documents WHERE doc_id % $EvalMod <> 0
+       |), hits AS (
+       |  SELECT co.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM co JOIN ev USING (g)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT h.doc_id, h.eval_id, h.n_shared,
+       |  round(CAST(h.n_shared AS DOUBLE) / evn.ev_grams, 6) AS overlap_frac
+       |FROM hits h JOIN evn USING (eval_id)
+       |WHERE h.n_shared >= 2
+       |ORDER BY doc_id, eval_id""".stripMargin,
+    doc = "eval-set decontamination: ≥2 shared 5-grams vs broadcast eval grams") { (s, d) =>
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(gram5Of(col("w")))).as("g"))
+    val ev = grams(docs.filter(pmod(col("doc_id"), lit(EvalMod)) === 0))
+      .withColumnRenamed("doc_id", "eval_id")
+    val evn = ev.groupBy("eval_id").agg(count(lit(1)).as("ev_grams"))
+    val co = grams(docs.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0))
+    co.join(broadcast(ev), "g")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(broadcast(evn), "eval_id")
+      .select(
+        col("doc_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("ev_grams"), 6).as("overlap_frac"))
+      .orderBy("doc_id", "eval_id")
+  }
+
+  /** Snapshot size for [[qMergeUpsert]]: customers below this key form
+    * the existing target table, so event users at/above it become
+    * inserts. */
+  val MergeSnapshot = 10
+
+  /** Only purchases at/above this value count as balance changes — the
+    * threshold is picked so every SF exercises all three merge actions
+    * (update / insert / keep). */
+  val MergeMinValue = 200
+
+  /** MERGE / upsert: apply per-user purchase totals (the change stream)
+    * onto a customer balance snapshot (the target) — matched keys update,
+    * source-only keys insert, target-only keys keep. One full-outer hash
+    * join on the key; both sides pre-aggregated, so at 100 TB this is the
+    * standard CDC-merge shuffle with no row explosion. Money math runs in
+    * DECIMAL then rounds once at the edge (partial-sum order can't wobble
+    * the cents). */
+  val qMergeUpsert: Q = Q.sql(
+    "q_merge_upsert",
+    s"""WITH target AS (
+       |  SELECT c_custkey AS key, c_acctbal FROM customer WHERE c_custkey < $MergeSnapshot
+       |), source AS (
+       |  SELECT user_id AS key, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS delta
+       |  FROM events WHERE event_type = 'purchase' AND value >= $MergeMinValue GROUP BY 1
+       |)
+       |SELECT coalesce(t.key, s.key) AS key,
+       |  CASE WHEN t.key IS NOT NULL AND s.key IS NOT NULL THEN 'update'
+       |       WHEN t.key IS NULL THEN 'insert' ELSE 'keep' END AS action,
+       |  round(t.c_acctbal, 2) AS old_bal,
+       |  round(CASE WHEN t.key IS NOT NULL AND s.key IS NOT NULL THEN t.c_acctbal + s.delta
+       |             WHEN t.key IS NULL THEN s.delta ELSE t.c_acctbal END, 2) AS new_bal
+       |FROM target t FULL OUTER JOIN source s ON t.key = s.key
+       |ORDER BY key""".stripMargin,
+    doc = "CDC merge/upsert: change stream onto snapshot via one full-outer join") { (s, d) =>
+    val target = customer(s, d)
+      .filter(col("c_custkey") < MergeSnapshot)
+      .select(col("c_custkey").as("tkey"), col("c_acctbal"))
+    val source = events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") >= MergeMinValue)
+      .groupBy(col("user_id").as("skey"))
+      .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("delta"))
+    target.join(source, col("tkey") === col("skey"), "full_outer")
+      .select(
+        coalesce(col("tkey"), col("skey")).as("key"),
+        when(col("tkey").isNotNull && col("skey").isNotNull, "update")
+          .when(col("tkey").isNull, "insert")
+          .otherwise("keep").as("action"),
+        round(col("c_acctbal"), 2).as("old_bal"),
+        round(
+          when(col("tkey").isNotNull && col("skey").isNotNull, col("c_acctbal") + col("delta"))
+            .when(col("tkey").isNull, col("delta"))
+            .otherwise(col("c_acctbal")), 2).as("new_bal"))
+      .orderBy("key")
+  }
+
+  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert)
+}

@@ -126,6 +126,24 @@ object TextFunctions {
   val shinglesSql =
     s"list_transform(generate_series(1, len($tokensSql) - 2), i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2])"
 
+  /** Word 5-gram shingles from a materialized token array — the
+    * decontamination gram size (longer than dedup's 3-grams: eval-set
+    * leakage checks want high-precision phrase matches). Same short-doc
+    * guard as [[shinglesOf]]. */
+  def gram5Of(w: Column): Column =
+    when(
+      size(w) >= 5,
+      transform(
+        sequence(lit(1), size(w) - 4),
+        i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3), element_at(w, i + 4))))
+      .otherwise(array().cast("array<string>"))
+
+  val gram5Sql =
+    s"list_transform(generate_series(1, len($tokensSql) - 4), " +
+      s"i -> $tokensSql[i] || ' ' || $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3] || ' ' || $tokensSql[i+4])"
+
   /** MinHash value for seed `j`: the lexicographic minimum of the first 16
     * md5 hex chars of `j:shingle` — a fixed-width hex string, so string
     * order == unsigned integer order, portably. */

@@ -103,6 +103,32 @@ class PlanSpec extends AnyFunSuite {
       s"q_stratified_sample must read only (doc_id, lang)")
   }
 
+  test("q_chunk: narrow generate — no shuffle before the output sort") {
+    val p = plan(PrepQueries.qChunk)
+    // exactly one exchange: the deterministic ORDER BY of the gate output
+    assert("Exchange".r.findAllIn(p).size === 1, s"chunking itself must not shuffle")
+    assert(p.contains("Generate"))
+  }
+
+  test("q_decontaminate: eval grams broadcast; corpus side never shuffled for the join") {
+    val p = plan(PrepQueries.qDecontaminate)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "corpus×eval gram join must broadcast the eval side")
+  }
+
+  test("q_bloom_prune: might_contain filter sits on the fact scan") {
+    val p = plan(LayoutQueries.qBloomPrune)
+    assert(p.contains("might_contain"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_pack: running sum windows per shard, never a global-order window") {
+    val p = plan(PrepQueries.qPack)
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(shard"),
+      "pack window must partition by shard, not run globally")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
