@@ -234,5 +234,49 @@ object PrepQueries {
       .orderBy("key")
   }
 
-  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert)
+  /** Temperature-scaled data-mix design (α = 0.5): upsample tail
+    * languages, downsample the head — the multilingual-mixing rule
+    * (p_i ∝ n_i^α). Per-group doc counts come from one aggregation; the
+    * α-power uses `sqrt` (correctly-rounded IEEE, unlike general `pow`),
+    * and the normalizer Σ√n_i is an ORDERED fold over the collected
+    * group list (a handful of rows — the fold is for bit-determinism,
+    * not scale), so both engines produce identical doubles. `rate` is
+    * the per-group sampling rate that realizes the mix at corpus size:
+    * rate_i = mix_frac_i · N / n_i (> 1 ⇒ the group must repeat). */
+  val qTopicMix: Q = Q.sql(
+    "q_topic_mix",
+    """WITH s AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |    list_reduce(list_prepend(0.0, list(sqrt(n_docs) ORDER BY lang)),
+      |      (a, x) -> a + x) AS wsum
+      |  FROM s
+      |)
+      |SELECT s.lang, s.n_docs,
+      |  round(CAST(s.n_docs AS DOUBLE) / t.total, 6) AS nat_frac,
+      |  round(sqrt(s.n_docs) / t.wsum, 6) AS mix_frac,
+      |  round(sqrt(s.n_docs) / t.wsum * t.total / s.n_docs, 6) AS rate
+      |FROM s CROSS JOIN t
+      |ORDER BY lang""".stripMargin,
+    doc = "temperature-scaled language mixing weights (α=0.5, ordered-fold normalizer)") { (s, d) =>
+    val grp = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val t = grp.agg(
+      sum(col("n_docs")).as("total"),
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("lang"), col("n_docs")))),
+          x => sqrt(x("n_docs"))),
+        lit(0.0),
+        (a, x) => a + x).as("wsum"))
+    grp.crossJoin(broadcast(t))
+      .select(
+        col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 6).as("nat_frac"),
+        round(sqrt(col("n_docs")) / col("wsum"), 6).as("mix_frac"),
+        round(sqrt(col("n_docs")) / col("wsum") * col("total") / col("n_docs"), 6).as("rate"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix)
 }

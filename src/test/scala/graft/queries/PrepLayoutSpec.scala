@@ -97,6 +97,18 @@ class PrepLayoutSpec extends AnyFunSuite {
     assert(a == li.join(dim, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("q_topic_mix: weights normalize; tail languages upsample, head downsamples") {
+    val rows = PrepQueries.qTopicMix.run(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("mix_frac")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("nat_frac")).sum - 1.0) < 1e-4)
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"))).toMap
+    val (maxLang, _) = byLang.maxBy(_._2._1)
+    val (minLang, _) = byLang.minBy(_._2._1)
+    assert(byLang(maxLang)._2 < 1.0, "most-common language must downsample")
+    assert(byLang(minLang)._2 > 1.0, "rarest language must upsample")
+  }
+
   test("q_merge_upsert: action classes partition the key space") {
     val rows = PrepQueries.qMergeUpsert.run(spark, sf).collect()
     val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
