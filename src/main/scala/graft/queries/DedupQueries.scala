@@ -439,7 +439,79 @@ object DedupQueries {
       .orderBy("id1", "id2")
   }
 
+  /** INCREMENTAL dedup: a new batch (odd doc ids — "today's crawl")
+    * deduped against the existing corpus (even doc ids — "all previous
+    * snapshots") without ever comparing the base corpus to itself.
+    *
+    * The base side's (band, bits) table is the persisted dedup INDEX a
+    * real pipeline maintains: built once per snapshot, appended as
+    * batches are accepted. Each new batch computes its own band table
+    * and equi-joins the index — work scales with |batch| × bucket hit
+    * rate, not |corpus|², and by the 4-band pigeonhole the join finds
+    * EXACTLY the pairs within hamming ≤ 3 (same guarantee as
+    * [[qDedupSimhash]]). Output: every batch doc with a base match —
+    * how many base docs it collides with, the earliest one, and the
+    * closest distance. */
+  val qDedupIncremental: Q = Q.sql(
+    "q_dedup_incremental", {
+      val sigInt = "CAST(list_sum(list_transform(generate_series(1, 32), " +
+        "i -> CASE WHEN substr(sig, i, 1) = '1' THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT)"
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, si, $b AS band, substr(sig, ${8 * b + 1}, 8) AS bv FROM sigs")
+        .mkString("\nUNION ALL\n")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, $tokenHashesSql AS hs FROM documents
+         |), sigs0 AS (
+         |  SELECT doc_id, ${simhashOfSql("hs")} AS sig FROM hashed
+         |), sigs AS (
+         |  SELECT doc_id, sig, $sigInt AS si FROM sigs0
+         |), bands AS (
+         |$bandRows
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS batch_id,
+         |    CAST(bit_count(xor(a.si, b.si)) AS BIGINT) AS h
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |    AND bit_count(xor(a.si, b.si)) <= 3
+         |)
+         |SELECT batch_id AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_base_matches,
+         |  CAST(min(base_id) AS BIGINT) AS first_match,
+         |  CAST(min(h) AS BIGINT) AS min_hamming
+         |FROM pairs
+         |GROUP BY batch_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    doc = "incremental dedup: new batch vs persisted base-corpus band index") { (s, d) =>
+    val sigs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhashFast(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"), conv(col("sig"), 2, 10).cast("long").as("si"))
+    val bands = sigs
+      .select(
+        col("doc_id"), col("si"),
+        posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
+          .as(Seq("band", "bv")))
+    // base index: in production this is the PERSISTED table appended per
+    // accepted batch; here both sides derive from the same scan
+    val base = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("base_id"), col("si").as("base_si"), col("band"), col("bv"))
+    val batch = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
+    batch.join(base, Seq("band", "bv"))
+      .select(
+        col("base_id"), col("doc_id").as("batch_id"),
+        bit_count(col("base_si").bitwiseXOR(col("si"))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .distinct()
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_base_matches"),
+        min(col("base_id")).as("first_match"),
+        min(col("h")).as("min_hamming"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
-      qJaccardAdaptive, qDedupClusters, qContainment)
+      qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental)
 }

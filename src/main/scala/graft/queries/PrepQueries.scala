@@ -278,5 +278,33 @@ object PrepQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix)
+  /** Docs kept per language by [[qSampleK]]. */
+  val SampleK = 10
+
+  /** Deterministic k-per-group sampling: exactly 10 documents per
+    * language, chosen by CONTENT-hash order (md5 of the text, doc_id
+    * tiebreak) — reproducible across runs, engines, partitionings and id
+    * reassignment, the property a frozen eval/calibration split needs.
+    *
+    * Scale design: rank ≤ k over a per-group window lets Spark plan a
+    * `WindowGroupLimit` — each partition keeps only its running top-k
+    * per key BEFORE the shuffle, so no full per-language sort ever
+    * materializes (asserted in PlanSpec). */
+  val qSampleK: Q = Q.sql(
+    "q_sample_k",
+    s"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SampleK
+       |ORDER BY lang, rk""".stripMargin,
+    doc = "deterministic k-per-group sample via content-hash order (WindowGroupLimit)") { (s, d) =>
+    val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= SampleK)
+      .orderBy("lang", "rk")
+  }
+
+  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK)
 }

@@ -129,6 +129,12 @@ class PlanSpec extends AnyFunSuite {
       "pack window must partition by shard, not run globally")
   }
 
+  test("q_sample_k: per-group top-k plans as WindowGroupLimit, no full group sort") {
+    val p = plan(PrepQueries.qSampleK)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k filter must push a group limit below the window")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
