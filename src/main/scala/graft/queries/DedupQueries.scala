@@ -577,7 +577,45 @@ object DedupQueries {
       .orderBy("id1")
   }
 
+  /** End-to-end dedup RESULT: the cleaned corpus. Composes the whole
+    * near-dup pipeline — SimHash signatures → band LSH → exact hamming
+    * pairs → connected components → canonical survivors — and reports
+    * per-language totals: how many documents the corpus had, how many
+    * survive dedup (non-paired docs plus one canonical per cluster), and
+    * how many were removed. Identical docs hash to hamming 0, so exact
+    * duplicates collapse through the same path. This is the number a
+    * data team actually ships: corpus size before/after dedup by
+    * language. */
+  val qCorpusClean: Q = Q.sql(
+    "q_corpus_clean",
+    s"""WITH comp AS (
+       |${qDedupClusters.oracle.get}
+       |), removed AS (
+       |  SELECT doc_id FROM comp WHERE is_canonical = 0
+       |)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(*) FILTER (WHERE r.doc_id IS NULL) AS BIGINT) AS n_kept,
+       |  CAST(count(*) FILTER (WHERE r.doc_id IS NOT NULL) AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin,
+    doc = "cleaned-corpus report: per-language totals after near-dup dedup") { (s, d) =>
+    val removed = qDedupClusters.run(s, d)
+      .filter(col("is_canonical") === 0)
+      .select(col("doc_id").as("rid"))
+    documents(s, d)
+      .join(removed, col("doc_id") === col("rid"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("rid").isNull, 1)).as("n_kept"),
+        count(col("rid")).as("n_removed"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
-      qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental, qFuzzyVerify)
+      qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental, qFuzzyVerify,
+      qCorpusClean)
 }

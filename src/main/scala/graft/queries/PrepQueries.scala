@@ -306,5 +306,74 @@ object PrepQueries {
       .orderBy("lang", "rk")
   }
 
-  val all: Seq[Q] = Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK)
+  /** Realize the [[qTopicMix]] design: every document gets a
+    * deterministic copy count — floor(rate) whole copies plus one more
+    * iff its hash bucket falls under the fractional remainder (the same
+    * multiplicative-hash bucketing [[graft.operators.Sampling]] uses, so
+    * membership is reproducible and engine-independent). Summed per
+    * language, the realized corpus matches the designed mix to bucket
+    * resolution. Narrow map + one aggregation; the rate table is a
+    * broadcast of [[PackShards]]-scale rows. */
+  val qMixApply: Q = Q.sql(
+    "q_mix_apply", {
+      val B = graft.operators.Sampling.Buckets
+      s"""WITH s AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    list_reduce(list_prepend(0.0, list(sqrt(n_docs) ORDER BY lang)),
+         |      (a, x) -> a + x) AS wsum
+         |  FROM s
+         |), r AS (
+         |  SELECT s.lang,
+         |    CAST(floor(sqrt(s.n_docs) / t.wsum * t.total / s.n_docs) AS BIGINT) AS whole,
+         |    CAST(floor((sqrt(s.n_docs) / t.wsum * t.total / s.n_docs
+         |      - floor(sqrt(s.n_docs) / t.wsum * t.total / s.n_docs)) * $B) AS BIGINT) AS frac_bp
+         |  FROM s CROSS JOIN t
+         |), c AS (
+         |  SELECT d.lang, d.doc_id,
+         |    r.whole + CASE WHEN (d.doc_id * 2654435761) % $B < r.frac_bp THEN 1 ELSE 0 END
+         |      AS n_copies
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_realized,
+         |  CAST(sum(doc_id * n_copies) AS BIGINT) AS id_checksum
+         |FROM c GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+    doc = "realize the temperature mix: deterministic per-doc copy counts") { (s, d) =>
+    val B = graft.operators.Sampling.Buckets
+    val grp = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val t = grp.agg(
+      sum(col("n_docs")).as("total"),
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("lang"), col("n_docs")))),
+          x => sqrt(x("n_docs"))),
+        lit(0.0),
+        (a, x) => a + x).as("wsum"))
+    val rate = sqrt(col("n_docs")) / col("wsum") * col("total") / col("n_docs")
+    val r = grp.crossJoin(broadcast(t)).select(
+      col("lang").as("rlang"),
+      floor(rate).cast("long").as("whole"),
+      floor((rate - floor(rate)) * B).cast("long").as("frac_bp"))
+    documents(s, d)
+      .join(broadcast(r), col("lang") === col("rlang"))
+      .select(
+        col("lang"), col("doc_id"),
+        (col("whole") + when(
+          pmod(col("doc_id") * 2654435761L, lit(B.toLong)) < col("frac_bp"), 1L)
+          .otherwise(0L)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).cast("long").as("n_realized"),
+        sum(col("doc_id") * col("n_copies")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] =
+    Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply)
 }
