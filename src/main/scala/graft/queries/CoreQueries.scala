@@ -227,12 +227,12 @@ object CoreQueries {
     "q_except",
     """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
       |EXCEPT
-      |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0
+      |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0
       |ORDER BY c_custkey""".stripMargin,
     doc = "EXCEPT: automobile-segment customers minus big spenders") { (s, d) =>
     val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
     val big = orders(s, d)
-      .filter(col("o_totalprice") > 250000.0)
+      .filter(col("o_totalprice") > 400000.0)
       .select(col("o_custkey").as("c_custkey"))
     auto.except(big).orderBy("c_custkey")
   }

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.{GraftSession, SparkEntry}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide contract guards.
+  *
+  * The empty-result hole: if a query silently returns zero rows and its
+  * oracle (replaying equivalent SQL) ALSO returns zero rows, the
+  * driver's hash compare passes vacuously — a no-op query would grade
+  * as correct. Every registered query must therefore produce rows on
+  * the smallest fixture.
+  */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[8]")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate names: ${names.diff(names.distinct).distinct.mkString(",")}")
+  }
+
+  test("every query has a doc line and (oracle or explicit rows-only)") {
+    SparkEntry.registry.foreach { q =>
+      assert(q.doc.nonEmpty, s"${q.name} has no doc")
+    }
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(rowsOnly == Seq("q_approx_aggs"),
+      s"unexpected rows-only queries (weaker gate): $rowsOnly")
+  }
+
+  test("every registered query returns rows at sf0.001 (no vacuous gate)") {
+    val empty = SparkEntry.registry.flatMap { q =>
+      val n = q.run(spark, sf).limit(1).count()
+      if (n == 0) Some(q.name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: ${empty.mkString(",")}")
+  }
+}
