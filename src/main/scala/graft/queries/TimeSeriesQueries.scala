@@ -266,7 +266,81 @@ object TimeSeriesQueries {
       .orderBy("user_id", "s_start")
   }
 
+  /** SLIDING windows (width 1 h, slide 30 min): each event lands in
+    * exactly width/slide = 2 overlapping windows — the trailing-window
+    * dashboards and rate-limit checks that tumbling windows can't
+    * express. Spark's `window(ts, "1 hour", "30 minutes")` generates the
+    * per-event window memberships; the oracle replays them as the two
+    * epoch-aligned slide multiples in (t−width, t]. Exact decimal sums;
+    * still a hash aggregation with map-side combine (the generate just
+    * doubles rows), no analytic-window shuffle. */
+  val qSlidingWindow: Q = Q.sql(
+    "q_sliding_window", {
+      val slideUs = 1800L * 1000000
+      s"""WITH e AS (
+         |  SELECT ts, user_id, value,
+         |    unnest([
+         |      (epoch_us(ts) // $slideUs) * $slideUs - $slideUs,
+         |      (epoch_us(ts) // $slideUs) * $slideUs]) AS w_start_us
+         |  FROM events
+         |)
+         |SELECT make_timestamp(w_start_us) AS w_start,
+         |  make_timestamp(w_start_us + ${2 * slideUs}) AS w_end,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         |FROM e
+         |GROUP BY w_start_us
+         |ORDER BY w_start""".stripMargin
+    },
+    doc = "sliding windows (1h width / 30min slide) — overlapping tumbling via generate") { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("w_start")
+  }
+
+  /** Equi-DEPTH binning: NTILE(4) quartiles of price within each return
+    * flag — the histogram whose bins hold equal row counts (the
+    * complement of q_len_hist's equal-width bins). The tile assignment
+    * needs a total order, so ties break on the unique (orderkey,
+    * linenumber) — both engines then assign identical tiles. Output is
+    * the per-(flag, quartile) envelope, not the row stream. */
+  val qNtile: Q = Q.sql(
+    "q_ntile",
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ntile(4) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS q
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, CAST(q AS BIGINT) AS quartile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(min(l_extendedprice), 2) AS lo,
+      |  round(max(l_extendedprice), 2) AS hi
+      |FROM t GROUP BY l_returnflag, q
+      |ORDER BY l_returnflag, quartile""".stripMargin,
+    doc = "equi-depth quartiles via NTILE (deterministic tie-break)") { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), ntile(4).over(w).as("q"))
+      .groupBy(col("l_returnflag"), col("q").cast("long").as("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("l_returnflag", "quartile")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg, qSessionWindow)
+      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile)
 }
