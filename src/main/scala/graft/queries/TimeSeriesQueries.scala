@@ -312,7 +312,16 @@ object TimeSeriesQueries {
     * complement of q_len_hist's equal-width bins). The tile assignment
     * needs a total order, so ties break on the unique (orderkey,
     * linenumber) — both engines then assign identical tiles. Output is
-    * the per-(flag, quartile) envelope, not the row stream. */
+    * the per-(flag, quartile) envelope, not the row stream.
+    *
+    * Scale note, stated honestly: NTILE sorts each flag partition — 3
+    * giant sort tasks at 100 TB, the same hazard
+    * [[graft.operators.Quantiles]] exists to avoid. Exact-equal bin
+    * COUNTS inherently need that order; when approximate-equal depth is
+    * acceptable (nearly always at scale), compute the 3 cut points with
+    * `Quantiles.exact` (distributed range sort) and assign bins by
+    * comparison — a narrow map, no per-group sort. This query keeps the
+    * exact NTILE semantics because that is the operator being proved. */
   val qNtile: Q = Q.sql(
     "q_ntile",
     """WITH t AS (
