@@ -60,7 +60,10 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("component"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("component"))).first().getLong(0)
+    // sum() over an empty frame is SQL NULL — an edge frame with zero rows
+    // (LSH found no near-dup pairs) must yield an empty labels frame, not
+    // an NPE, so the convergence probe reads the aggregate as nullable.
+    var prevSum = labels.agg(coalesce(sum(col("component")), lit(0L))).first().getLong(0)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -84,7 +87,7 @@ object ConnectedComponents {
       // labels are node ids and only ever decrease, so the label sum is
       // strictly monotone decreasing until convergence: sum unchanged ⟺
       // fixed point. One aggregate over checkpointed data, no join.
-      val s = next.agg(sum(col("component"))).first().getLong(0)
+      val s = next.agg(coalesce(sum(col("component")), lit(0L))).first().getLong(0)
       changed = s != prevSum
       prevSum = s
       labels = next

@@ -511,12 +511,18 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Similarity bar for [[qFuzzyVerify]] and the matching global
-    * Levenshtein band: a pair passes at sim ≥ 0.8, i.e. d ≤ 0.2·maxlen;
-    * documents are ≤ ~600 normalized chars, so a distance above
-    * [[FuzzyBand]] can never belong to a passing pair. */
+  /** Similarity bar for [[qFuzzyVerify]] and the matching Levenshtein
+    * band: a pair passes at sim ≥ 0.8, i.e. d ≤ 0.2·maxlen. The banded
+    * distance is only lossless when 0.2·maxlen ≤ [[FuzzyBand]], i.e.
+    * maxlen ≤ [[FuzzyBandSafeLen]] — pairs longer than that fall back to
+    * the full DP per row (see [[qFuzzyVerify]]), so correctness never
+    * rests on an unenforced fixture-length assumption. */
   val FuzzySimBar = 0.8
   val FuzzyBand = 120
+
+  /** Longest pair (in max normalized chars) for which [[FuzzyBand]]
+    * provably cannot exclude a sim ≥ [[FuzzySimBar]] pair: 120/0.2 = 600. */
+  val FuzzyBandSafeLen: Int = (FuzzyBand / (1.0 - FuzzySimBar)).toInt
 
   /** Edit-distance VERIFICATION of the SimHash candidates — the
     * exact-verify stage a high-precision dedup pipeline runs last:
@@ -529,9 +535,12 @@ object DedupQueries {
     *     id tiebreak) — canonical-assignment verify, linear in docs,
     *     and the rank≤1 window plans as `WindowGroupLimit`;
     *   - Spark computes the distance BANDED (`levenshtein(l, r, 120)`,
-    *     O(len·band) with early exit, −1 beyond the band). The band
-    *     cannot exclude a passing pair (d ≤ 0.2·maxlen ≤ 120), so the
-    *     output is bit-identical to the oracle's full-DP + sim filter.
+    *     O(len·band) with early exit, −1 beyond the band) whenever the
+    *     band provably covers the passing region (maxlen ≤ 600 ⇒
+    *     d ≤ 0.2·maxlen ≤ 120), and falls back to the full DP per row
+    *     for longer pairs — a lazy CASE branch, so the output is
+    *     bit-identical to the oracle's full-DP + sim filter for ANY
+    *     document length, not just the current fixtures'.
     * ~3.3 s warm at sf0.1 (vs 222 s naive — 67×), same exact
     * semantics on the kept rows. */
   val qFuzzyVerify: Q = Q.sql(
@@ -563,9 +572,12 @@ object DedupQueries {
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
     val n = documents(s, d).select(
       col("doc_id"), trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
-    val lev = levenshtein(col("x.norm"), col("y.norm"), FuzzyBand)
-    val sim = lit(1.0) - lev.cast("double") /
-      greatest(length(col("x.norm")), length(col("y.norm")))
+    val maxLen = greatest(length(col("x.norm")), length(col("y.norm")))
+    // CaseWhen branches evaluate lazily (interpreted and codegen), so the
+    // O(len²) full DP only ever runs for pairs the band can't cover.
+    val lev = when(maxLen <= FuzzyBandSafeLen, levenshtein(col("x.norm"), col("y.norm"), FuzzyBand))
+      .otherwise(levenshtein(col("x.norm"), col("y.norm")))
+    val sim = lit(1.0) - lev.cast("double") / maxLen
     best
       .join(n.as("x"), col("id1") === col("x.doc_id"))
       .join(n.as("y"), col("id2") === col("y.doc_id"))

@@ -124,9 +124,13 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
-  /** Eval docs = every 97th doc — stands in for the held-out benchmark
-    * set a decontamination pass guards. */
-  val EvalMod = 97
+  /** Eval docs = every 61st doc — stands in for the held-out benchmark
+    * set a decontamination pass guards. 61 (not the previous 97) because
+    * the gate must be non-vacuous at EVERY gated scale factor: probed in
+    * DuckDB, mod-61 eval sets share ≥2 distinct 5-grams with 2/1/9 corpus
+    * docs at sf0.001/0.01/0.1, while mod-97 found zero overlap at sf0.01
+    * and the gate passed on 0=0 rows. */
+  val EvalMod = 61
 
   /** Eval-set decontamination: find corpus documents sharing ≥ 2 distinct
     * word 5-grams with any eval-set document — the leakage scan run

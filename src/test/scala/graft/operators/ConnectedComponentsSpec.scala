@@ -24,4 +24,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("empty edge input yields an empty labels frame, not an NPE") {
+    // A corpus where LSH finds zero near-dup pairs feeds an empty edge
+    // frame here; sum() over zero rows is SQL NULL and must not crash
+    // the convergence probe.
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.components(edges).count() === 0L)
+  }
 }

@@ -37,4 +37,18 @@ class RegistrySpec extends AnyFunSuite {
     }
     assert(empty.isEmpty, s"queries with empty results: ${empty.mkString(",")}")
   }
+
+  // The driver's oracle compare runs at sf0.01 (and bench at sf0.1), so a
+  // query that happens to be empty only at a LARGER fixture would still
+  // pass its gate vacuously there — q_decontaminate did exactly that at
+  // sf0.01 while this guard only covered sf0.001.
+  test("every registered query returns rows at sf0.01 and sf0.1 (no vacuous gate)") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val empty = SparkEntry.registry.flatMap { q =>
+        val n = q.run(spark, dir).limit(1).count()
+        if (n == 0) Some(q.name) else None
+      }
+      assert(empty.isEmpty, s"empty results at $dir: ${empty.mkString(",")}")
+    }
+  }
 }
