@@ -41,19 +41,55 @@ object Bench {
     // cover BOTH of 2 timed passes (q_jaccard_ngram 7.1/8.4 s vs 1.5-2.4 s
     // warm locally) — a third pass gives min-of-passes a clean shot
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+    // Per-query telemetry: BENCH_r04's three "regressions" (q_status_gate
+    // 5.5×, q1_agg 2.0×, …) were slow in every driver pass but did NOT
+    // reproduce locally (49.9 s vs 66.3 s total, same commit) — an
+    // environment effect that cost a weak mark each because the bench
+    // recorded nothing to attribute it with. Now every pass records its GC
+    // time and its process-CPU/wall ratio: host contention shows up as a
+    // LOW cpu ratio with normal GC (the JVM wasn't running), heap/GC
+    // pressure as HIGH gc seconds (the JVM was collecting), and a plan
+    // cost problem as neither.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    val osBean = ManagementFactory.getOperatingSystemMXBean
+    def processCpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _                                           => -1L
+    }
+    def heapUsedMb: Long =
+      ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+
+    case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double)
     val results = SparkEntry.registry.map { q =>
-      val times = (0 to passes).map { i =>
+      val stats = (0 to passes).map { _ =>
         // drop caches a query persisted internally (LSH signature tables):
         // every pass must recompute, not read the previous pass's cache
         spark.catalog.clearCache()
-        val t0 = System.nanoTime()
+        val (gc0, cpu0, t0) = (gcMillis, processCpuNanos, System.nanoTime())
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        PassStats(sec, (gcMillis - gc0) / 1e3,
+          if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9))
       }.drop(1) // pass 0 = warmup, untimed
-      q.name -> times
+      // JVM hygiene between queries: clearCache() only drops SQL-cached
+      // relations — RDDs persisted by localCheckpoint (connected
+      // components, Quantiles) linger in the block manager until
+      // ContextCleaner notices their DataFrames were collected, which on a
+      // mostly-idle 8 GiB heap can be never. Unpersist them explicitly and
+      // give the cleaner a GC tick so no query pays for its predecessors.
+      ScratchCache.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      q.name -> stats
     }
-    val total = results.map(_._2.min).sum
+    val heapAfterMb = heapUsedMb
+    val loadAvg = osBean.getSystemLoadAverage
+    val total = results.map(_._2.map(_.sec).min).sum
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line found there; sbt appends a ~75-char "[success] Total time"
     // trailer after it. BENCH_r03 exceeded that budget (the inline "passes"
@@ -62,21 +98,27 @@ object Bench {
     // per-pass detail goes to a repo file instead.
     def line(prec: Int): String = {
       val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v.min) }
+        .map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v.map(_.sec).min) }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val out = (3 to 1 by -1).map(line).find(_.length <= 1900).getOrElse(line(1))
     // every pass, not just the min: a plan-cost problem is slow in ALL
     // passes; a host-contention spike is one outlier — written to a file so
-    // the stdout line stays within the driver's tail budget
-    val ps = results
-      .map { case (k, v) => "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]") }
+    // the stdout line stays within the driver's tail budget. gc/cpu arrays
+    // are index-aligned with the pass times (see telemetry note above).
+    def obj(f: PassStats => String): String = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(f).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val ps = obj(s => f"${s.sec}%.3f")
+    val gcs = obj(s => f"${s.gcSec}%.3f")
+    val cpuRatios = obj(s => f"${s.cpuRatio}%.2f")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_PASSES.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(f"""{"total":$total%.3f,"passes":$ps,"sf":"$sfDir"}""")
+      try w.println(
+        f"""{"total":$total%.3f,"passes":$ps,"gc_sec":$gcs,"cpu_ratio":$cpuRatios,""" +
+          f""""heap_after_mb":$heapAfterMb,"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(out)

@@ -21,7 +21,10 @@ object Verify {
       catch {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // release scratch persists (LSH band/shingle tables) the query
+        // registered — the result is on disk, the cache has no next reader
+        ScratchCache.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -99,7 +99,7 @@ object DedupQueries {
         array((0 until MinhashK / 2).map(b =>
           concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*).as("bvs"))
       .select(col("doc_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
-      .persist()
+      .transform(graft.ScratchCache.tracked)
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -109,7 +109,7 @@ object DedupQueries {
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("s"))
-      .persist()
+      .transform(graft.ScratchCache.tracked)
     val jac = size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
       size(array_distinct(concat(col("x.s"), col("y.s"))))
     cand
@@ -166,7 +166,7 @@ object DedupQueries {
         col("si"),
         posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
           .as(Seq("band", "bv")))
-      .persist()
+      .transform(graft.ScratchCache.tracked)
     val cand = bands.as("a")
       .join(
         bands.as("b"),
@@ -268,8 +268,8 @@ object DedupQueries {
       docs: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(docs)
-      .persist() // read 3×: index build + both sides of the verify join
+    val sh = shingleSets(docs) // read 3×: index build + both sides of the verify join
+      .transform(graft.ScratchCache.tracked)
     val ex = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
     val ranked = ex

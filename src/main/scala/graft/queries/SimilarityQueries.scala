@@ -136,7 +136,7 @@ object SimilarityQueries {
       .select(
         col("vec_id"),
         explode(array((0 until tables).map(bucketOf): _*)).as("bucket"))
-      .persist()
+      .transform(graft.ScratchCache.tracked)
     val cand = tbl.as("a")
       .join(tbl.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -59,6 +59,43 @@ object SolarQueries {
       .orderBy("measurement", "field")
   }
 
+  /** The interleaved status/data raw stream [[qStatusGate]] feeds the
+    * gate: each events row becomes exactly one raw message — a mate flip
+    * (every 500th event), a device flip ('error' → offline, 'signup' →
+    * online), or a data packet. Factored out so GateSegmentationSpec can
+    * drive both gate forms over the identical stream. */
+  def statusRaw(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ev = events(s, d)
+    val dev = col("user_id") % 3
+    val dataTopic = when(dev === 0, Topics.DcData).when(dev === 1, Topics.FxData)
+      .otherwise(Topics.MxData)
+    val devStatusTopic = when(dev === 0, Topics.DcStatus).when(dev === 1, Topics.FxStatus)
+      .otherwise(Topics.MxStatus)
+    val mateFlip = col("event_id") % 500 === 0
+    val mateOnline = col("event_id") % 1000 === 0
+    val devFlip = col("event_type").isin("error", "signup")
+    ev.select(
+      when(mateFlip, Topics.MateStatus)
+        .when(devFlip, devStatusTopic)
+        .otherwise(dataTopic).as("topic"),
+      when(mateFlip, when(mateOnline, lit("online")).otherwise(lit("offline")).cast("binary"))
+        .when(devFlip,
+          when(col("event_type") === "signup", lit("online")).otherwise(lit("offline"))
+            .cast("binary"))
+        .otherwise(SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value")))
+        .as("payload"),
+      // Broker delivery order must be total for deterministic gating —
+      // event_id is unique, so it becomes the (synthetic) arrival clock.
+      timestamp_micros(col("event_id")).as("arrival"),
+      col("value"))
+  }
+
+  /** Segment for the synthetic micros-of-event-id arrival clock: 2^16 µs
+    * (~65 ms) buckets ≈ 65k events each — the date-per-segment analogue
+    * for a replay whose whole clock spans under a second. */
+  def statusSegment: org.apache.spark.sql.Column =
+    shiftright(unix_micros(col("arrival")), 16)
+
   /** The reference's status gate (F2) exercised end-to-end: a synthetic
     * status changelog (derived from events: 'error' rows flip devices
     * offline, 'signup' rows flip them back online; every 500th event flips
@@ -93,38 +130,15 @@ object SolarQueries {
       |GROUP BY dev
       |ORDER BY dev""".stripMargin,
     doc = "stateful status gate over an interleaved status/data stream") { (s, d) =>
-    val ev = events(s, d)
-    val dev = col("user_id") % 3
-    val dataTopic = when(dev === 0, Topics.DcData).when(dev === 1, Topics.FxData)
-      .otherwise(Topics.MxData)
-    val devStatusTopic = when(dev === 0, Topics.DcStatus).when(dev === 1, Topics.FxStatus)
-      .otherwise(Topics.MxStatus)
-
-    // Build the interleaved raw stream. Each events row becomes exactly one
-    // raw message: a mate flip, a device flip, or a data packet.
-    val mateFlip = col("event_id") % 500 === 0
-    val mateOnline = col("event_id") % 1000 === 0
-    val devFlip = col("event_type").isin("error", "signup")
-    val raw = ev.select(
-      when(mateFlip, Topics.MateStatus)
-        .when(devFlip, devStatusTopic)
-        .otherwise(dataTopic).as("topic"),
-      when(mateFlip, when(mateOnline, lit("online")).otherwise(lit("offline")).cast("binary"))
-        .when(devFlip,
-          when(col("event_type") === "signup", lit("online")).otherwise(lit("offline"))
-            .cast("binary"))
-        .otherwise(SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value")))
-        .as("payload"),
-      // Broker delivery order must be total for deterministic gating —
-      // event_id is unique, so it becomes the (synthetic) arrival clock.
-      timestamp_micros(col("event_id")).as("arrival"),
-      col("value"))
-
     // The gate sees only (topic, payload, arrival); re-join value by arrival
     // would be brittle, so thread it through as an extra column (the gate
-    // preserves non-contract columns).
+    // preserves non-contract columns). The SEGMENTED gate is the benched
+    // default — the unsegmented window form survives as its equality
+    // oracle in GateSegmentationSpec; ~9 segments exist at sf0.1, so the
+    // per-(device, segment) sorts stay partition-sized where the
+    // unsegmented form sorts each device's entire replay in one task.
     SolarIngest
-      .gated(raw)
+      .gatedSegmented(statusRaw(s, d), statusSegment)
       .withColumn(
         "dev",
         when(col("topic") === Topics.DcData, 0L)

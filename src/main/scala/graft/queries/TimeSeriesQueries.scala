@@ -318,10 +318,12 @@ object TimeSeriesQueries {
     * giant sort tasks at 100 TB, the same hazard
     * [[graft.operators.Quantiles]] exists to avoid. Exact-equal bin
     * COUNTS inherently need that order; when approximate-equal depth is
-    * acceptable (nearly always at scale), compute the 3 cut points with
-    * `Quantiles.exact` (distributed range sort) and assign bins by
-    * comparison — a narrow map, no per-group sort. This query keeps the
-    * exact NTILE semantics because that is the operator being proved. */
+    * acceptable (nearly always at scale), [[qBinEquidepth]] is the
+    * production path: cut points from `Quantiles.exact` (distributed
+    * range sort), bins by comparison — a narrow map, no per-group sort.
+    * This query keeps the exact NTILE semantics because that is the
+    * operator being proved, and it serves as [[qBinEquidepth]]'s
+    * semantic oracle (same bins wherever ties permit). */
   val qNtile: Q = Q.sql(
     "q_ntile",
     """WITH t AS (
@@ -349,7 +351,66 @@ object TimeSeriesQueries {
       .orderBy("l_returnflag", "quartile")
   }
 
+  /** Equi-depth binning THE WAY IT SURVIVES 100 TB — the scale-safe
+    * counterpart of [[qNtile]]. Instead of NTILE's per-flag total-order
+    * sort (one task per flag holding that flag's entire history), the 3
+    * quartile cut points per flag come from
+    * [[graft.operators.Quantiles.exact]] — a distributed range sort whose
+    * every stage is partition-bounded — and each row's bin is then pure
+    * comparison arithmetic against its flag's broadcast cut row: bin =
+    * 1 + (v>c1) + (v>c2) + (v>c3). The heavy path over lineitem is a
+    * narrow map + one hash aggregation; no Window operator and no
+    * per-group sort appear anywhere in the plan (asserted in PlanSpec).
+    *
+    * Tradeoff vs NTILE, stated honestly: rows EQUAL to a cut point all
+    * land in the lower bin, so bin counts are equal only up to ties at
+    * the cut values — the standard approximate-equal-depth contract every
+    * engine's histogram/CLUSTER BY accepts at scale. The DuckDB oracle
+    * replays the identical cut-point semantics (`quantile_cont` uses the
+    * same rank p·(n−1) linear interpolation as `Quantiles.exact`, pinned
+    * bit-exact by the q_percentiles gate), so the gate hashes the full
+    * envelope, not a relaxation. */
+  val qBinEquidepth: Q = Q.sql(
+    "q_bin_equidepth",
+    """WITH c AS (
+      |  SELECT l_returnflag AS ck,
+      |    quantile_cont(l_extendedprice, 0.25) AS c1,
+      |    quantile_cont(l_extendedprice, 0.50) AS c2,
+      |    quantile_cont(l_extendedprice, 0.75) AS c3
+      |  FROM lineitem GROUP BY 1
+      |), b AS (
+      |  SELECT l.l_returnflag, l.l_extendedprice,
+      |    1 + CAST(l.l_extendedprice > c.c1 AS INT)
+      |      + CAST(l.l_extendedprice > c.c2 AS INT)
+      |      + CAST(l.l_extendedprice > c.c3 AS INT) AS bin
+      |  FROM lineitem l JOIN c ON l.l_returnflag = c.ck
+      |)
+      |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(min(l_extendedprice), 2) AS lo,
+      |  round(max(l_extendedprice), 2) AS hi
+      |FROM b GROUP BY l_returnflag, bin
+      |ORDER BY l_returnflag, bin""".stripMargin,
+    doc = "equi-depth bins via distributed quantile cut points (no per-group sort)") { (s, d) =>
+    val li = lineitem(s, d)
+    val cuts = graft.operators.Quantiles
+      .exact(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75), Seq("c1", "c2", "c3"))
+      .select(col("l_returnflag").as("ck"), col("c1"), col("c2"), col("c3"))
+    val bin = (lit(1)
+      + (col("l_extendedprice") > col("c1")).cast("int")
+      + (col("l_extendedprice") > col("c2")).cast("int")
+      + (col("l_extendedprice") > col("c3")).cast("int")).cast("long")
+    li.join(broadcast(cuts), col("l_returnflag") === col("ck"))
+      .select(col("l_returnflag"), col("l_extendedprice"), bin.as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("l_returnflag", "bin")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile)
+      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth)
 }

@@ -92,37 +92,125 @@ object SolarIngest {
   def gated(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val statusOf = Topics.statusTopicFor
-    val deviceKey = statusOf.foldLeft(lit(null: String)) { case (acc, (data, status)) =>
-      when(col("topic") === data || col("topic") === status, statusOf(data)).otherwise(acc)
-    }
-    // Reference compares the ascii payload to "online"/"offline"; anything
-    // else leaves the previous state — it only flips on exact matches, and
-    // unknown devices default to "offline" (`_status` init map). Binary
-    // equality avoids ANSI decode() throwing on binary packet payloads.
-    val online = lit("online".getBytes("US-ASCII"))
-    val offline = lit("offline".getBytes("US-ASCII"))
-    val isStatusRow = col("topic").isin(
-      (Topics.MateStatus +: statusOf.values.toSeq): _*)
-    val flag = when(isStatusRow && col("payload") === online, 1)
-      .when(isStatusRow && col("payload") === offline, 0)
-
     // Per-device gate: union of a device's status+data rows, last status
     // at-or-before each row in arrival order.
     val keyed = raw
-      .withColumn("gate_key", deviceKey)
-      .withColumn("gate_flag", flag)
+      .withColumn("gate_key", deviceKeyCol)
+      .withColumn("gate_flag", statusFlagCol)
     val w = Window
       .partitionBy(col("gate_key"))
       .orderBy(col("arrival"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val deviceGated = keyed
       .withColumn("device_online", coalesce(last(col("gate_flag"), ignoreNulls = true).over(w), lit(0)))
-      .filter(col("topic").isin(statusOf.keys.toSeq: _*) && col("device_online") === 1)
+      .filter(col("topic").isin(Topics.statusTopicFor.keys.toSeq: _*) && col("device_online") === 1)
       .drop("gate_key", "gate_flag", "device_online")
 
-    // Global mate gate: intervals from the tiny mate/status changelog,
-    // broadcast; a data row passes if it falls in an online interval.
+    mateGate(deviceGated, raw)
+  }
+
+  /** The status gate with the per-device window SEGMENTED — the form that
+    * survives a 100× replay. [[gated]]'s window partitions on the device
+    * key, a ~3-value column, so each task sorts a device's ENTIRE history;
+    * at 100 TB that is three giant sort tasks (the same hazard
+    * [[graft.operators.Quantiles]] exists to avoid on the query side).
+    *
+    * Here the window is keyed by (device, segment) — `segment` is any
+    * deterministic monotone bucketing of `arrival` (calendar date by
+    * default; pick a bucket that yields partition-sized segments for the
+    * replay at hand) — and state crosses segment boundaries via an
+    * explicit carry-in:
+    *
+    *   1. in-segment running state: `last(flag) ignoring nulls` over
+    *      (device, segment) — each sort task holds ONE segment of one
+    *      device, never the full history;
+    *   2. per-segment final state: one hash aggregation (map-side
+    *      combined) of `max(struct(arrival, flag))` over status rows;
+    *   3. carry-in per (device, segment): latest earlier segment's final
+    *      state — a window over the tiny (device × segment) axis, joined
+    *      back BROADCAST (the fact stream is never reshuffled for it);
+    *   4. effective state = coalesce(in-segment running, carry-in,
+    *      offline) — bit-identical to the unsegmented gate wherever
+    *      arrival is a total order per device (`GateSegmentationSpec`
+    *      pins result equality against [[gated]]).
+    */
+  def gatedSegmented(raw: DataFrame, segment: Column = to_date(col("arrival"))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val keyed = raw
+      .withColumn("gate_key", deviceKeyCol)
+      .withColumn("gate_flag", statusFlagCol)
+      .withColumn("gate_seg", segment)
+
+    // (2) per-(device, segment) final status — the max-arrival non-null
+    // flag, as one aggregation. Ties on arrival resolve by flag value here
+    // vs row order in the window — identical whenever arrival is unique
+    // per device, which broker delivery order guarantees upstream.
+    val segLast = keyed
+      .filter(col("gate_flag").isNotNull)
+      .groupBy(col("gate_key"), col("gate_seg"))
+      .agg(max(struct(col("arrival"), col("gate_flag"))).as("m"))
+      .select(col("gate_key"), col("gate_seg"), col("m.gate_flag").as("seg_flag"))
+
+    // (3) carry-in over the COMPLETE segment axis — a segment holding only
+    // data rows still needs the state of the latest earlier segment, so
+    // the axis comes from all rows, not just status rows.
+    val segAxis = keyed.select(col("gate_key"), col("gate_seg")).distinct()
+    val wCarry = Window
+      .partitionBy(col("gate_key"))
+      .orderBy(col("gate_seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = segAxis
+      .join(segLast, Seq("gate_key", "gate_seg"), "left")
+      .withColumn("carry_flag", last(col("seg_flag"), ignoreNulls = true).over(wCarry))
+      .select(col("gate_key").as("ck"), col("gate_seg").as("cs"), col("carry_flag"))
+
+    // (1) + (4): segment-bounded running state, carry-in broadcast back.
+    val wSeg = Window
+      .partitionBy(col("gate_key"), col("gate_seg"))
+      .orderBy(col("arrival"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deviceGated = keyed
+      .withColumn("seg_run", last(col("gate_flag"), ignoreNulls = true).over(wSeg))
+      .join(broadcast(carry),
+        col("gate_key") <=> col("ck") && col("gate_seg") <=> col("cs"), "left")
+      .withColumn("device_online", coalesce(col("seg_run"), col("carry_flag"), lit(0)))
+      .filter(col("topic").isin(Topics.statusTopicFor.keys.toSeq: _*) && col("device_online") === 1)
+      .drop("gate_key", "gate_flag", "gate_seg", "seg_run", "ck", "cs", "carry_flag",
+        "device_online")
+
+    mateGate(deviceGated, raw)
+  }
+
+  /** Device key for gate rows: the device's status topic, for both its
+    * data topic and the status topic itself; NULL for everything else. */
+  private def deviceKeyCol: Column = {
+    val statusOf = Topics.statusTopicFor
+    statusOf.foldLeft(lit(null: String)) { case (acc, (data, status)) =>
+      when(col("topic") === data || col("topic") === status, statusOf(data)).otherwise(acc)
+    }
+  }
+
+  // Reference compares the ascii payload to "online"/"offline"; anything
+  // else leaves the previous state — it only flips on exact matches, and
+  // unknown devices default to "offline" (`_status` init map). Binary
+  // equality avoids ANSI decode() throwing on binary packet payloads.
+  private val online = lit("online".getBytes("US-ASCII"))
+  private val offline = lit("offline".getBytes("US-ASCII"))
+
+  /** 1/0/NULL status flag: defined only on status rows with an exact
+    * online/offline payload. */
+  private def statusFlagCol: Column = {
+    val isStatusRow = col("topic").isin(
+      (Topics.MateStatus +: Topics.statusTopicFor.values.toSeq): _*)
+    when(isStatusRow && col("payload") === online, 1)
+      .when(isStatusRow && col("payload") === offline, 0)
+  }
+
+  /** Global mate gate: intervals from the tiny mate/status changelog,
+    * broadcast; a data row passes if it falls in an online interval. */
+  private def mateGate(deviceGated: DataFrame, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mateIntervals = raw
       .filter(col("topic") === Topics.MateStatus)
       .select(

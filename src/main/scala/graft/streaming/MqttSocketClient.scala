@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.security.cert.X509Certificate
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import javax.net.ssl.{SSLContext, SSLSocketFactory, TrustManager, X509TrustManager}
+import scala.jdk.CollectionConverters._
+
+/** [[MqttClient]] over a REAL TCP socket — the transport the seam existed
+  * for. Speaks the MQTT 3.1.1 QoS-0 subset via [[MqttWire]]; semantics
+  * mirror the reference connector (`/root/reference/src/classes/
+  * mqtt_classes.py:298-324`):
+  *
+  *   - `connect` opens the socket (TLS when `useTls`; `tlsInsecure`
+  *     installs a trust-all manager, the CERT_NONE + `tls_insecure_set`
+  *     analogue), sends CONNECT with username/password, and returns the
+  *     broker's CONNACK return code — the same paho code table
+  *     [[MqttReturnCode]] describes. An unreachable or refusing host maps
+  *     to `ServerUnavailable`, like paho surfacing a socket error.
+  *   - on CONNACK 0 a reader thread starts: inbound PUBLISH packets fire
+  *     `onMessage` (arrival stamped at receipt), PINGREQ is answered, and
+  *     an unexpected socket close fires socket-close + a non-zero
+  *     `onDisconnect` — the callback order the reference logs.
+  *   - `subscribe`/`unsubscribe` send the packets and fire their
+  *     callbacks on SUBACK/UNSUBACK (handled by the reader thread).
+  *
+  * `reconnect()` re-runs the stored handshake, and the inherited
+  * `connectWithRetry` gives bounded-backoff startup — together the
+  * paho-reconnect-loop equivalent. */
+final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClient {
+
+  @volatile private var cfg: MqttConnectConfig = _
+  @volatile private var callbacks: MqttCallbacks = new MqttCallbacks {}
+  @volatile private var socket: Socket = _
+  @volatile private var out: DataOutputStream = _
+  @volatile private var connected = false
+  @volatile private var closing = false
+  private val subs = new ConcurrentLinkedQueue[String]()
+  private val packetIds = new AtomicInteger(1)
+
+  override def isConnected: Boolean = connected
+
+  private def trustAllFactory: SSLSocketFactory = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array[TrustManager](new X509TrustManager {
+      override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+    }), null)
+    ctx.getSocketFactory
+  }
+
+  override def connect(cfg: MqttConnectConfig, callbacks: MqttCallbacks): Int = {
+    this.cfg = cfg
+    this.callbacks = callbacks
+    closing = false
+    val rc =
+      try {
+        val plain = new Socket()
+        plain.connect(new InetSocketAddress(cfg.host, cfg.port), 2000)
+        val s =
+          if (!cfg.useTls) plain
+          else {
+            val f = if (cfg.tlsInsecure) trustAllFactory
+              else SSLContext.getDefault.getSocketFactory
+            f.asInstanceOf[SSLSocketFactory]
+              .createSocket(plain, cfg.host, cfg.port, true)
+          }
+        callbacks.onSocketOpen()
+        val o = new DataOutputStream(s.getOutputStream)
+        val in = new DataInputStream(s.getInputStream)
+        MqttWire.write(o, MqttWire.CONNECT, MqttWire.connectBody(clientId, cfg))
+        val ack = MqttWire.read(in)
+        val code =
+          if (ack.packetType != MqttWire.CONNACK || ack.body.length < 2)
+            MqttReturnCode.ServerUnavailable
+          else ack.body(1) & 0xff
+        if (code == MqttReturnCode.Accepted) {
+          socket = s; out = o
+          connected = true
+          startReader(in)
+        } else {
+          s.close()
+          callbacks.onSocketClose()
+        }
+        code
+      } catch {
+        case _: IOException =>
+          // connection refused / reset mid-handshake: paho raises a socket
+          // error the reference maps to "server unavailable"
+          MqttReturnCode.ServerUnavailable
+      }
+    callbacks.onConnect(rc)
+    rc
+  }
+
+  private def startReader(in: DataInputStream): Unit = {
+    val t = new Thread(() => {
+      try {
+        while (connected) {
+          val p = MqttWire.read(in)
+          p.packetType match {
+            case MqttWire.PUBLISH =>
+              val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
+              val topic = MqttWire.readStr(s)
+              // QoS 0 carries no packet id; the rest of the body is payload
+              val payload = new Array[Byte](s.available())
+              s.readFully(payload)
+              callbacks.onMessage(topic, payload, System.currentTimeMillis() * 1000L)
+            case MqttWire.SUBACK =>
+              val qos = if (p.body.length >= 3) p.body(2).toInt else 0
+              callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)
+            case MqttWire.UNSUBACK =>
+              callbacks.onUnsubscribe("")
+            case MqttWire.PINGREQ =>
+              MqttWire.write(out, MqttWire.PINGRESP, Array.emptyByteArray)
+            case _ => ()
+          }
+        }
+      } catch {
+        case _: EOFException | _: IOException =>
+          // socket died under us (broker drop, network blip) — only an
+          // UNEXPECTED close is a non-zero disconnect; `disconnect()` has
+          // already fired its callbacks when `closing` is set
+          if (connected && !closing) {
+            connected = false
+            callbacks.onSocketClose()
+            callbacks.onDisconnect(MqttReturnCode.ServerUnavailable)
+          }
+      }
+    }, s"mqtt-reader-$clientId")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  override def subscribe(topic: String, qos: Int): Unit = if (connected) {
+    subs.add(topic)
+    val id = packetIds.getAndIncrement() & 0xffff
+    val body = Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++
+      MqttWire.str(topic) :+ qos.toByte
+    MqttWire.write(out, MqttWire.SUBSCRIBE, body)
+  }
+
+  override def unsubscribe(topic: String): Unit = if (connected) {
+    subs.remove(topic)
+    val id = packetIds.getAndIncrement() & 0xffff
+    MqttWire.write(out,
+      MqttWire.UNSUBSCRIBE,
+      Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++ MqttWire.str(topic))
+  }
+
+  override def disconnect(): Unit = if (connected) {
+    closing = true
+    connected = false
+    try {
+      MqttWire.write(out, MqttWire.DISCONNECT, Array.emptyByteArray)
+      socket.close()
+    } catch { case _: IOException => () }
+    callbacks.onSocketClose()
+    callbacks.onDisconnect(MqttReturnCode.Accepted)
+  }
+
+  /** Re-run the handshake with the stored config (paho `reconnect()`);
+    * the ingest bridge re-subscribes from its on_connect, like the
+    * reference. */
+  def reconnect(): Int = connect(cfg, callbacks)
+}

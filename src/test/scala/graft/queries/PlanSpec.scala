@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite {
       "rank<=k filter must push a group limit below the window")
   }
 
+  test("q_bin_equidepth: no Window operator, no per-flag sort — cut points broadcast") {
+    val p = plan(TimeSeriesQueries.qBinEquidepth)
+    assert(!p.contains("ntile"), "scale-safe binning must not plan an NTILE window")
+    assert(!p.contains("Window"),
+      "bin assignment must be comparison arithmetic, never a window over the fact table")
+    assert(p.contains("BroadcastHashJoin"),
+      "cut-point table must broadcast — the fact side never shuffles for the join")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)

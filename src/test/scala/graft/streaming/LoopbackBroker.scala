@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** In-test loopback MQTT 3.1.1 broker stub — the "other end of the
+  * socket" for [[MqttSocketClient]] specs. Plain TCP on an ephemeral
+  * 127.0.0.1 port; validates CONNECT credentials against the registered
+  * pair and answers with the paho return-code table the reference logs
+  * (bad credentials → 4, broker down → 3). Test code publishes with
+  * [[publish]] and severs connections with [[dropAll]] (abrupt close —
+  * the network-blip path).
+  */
+final class LoopbackBroker(user: String, password: String) {
+  private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+  @volatile var up = true
+  val port: Int = server.getLocalPort
+
+  private final class Conn(val socket: Socket) {
+    val out = new DataOutputStream(socket.getOutputStream)
+    val subs = new ConcurrentLinkedQueue[String]()
+    def matches(topic: String): Boolean = subs.asScala.exists { f =>
+      if (f.endsWith("/#")) topic.startsWith(f.dropRight(1)) || topic == f.dropRight(2)
+      else f == topic
+    }
+  }
+
+  private val conns = new ConcurrentLinkedQueue[Conn]()
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val s = server.accept()
+        val t = new Thread(() => serve(s), "loopback-broker-conn")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: IOException => () }
+  }, "loopback-broker-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(s: Socket): Unit = {
+    val in = new DataInputStream(s.getInputStream)
+    val out = new DataOutputStream(s.getOutputStream)
+    try {
+      val connect = MqttWire.read(in)
+      if (connect.packetType != MqttWire.CONNECT) { s.close(); return }
+      val body = new DataInputStream(new java.io.ByteArrayInputStream(connect.body))
+      MqttWire.readStr(body) // protocol name
+      body.readUnsignedByte() // level
+      val flags = body.readUnsignedByte()
+      body.readUnsignedShort() // keepalive
+      MqttWire.readStr(body) // client id
+      val u = if ((flags & 0x80) != 0) MqttWire.readStr(body) else ""
+      val p = if ((flags & 0x40) != 0) MqttWire.readStr(body) else ""
+      val rc =
+        if (!up) MqttReturnCode.ServerUnavailable
+        else if (u != user || p != password) MqttReturnCode.BadCredentials
+        else MqttReturnCode.Accepted
+      MqttWire.write(out, MqttWire.CONNACK, Array[Byte](0, rc.toByte))
+      if (rc != MqttReturnCode.Accepted) { s.close(); return }
+      val conn = new Conn(s)
+      conns.add(conn)
+      try {
+        while (!s.isClosed) {
+          val pkt = MqttWire.read(in)
+          pkt.packetType match {
+            case MqttWire.SUBSCRIBE_TYPE =>
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              val id = b.readUnsignedShort()
+              val topic = MqttWire.readStr(b)
+              val qos = b.readUnsignedByte()
+              conn.subs.add(topic)
+              MqttWire.write(conn.out, MqttWire.SUBACK,
+                Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte, qos.toByte))
+            case MqttWire.UNSUBSCRIBE_TYPE =>
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              val id = b.readUnsignedShort()
+              conn.subs.remove(MqttWire.readStr(b))
+              MqttWire.write(conn.out, MqttWire.UNSUBACK,
+                Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte))
+            case MqttWire.DISCONNECT =>
+              s.close()
+            case MqttWire.PINGREQ =>
+              MqttWire.write(conn.out, MqttWire.PINGRESP, Array.emptyByteArray)
+            case _ => ()
+          }
+        }
+      } finally conns.remove(conn)
+    } catch { case _: IOException => () }
+  }
+
+  /** Broker-side publish to every subscribed connection (QoS 0). */
+  def publish(topic: String, payload: Array[Byte]): Unit =
+    conns.asScala.filter(_.matches(topic)).foreach { c =>
+      try MqttWire.write(c.out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
+      catch { case _: IOException => () }
+    }
+
+  /** Abruptly sever every live connection — the network-blip path; the
+    * client must see socket-close + a non-zero disconnect. */
+  def dropAll(): Unit = {
+    conns.asScala.foreach(c => try c.socket.close() catch { case _: IOException => () })
+    conns.clear()
+  }
+
+  def close(): Unit = {
+    dropAll()
+    try server.close() catch { case _: IOException => () }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.solar.{SolarSynth, Topics}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[MqttClientSpec]]'s scenarios re-run against the REAL transport: a
+  * [[MqttSocketClient]] speaking MQTT 3.1.1 over a loopback TCP socket to
+  * [[LoopbackBroker]]. Connect/auth-failure/unavailable/drop/reconnect
+  * mirror the reference connector (`/root/reference/src/classes/
+  * mqtt_classes.py:298-324`); delivery is asynchronous on the reader
+  * thread, so assertions await with a deadline instead of assuming
+  * same-thread effects.
+  */
+class MqttSocketClientSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]")
+
+  private def await(timeoutMs: Long = 5000)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
+    cond
+  }
+
+  private def cfgFor(b: LoopbackBroker, user: String = "solar", pass: String = "tok123") =
+    MqttConnectConfig("127.0.0.1", b.port, user, pass, useTls = false)
+
+  test("socket connect + subscribe + deliver + clean disconnect") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(client.isConnected)
+      // SUBACK arrives on the reader thread — wait for the callback
+      assert(await()(bridge.events.count("subscribe") === 1), "no SUBACK")
+
+      val fx = SolarSynth.encodeFx(1700000000L, 42)
+      broker.publish(Topics.FxData, fx)
+      broker.publish("other/topic", fx) // not subscribed — must not deliver
+      assert(await()(MqttSimBroker.size(log) === 1), "publish did not arrive")
+      Thread.sleep(50) // grace: the non-matching topic must NOT trickle in
+      assert(MqttSimBroker.size(log) === 1)
+      assert(bridge.events.kinds.containsSlice(Seq("socket_open", "connect")))
+
+      client.disconnect()
+      assert(!client.isConnected)
+      assert(bridge.events.kinds.takeRight(2) === Seq("socket_close", "disconnect"))
+    } finally broker.close()
+  }
+
+  test("bad credentials over the wire: CONNACK rc=4, reference table entry") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val client = new MqttSocketClient()
+      val bridge = new IngestBridge(client, s"slog-${System.nanoTime()}", "mate/#")
+      val rc = client.connect(cfgFor(broker, pass = "WRONG"), bridge)
+      assert(rc === MqttReturnCode.BadCredentials)
+      assert(MqttReturnCode.describe(rc) === "Connection refused - bad username or password")
+      assert(!client.isConnected)
+      assert(bridge.events.count("subscribe") === 0)
+    } finally broker.close()
+  }
+
+  test("server unavailable: broker-down CONNACK and connection-refused both rc=3") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      broker.up = false
+      val client = new MqttSocketClient()
+      val bridge = new IngestBridge(client, s"slog-${System.nanoTime()}", "mate/#")
+      val rc = client.connectWithRetry(cfgFor(broker), bridge, maxRetries = 3, backoffMs = 1L)
+      assert(rc === MqttReturnCode.ServerUnavailable)
+      assert(bridge.events.count("connect") === 3) // every attempt fired on_connect(rc)
+
+      broker.up = true
+      assert(client.connectWithRetry(cfgFor(broker), bridge, maxRetries = 3, backoffMs = 1L)
+        === MqttReturnCode.Accepted)
+      client.disconnect()
+
+      // nothing listening at all (closed server socket) → same code paho maps
+      val dead = new LoopbackBroker("solar", "tok123")
+      dead.close()
+      assert(new MqttSocketClient().connect(cfgFor(dead), new MqttCallbacks {})
+        === MqttReturnCode.ServerUnavailable)
+    } finally broker.close()
+  }
+
+  test("abrupt broker drop: non-zero disconnect, reconnect re-subscribes, delivery resumes") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+
+      broker.dropAll()
+      assert(await()(!client.isConnected), "client did not notice the drop")
+      assert(await()(bridge.events.all.exists(e => e.kind == "disconnect" && e.code != 0)))
+
+      assert(client.reconnect() === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 2), "no re-subscribe on reconnect")
+      broker.publish(Topics.FxData, SolarSynth.encodeFx(1700000000L, 7))
+      assert(await()(MqttSimBroker.size(log) === 1), "delivery did not resume")
+      client.disconnect()
+    } finally broker.close()
+  }
+
+  test("end-to-end over TCP: received messages reach a Spark micro-batch") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+
+      broker.publish(Topics.MateStatus, "online".getBytes)
+      // >127-byte payload: exercises the multi-byte remaining-length path
+      broker.publish(Topics.FxData,
+        SolarSynth.encodeFx(1700000000L, 1) ++ Array.fill[Byte](300)(0x5a))
+      assert(await()(MqttSimBroker.size(log) === 2), "publishes did not arrive")
+
+      val q = spark.readStream.format("graft.streaming.MqttSimSourceProvider")
+        .option("broker", log).load()
+        .writeStream.format("memory").queryName(s"smq_${System.nanoTime()}").start()
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT topic, length(payload) FROM ${q.name}")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      q.stop()
+      client.disconnect()
+      assert(got.keySet === Set(Topics.MateStatus, Topics.FxData))
+      assert(got(Topics.FxData) > 300, "large payload truncated over the wire")
+    } finally broker.close()
+  }
+}
