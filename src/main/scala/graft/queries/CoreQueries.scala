@@ -270,7 +270,37 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** Salted skew join, oracle-proved semantics-preserving: the
+    * fact-side salt in [0,16) + 16× replication of the (tiny) customer
+    * side turns any one hot user into 16 evenly-sized join partitions —
+    * the mitigation for the skew cases AQE cannot rewrite (a skewed key
+    * feeding a window, streaming stateful joins, pinned plans; see
+    * [[graft.operators.SkewOps]]). The oracle is the PLAIN join: salting
+    * must be invisible in the result, and this gate hash-proves it at
+    * every SF rather than asserting it in a spec alone. Salt is
+    * deterministic (hash of event_id, not randomness) so retries and
+    * oracles reproduce. */
+  val qSkewJoin: Q = Q.sql(
+    "q_skew_join",
+    """SELECT c.c_mktsegment AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(e.value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin,
+    doc = "salted skew join (16 buckets) hash-matched against the plain-join oracle") { (s, d) =>
+    val big = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val small = customer(s, d).select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewOps
+      .saltedJoin(big, small, "user_id", saltBy = col("event_id"), buckets = 16)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qTopK, qAntiJoin, qSemiJoin, qWindowRank, qSetOps, qExcept,
-    qScalarFns, qJsonExtract)
+    qScalarFns, qJsonExtract, qSkewJoin)
 }

@@ -420,8 +420,61 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Email / phone patterns for [[qPiiRedact]] — deliberately in the
+    * regex subset where Java (Spark) and RE2 (DuckDB) agree: character
+    * classes, bounded repetition, no backrefs or lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scan + redaction — the compliance pass a training corpus runs
+    * before anything else: detect contact strings, count them per
+    * document, and emit the masked text. The corpus is synthetic word
+    * soup with no real PII, so every 3rd document gets a DETERMINISTIC
+    * contact line appended (user<id>@<source>.com + a 555 number) inside
+    * the query on both engines — the gate then exercises real matches,
+    * real replacements, and the no-match fast path on the other two
+    * thirds, and hash-compares the redacted text via md5.
+    *
+    * Scale shape: narrow per-row regex work, zero shuffles (ORDER BY is
+    * oracle determinism) — at 100 TB this is scan-bound, exactly what a
+    * redaction pass should be. */
+  val qPiiRedact: Q = Q.sql(
+    "q_pii_redact",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      text || ' contact user' || doc_id || '@' || source ||
+       |        '.com ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE text END AS body
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(body, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(body, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(body, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM t
+       |ORDER BY doc_id""".stripMargin,
+    doc = "PII scan + redaction: per-doc email/phone counts, masked-text hash") { (s, d) =>
+    val contact = concat(
+      col("text"), lit(" contact user"), col("doc_id"), lit("@"), col("source"),
+      lit(".com ph 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, contact).otherwise(col("text")).as("body"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("body"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("body"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("body"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
-      qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample)
+      qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact)
 }
