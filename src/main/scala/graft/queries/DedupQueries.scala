@@ -626,8 +626,55 @@ object DedupQueries {
       .orderBy("lang")
   }
 
+  /** SUBSTRING-level duplication — the dedup mode whole-document
+    * signatures cannot see: a document that copies a paragraph from
+    * another while the rest differs (boilerplate, license headers,
+    * templated spans). Per document: how many of its distinct word
+    * 5-gram windows also occur in at least one OTHER document, i.e. the
+    * exact-substring contamination fraction a
+    * dedup-before-training pass thresholds on.
+    *
+    * Scale shape — this is NOT pairwise: distinct grams explode once,
+    * document frequency per gram is one hash aggregation (map-side
+    * combined), and the per-doc share is a second aggregation after an
+    * equi-join back on the gram. Hot grams skew a reduce key, never
+    * build a pair bucket — the same inverted-index discipline as
+    * [[qJaccardNgram]], with no candidate pairs at all. */
+  val qSubstringDup: Q = Q.sql(
+    "q_substring_dup",
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct($gram5Sql)) AS g FROM documents
+       |), f AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g
+       |)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS shared_frac
+       |FROM g JOIN f USING (g)
+       |GROUP BY g.doc_id
+       |ORDER BY doc_id""".stripMargin,
+    doc = "substring-level duplication: shared 5-gram window fraction via inverted index") { (s, d) =>
+    val g = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(gram5Of(col("w")))).as("g"))
+    // distinct grams per doc ⇒ df = plain count per gram
+    val f = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(f, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_shared"),
+        round(
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast("double") / count(lit(1)), 6)
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental, qFuzzyVerify,
-      qCorpusClean)
+      qCorpusClean, qSubstringDup)
 }
