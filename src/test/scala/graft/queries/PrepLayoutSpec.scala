@@ -97,6 +97,36 @@ class PrepLayoutSpec extends AnyFunSuite {
     assert(a == li.join(dim, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("bloom prune: non-integral (string) keys keep every true match") {
+    // regression: a plain cast("long") on a string key yields NULL,
+    // might_contain(bf, NULL) is NULL, and the filter dropped EVERY row —
+    // keys must hash via xxhash64 on both sides instead
+    val docs = graft.Tables.documents(spark, sf)
+    val dim = docs.filter(col("lang") === "en").select(col("lang")).distinct()
+    val pruned = graft.operators.BloomPrune.pruneByDim(docs, "lang", dim, "lang")
+    val trueMatches = docs.filter(col("lang") === "en").count()
+    assert(trueMatches > 0, "fixture has no 'en' docs — vacuous")
+    assert(pruned.join(dim, Seq("lang"), "left_semi").count() === trueMatches,
+      "string-keyed bloom prune lost true matches")
+  }
+
+  test("partitioned write: lang=... directories, partition-pruned scan on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.Tables.documents(spark, sf)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val back = spark.read.parquet(dir).filter(col("lang") === "en")
+      val plan = back.queryExecution.executedPlan.toString
+      // the filter must prune at the DIRECTORY level (PartitionFilters on
+      // the scan), not read every partition and filter rows afterwards
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        s"no partition pruning in: ${plan.linesIterator.take(8).mkString("\n")}")
+      val expect = graft.Tables.documents(spark, sf).filter(col("lang") === "en").count()
+      assert(back.count() === expect)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q_topic_mix: weights normalize; tail languages upsample, head downsamples") {
     val rows = PrepQueries.qTopicMix.run(spark, sf).collect()
     assert(math.abs(rows.map(_.getAs[Double]("mix_frac")).sum - 1.0) < 1e-4)

@@ -38,6 +38,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with empty results: ${empty.mkString(",")}")
   }
 
+  // A CartesianProduct in any registered plan means a join lost its keys
+  // (or a cross join missed its broadcast hint) — at 100 TB that is a
+  // job-killer, so it is banned registry-wide. Single-row stat frames
+  // joined via crossJoin(broadcast(...)) plan as BroadcastNestedLoopJoin
+  // and stay legal.
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(",")}")
+  }
+
   // The driver's oracle compare runs at sf0.01 (and bench at sf0.1), so a
   // query that happens to be empty only at a LARGER fixture would still
   // pass its gate vacuously there — q_decontaminate did exactly that at
