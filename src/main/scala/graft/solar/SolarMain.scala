@@ -13,11 +13,18 @@ import graft.streaming._
   * execute path.
   *
   * `runMain graft.solar.SolarMain [bucketDir] [seconds]` — the container
-  * has no MQTT broker, so a simulated broker network stands behind the
-  * SAME `MqttClient` seam a production transport would implement:
-  * credentials are validated, the lifecycle callbacks fire, and received
-  * messages flow through `IngestBridge` into the DataSourceV2 ingest log
-  * that Spark consumes as micro-batches.
+  * has no MQTT broker, so the demo stands a broker in behind the SAME
+  * `MqttClient` seam a production transport implements: credentials are
+  * validated, the lifecycle callbacks fire, and received messages flow
+  * through `IngestBridge` into the DataSourceV2 ingest log that Spark
+  * consumes as micro-batches. Two transports:
+  *
+  *   - default: the in-memory [[MqttSimNetwork]]/[[MqttSimClient]] pair;
+  *   - `SOLAR_TRANSPORT=socket`: a real MQTT 3.1.1 session — a
+  *     [[LoopbackBroker]] on an ephemeral 127.0.0.1 port, a
+  *     [[MqttSocketClient]] CONNECT/SUBSCRIBE handshake over TCP, and
+  *     every packet delivered through an actual socket (plain TCP; the
+  *     stub broker does not terminate TLS).
   */
 object SolarMain {
   def main(args: Array[String]): Unit = {
@@ -41,20 +48,39 @@ object SolarMain {
       "MQTT_TOPIC" -> "mate/#")
     val secrets = SecretStore.mqttSecrets(k => sys.env.get(k).orElse(defaults.get(k)))
 
-    // the "remote broker": registered credentials, TLS required — and the
-    // client seam a real transport would implement
-    MqttSimNetwork.register(secrets.host, secrets.port, secrets.user, secrets.token)
-    val client = new MqttSimClient
+    // the "remote broker" + the client seam a production transport
+    // implements — in-memory sim by default, a REAL TCP loopback MQTT
+    // session with SOLAR_TRANSPORT=socket
+    val useSocket = sys.env.get("SOLAR_TRANSPORT").contains("socket")
+    val (client: MqttClient, cfg: MqttConnectConfig, loopback: Option[LoopbackBroker]) =
+      if (useSocket) {
+        val b = new LoopbackBroker(secrets.user, secrets.token)
+        println(s"socket transport: loopback broker on 127.0.0.1:${b.port}")
+        (new MqttSocketClient("solar-logger"),
+          MqttConnectConfig("127.0.0.1", b.port, secrets.user, secrets.token, useTls = false),
+          Some(b))
+      } else {
+        MqttSimNetwork.register(secrets.host, secrets.port, secrets.user, secrets.token)
+        (new MqttSimClient, MqttConnectConfig.fromSecrets(secrets), None)
+      }
     val bridge = new IngestBridge(client, ingestLog, secrets.topic)
-    val rc = client.connectWithRetry(
-      MqttConnectConfig.fromSecrets(secrets), bridge, maxRetries = 3)
+    val rc = client.connectWithRetry(cfg, bridge, maxRetries = 3)
     require(rc == MqttReturnCode.Accepted, MqttReturnCode.describe(rc))
+    // over a real socket the SUBACK is asynchronous — publishing before
+    // the subscription registers would silently drop the status messages
+    val subDeadline = System.currentTimeMillis() + 5000
+    while (bridge.events.count("subscribe") < 1 && System.currentTimeMillis() < subDeadline)
+      Thread.sleep(10)
+    require(bridge.events.count("subscribe") >= 1, "subscription not acknowledged")
 
     // Simulated MATE: statuses online, then a packet per 100 ms per device,
-    // published into the broker network → delivered to the subscribed client
+    // published into the broker → delivered to the subscribed client
     val online = "online".getBytes("US-ASCII")
     def netPublish(topic: String, payload: Array[Byte], us: Long): Unit =
-      MqttSimNetwork.publish(secrets.host, secrets.port, topic, payload, us)
+      loopback match {
+        case Some(b) => b.publish(topic, payload) // arrival stamped at receipt
+        case None => MqttSimNetwork.publish(secrets.host, secrets.port, topic, payload, us)
+      }
     netPublish(Topics.MateStatus, online, 0L)
     Seq(Topics.DcStatus, Topics.FxStatus, Topics.MxStatus)
       .zipWithIndex
@@ -82,6 +108,7 @@ object SolarMain {
     query.processAllAvailable()
     query.stop()
     client.disconnect()
+    loopback.foreach(_.close())
 
     val points = PointStore.read(spark, bucket)
     println(s"ingested ${points.count()} points into $bucket")

@@ -5,11 +5,12 @@ import java.net.{ServerSocket, Socket}
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
-/** In-test loopback MQTT 3.1.1 broker stub — the "other end of the
-  * socket" for [[MqttSocketClient]] specs. Plain TCP on an ephemeral
-  * 127.0.0.1 port; validates CONNECT credentials against the registered
-  * pair and answers with the paho return-code table the reference logs
-  * (bad credentials → 4, broker down → 3). Test code publishes with
+/** Loopback MQTT 3.1.1 broker stub — the "other end of the socket" for
+  * [[MqttSocketClient]] specs and for `SolarMain`'s socket-transport demo
+  * (the container ships no broker). Plain TCP on an ephemeral 127.0.0.1
+  * port; validates CONNECT credentials against the registered pair and
+  * answers with the paho return-code table the reference logs (bad
+  * credentials → 4, broker down → 3). The test/demo side publishes with
   * [[publish]] and severs connections with [[dropAll]] (abrupt close —
   * the network-blip path).
   */
