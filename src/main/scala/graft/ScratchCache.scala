@@ -2,7 +2,6 @@ package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.DataFrame
-import scala.jdk.CollectionConverters._
 
 /** Caller-owned lifecycle for scratch `persist()`s.
   *
@@ -30,10 +29,17 @@ object ScratchCache {
     df
   }
 
-  /** Unpersist every tracked frame (non-blocking). Call after the query
-    * result built on them has been materialized. */
-  def releaseAll(): Unit = {
-    live.asScala.foreach(_.unpersist(blocking = false))
-    live.clear()
+  /** Unpersist every tracked frame (non-blocking) and return how many
+    * were released. Call after the query result built on them has been
+    * materialized. */
+  def releaseAll(): Int = {
+    var n = 0
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      n += 1
+      df = live.poll()
+    }
+    n
   }
 }
