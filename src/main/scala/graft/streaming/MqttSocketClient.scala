@@ -80,7 +80,7 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
         if (code == MqttReturnCode.Accepted) {
           socket = s; out = o
           connected = true
-          startReader(in)
+          startReader(in, s, o)
         } else {
           s.close()
           callbacks.onSocketClose()
@@ -96,10 +96,14 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     rc
   }
 
-  private def startReader(in: DataInputStream): Unit = {
+  /** Reader bound to ITS socket generation: after a drop + `reconnect()`,
+    * the old reader's dying IOException must not clobber the new
+    * connection's state or fire spurious callbacks — it only acts while
+    * its own socket is still the current one. */
+  private def startReader(in: DataInputStream, mySocket: Socket, myOut: DataOutputStream): Unit = {
     val t = new Thread(() => {
       try {
-        while (connected) {
+        while (connected && (socket eq mySocket)) {
           val p = MqttWire.read(in)
           p.packetType match {
             case MqttWire.PUBLISH =>
@@ -115,16 +119,17 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
             case MqttWire.UNSUBACK =>
               callbacks.onUnsubscribe("")
             case MqttWire.PINGREQ =>
-              MqttWire.write(out, MqttWire.PINGRESP, Array.emptyByteArray)
+              MqttWire.write(myOut, MqttWire.PINGRESP, Array.emptyByteArray)
             case _ => ()
           }
         }
       } catch {
         case _: EOFException | _: IOException =>
           // socket died under us (broker drop, network blip) — only an
-          // UNEXPECTED close is a non-zero disconnect; `disconnect()` has
-          // already fired its callbacks when `closing` is set
-          if (connected && !closing) {
+          // UNEXPECTED close of the CURRENT socket is a non-zero
+          // disconnect; `disconnect()` has already fired its callbacks
+          // when `closing` is set, and a superseded reader stays silent
+          if (connected && !closing && (socket eq mySocket)) {
             connected = false
             callbacks.onSocketClose()
             callbacks.onDisconnect(MqttReturnCode.ServerUnavailable)

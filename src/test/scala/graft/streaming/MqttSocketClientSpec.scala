@@ -106,6 +106,29 @@ class MqttSocketClientSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("immediate reconnect after a drop: the old reader cannot clobber the new session") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+      // drop and reconnect IMMEDIATELY — racing the old reader thread's
+      // dying IOException; a reader not bound to its socket generation
+      // would fire a late disconnect and flip connected=false under the
+      // fresh session
+      broker.dropAll()
+      assert(client.reconnect() === MqttReturnCode.Accepted)
+      Thread.sleep(300) // grace for the old reader to wake up and (not) interfere
+      assert(client.isConnected, "late reader death clobbered the reconnected session")
+      assert(await()(bridge.events.count("subscribe") === 2))
+      broker.publish(Topics.FxData, SolarSynth.encodeFx(1700000000L, 9))
+      assert(await()(MqttSimBroker.size(log) === 1), "delivery broken after racy reconnect")
+      client.disconnect()
+    } finally broker.close()
+  }
+
   test("end-to-end over TCP: received messages reach a Spark micro-batch") {
     val broker = new LoopbackBroker("solar", "tok123")
     try {
