@@ -378,6 +378,131 @@ object PrepQueries {
       .orderBy("lang")
   }
 
+  /** Hashed-feature buckets for [[qDsirWeight]] / shards for
+    * [[qShuffleShard]]: md5-hex prefix parsed as an integer, identically
+    * on both engines (Spark `conv(hex,16,10)`, DuckDB `'0x…'::BIGINT`) —
+    * the string-key analog of the multiplicative doc_id hash. */
+  val DsirBuckets = 1024L
+  val ShuffleShards = 8L
+
+  private def md5Bucket(c: org.apache.spark.sql.Column, buckets: Long) =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % buckets
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): represent every
+    * document by hashed-unigram bucket counts, estimate a target
+    * distribution from the in-domain slice (here lang='en') and the raw
+    * distribution from the whole corpus, and score each document by its
+    * buckets' target mass vs raw mass. Real DSIR uses per-bucket
+    * log-likelihood ratios; this gate sums add-one-smoothed integer
+    * bucket counts and divides ONCE at the end, keeping the exact same
+    * data flow while staying transcendental-free so the DuckDB oracle
+    * matches bit-for-bit (sums of logs are not portably reproducible
+    * across libm implementations; integer masses are).
+    *
+    * Scale shape: one explode + two hash aggregations over at most
+    * [[DsirBuckets]] rows each, broadcast back onto the exploded tokens,
+    * one per-doc re-aggregation. The bucket tables are O(1024) rows
+    * regardless of corpus size — the broadcast never grows with data. */
+  val qDsirWeight: Q = Q.sql(
+    "q_dsir_weight",
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |  CAST(('0x' || substr(md5(t),1,6)) AS BIGINT) % $DsirBuckets AS bkt FROM tok),
+       |tgt AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bkt),
+       |raw AS (SELECT bkt, count(*) AS rc FROM b GROUP BY bkt),
+       |doc AS (
+       |  SELECT d.doc_id,
+       |    sum(coalesce(t.tc, 0) + 1) AS t_mass,
+       |    sum(r.rc + 1) AS r_mass
+       |  FROM b d LEFT JOIN tgt t ON d.bkt = t.bkt JOIN raw r ON d.bkt = r.bkt
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, CAST(t_mass AS BIGINT) AS t_mass, CAST(r_mass AS BIGINT) AS r_mass,
+       |  CAST(t_mass AS DOUBLE) / r_mass AS affinity
+       |FROM doc ORDER BY doc_id""".stripMargin,
+    doc = "DSIR-style importance scoring: hashed-unigram target/raw mass ratio") { (s, d) =>
+    val toks = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"), md5Bucket(col("t"), DsirBuckets).as("bkt"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+      .withColumnRenamed("bkt", "tbkt")
+    val raw = toks
+      .groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+      .withColumnRenamed("bkt", "rbkt")
+    toks
+      .join(broadcast(tgt), col("bkt") === col("tbkt"), "left")
+      .join(broadcast(raw), col("bkt") === col("rbkt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(coalesce(col("tc"), lit(0L)) + 1L).cast("long").as("t_mass"),
+        sum(col("rc") + 1L).cast("long").as("r_mass"))
+      .select(
+        col("doc_id"), col("t_mass"), col("r_mass"),
+        (col("t_mass").cast("double") / col("r_mass")).as("affinity"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle + sharding — the last step before a
+    * trainer reads the corpus: every document's shard and its position
+    * within the shard are pure functions of (seed, doc_id), so the
+    * shuffle is reproducible across runs, engines, and partitionings
+    * (the same property [[graft.operators.Sampling]] gives sampling).
+    * Output is the per-shard manifest: size, byte mass, and the first
+    * five documents in shuffle order (a head checksum the gate hashes).
+    *
+    * Scale shape: shard assignment is a narrow map; per-shard stats are
+    * one hash aggregation; the head sample plans as WindowGroupLimit
+    * (rank ≤ 5 pushed into the sort), so no task materializes a whole
+    * shard. [[ShuffleShards]] is a demo-sized parameter — a 100 TB run
+    * would use O(100k) shards, which only widens the hash key space. */
+  val qShuffleShard: Q = Q.sql(
+    "q_shuffle_shard",
+    s"""WITH sh AS (
+       |  SELECT doc_id, n_chars, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS hk
+       |  FROM documents
+       |), a AS (
+       |  SELECT doc_id, n_chars, hk,
+       |    CAST(('0x' || substr(hk,1,6)) AS BIGINT) % $ShuffleShards AS shard FROM sh
+       |), stats AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM a GROUP BY shard
+       |), head AS (
+       |  SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS rn
+       |  FROM a
+       |), headagg AS (
+       |  SELECT shard, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS head_ids
+       |  FROM head WHERE rn <= 5 GROUP BY shard
+       |)
+       |SELECT st.shard, st.n_docs, st.total_chars, h.head_ids
+       |FROM stats st JOIN headagg h ON st.shard = h.shard
+       |ORDER BY st.shard""".stripMargin,
+    doc = "deterministic corpus shuffle + shard manifest (seeded hash order)") { (s, d) =>
+    val a = documents(s, d)
+      .select(
+        col("doc_id"), col("n_chars"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("hk"))
+      .select(
+        col("doc_id"), col("n_chars"), col("hk"),
+        (conv(substring(col("hk"), 1, 6), 16, 10).cast("long") % ShuffleShards).as("shard"))
+    val stats = a.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    val headagg = a
+      .select(col("shard"), col("doc_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy(col("shard"))
+      .agg(
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("rn"), col("doc_id")))),
+            x => x("doc_id").cast("string"))).as("head_ids"))
+    stats.join(headagg, Seq("shard")).orderBy("shard")
+  }
+
   val all: Seq[Q] =
-    Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply)
+    Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply,
+      qDsirWeight, qShuffleShard)
 }

@@ -473,8 +473,72 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models", table A1 heuristics): per-document word count
+    * bounds, mean-word-length band, alphabetic-word fraction, and
+    * minimum stop-word evidence, AND-ed into a keep/drop verdict. This
+    * is the rule-based filter stage that runs BEFORE model-based quality
+    * scoring in a training pipeline (q_quality_score is the scored
+    * counterpart).
+    *
+    * One tokenization staged and shared by all four rules (NOTES.md
+    * lesson 3); narrow per-row transform, zero shuffles — scan-shaped at
+    * 100 TB like the rest of the text battery. The two ratio columns are
+    * emitted as RAW doubles: a per-row integer/integer division is
+    * bit-identical across engines, while round() is not (see
+    * TimeSeriesQueries.qIntegral). */
+  val qGopherFilter: Q = Q.sql(
+    "q_gopher_filter",
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS w,
+       |    length(replace(text, ' ', '')) AS nosp
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(nosp AS DOUBLE) / len(w) AS awl,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS af,
+       |    CAST(len(list_filter(w, x -> x IN (${stopwordsEn.map(s => s"'$s'").mkString(",")})))
+       |      AS BIGINT) AS n_stop
+       |  FROM t
+       |)
+       |SELECT doc_id, n_words,
+       |  awl AS avg_word_len,
+       |  af AS alpha_frac,
+       |  n_stop,
+       |  CAST(CASE WHEN n_words BETWEEN 5 AND 100000
+       |    AND awl BETWEEN 2.0 AND 12.0
+       |    AND af >= 0.8
+       |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin,
+    doc = "Gopher rule battery: word count, word length, alpha fraction, stopword floor") { (s, d) =>
+    val awl = col("nosp").cast("double") / size(col("w"))
+    val af = size(filter(col("w"), x => x.rlike("[a-z]"))).cast("double") / size(col("w"))
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(
+        col("doc_id"),
+        tokens(col("text")).as("w"),
+        length(regexp_replace(col("text"), " ", "")).as("nosp"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        awl.as("avg_word_len"),
+        af.as("alpha_frac"),
+        stopwordHitsOf(col("w"), stopwordsEn).as("n_stop"),
+        when(
+          size(col("w")).between(5, 100000)
+            && awl.between(2.0, 12.0)
+            && af >= 0.8
+            && stopwordHitsOf(col("w"), stopwordsEn) >= 2,
+          1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
-      qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact)
+      qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
+      qGopherFilter)
 }

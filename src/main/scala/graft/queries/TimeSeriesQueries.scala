@@ -410,7 +410,148 @@ object TimeSeriesQueries {
       .orderBy("l_returnflag", "bin")
   }
 
+  /** Flux `integral(unit: 1s)` — trapezoidal integration per series per
+    * day (the Wh-from-W operator every solar dashboard runs). Each
+    * segment contributes (v₁+v₂)/2·Δt; segments are formed by `lag` over
+    * a window keyed by (series, day), so no task ever sorts more than
+    * one series-day — the segmented-window pattern the status gate uses,
+    * applied to numeric integration.
+    *
+    * Oracle parity: `value` is exactly two-decimal (asserted against the
+    * data), so each segment is computed in EXACT integer cents·µs —
+    * (v₁+v₂ in cents) × Δt_µs — summed as integers (order-independent by
+    * construction), with ONE double division at the very end. No
+    * `round()` on doubles anywhere: Spark's round (shortest-decimal
+    * based) and DuckDB's (exact-binary based) disagree on boundary
+    * cases, while identical integers cast to double are identical. */
+  val qIntegral: Q = Q.sql(
+    "q_integral",
+    """WITH seq AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+      |    lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS pv100,
+      |    lag(ts) OVER w AS pt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts) ORDER BY ts, event_id)
+      |)
+      |SELECT event_type, day,
+      |  CAST(sum((v100 + pv100) * (epoch_us(ts) - epoch_us(pt))) AS DOUBLE) / 200000000.0 AS energy,
+      |  CAST(count(*) AS BIGINT) AS n_segments
+      |FROM seq
+      |WHERE pv100 IS NOT NULL
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin,
+    doc = "Flux integral(): per-series-per-day trapezoidal integration") { (s, d) =>
+    val staged = events(s, d)
+      .select(
+        col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v100"))
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    staged
+      .select(
+        col("event_type"), col("day"), col("ts"), col("v100"),
+        lag(col("v100"), 1).over(w).as("pv100"),
+        lag(col("ts"), 1).over(w).as("pt"))
+      .filter(col("pv100").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        (sum((col("v100") + col("pv100")) * (unix_micros(col("ts")) - unix_micros(col("pt"))))
+          .cast("double") / 200000000.0).as("energy"),
+        count(lit(1)).as("n_segments"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Linear gap interpolation — Flux `interpolate.linear`: hourly means
+    * on a sparse filter leave empty buckets; each gap is filled on the
+    * line between its bracketing anchors. Complements q_gapfill's
+    * fill-previous (LOCF) with the other standard fill.
+    *
+    * Shape: hash agg → per-series grid (sequence/explode, no shuffle
+    * beyond the agg) → two bounded-frame windows (running last / running
+    * first with IGNORE NULLS) keyed per series. The window partitions
+    * are time-bounded hourly buckets per series — small by construction,
+    * like q_gapfill's, not data-proportional. The interpolation is
+    * identical IEEE double arithmetic on both engines (anchor means are
+    * exact-decimal sums divided once), so the raw doubles are
+    * bit-identical — deliberately NOT rounded, because round() itself is
+    * the one non-portable operation (see qIntegral). */
+  val qInterpLinear: Q = Q.sql(
+    "q_interp_linear",
+    """WITH agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS v
+      |  FROM events WHERE value > 150.0 GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY event_type
+      |), grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+      |), dense AS (
+      |  SELECT g.event_type, g.bucket, a.v
+      |  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.bucket
+      |), ctx AS (
+      |  SELECT event_type, bucket, v,
+      |    last_value(v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pt,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nt
+      |  FROM dense
+      |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_type, bucket,
+      |  CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled,
+      |  CASE
+      |    WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+      |      / (epoch_us(nt) - epoch_us(pt)))
+      |  END AS v_interp
+      |FROM ctx
+      |ORDER BY event_type, bucket""".stripMargin,
+    doc = "linear gap interpolation between bracketing hourly anchors") { (s, d) =>
+    val agg = events(s, d)
+      .filter(col("value") > 150.0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(col("value").cast("decimal(30,6)")).cast("double") / count(col("value"))).as("v"))
+    val grid = agg
+      .groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    val dense = grid.join(agg, Seq("event_type", "bucket"), "left")
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchorT = when(col("v").isNotNull, col("bucket"))
+    val interp = when(col("v").isNotNull, col("v"))
+      .when(col("pv").isNull, col("nv"))
+      .when(col("nv").isNull, col("pv"))
+      .otherwise(
+        col("pv") + (col("nv") - col("pv")) *
+          ((unix_micros(col("bucket")) - unix_micros(col("pt"))).cast("double")
+            / (unix_micros(col("nt")) - unix_micros(col("pt")))))
+    dense
+      .select(
+        col("event_type"), col("bucket"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+        last(anchorT, ignoreNulls = true).over(wp).as("pt"),
+        first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+        first(anchorT, ignoreNulls = true).over(wf).as("nt"))
+      .select(
+        col("event_type"), col("bucket"),
+        when(col("v").isNotNull, 0L).otherwise(1L).as("filled"),
+        interp.as("v_interp"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth)
+      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
+      qIntegral, qInterpLinear)
 }
