@@ -126,5 +126,60 @@ object StatsQueries {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist)
+  /** KMV (k-minimum-values) distinct-count sketch, k = 64 — the
+    * cardinality sketch that is DETERMINISTIC and therefore fully
+    * oracle-able, unlike HLL (q_approx_aggs is rows-only for exactly
+    * that reason; this gate closes the gap with a sketch whose estimate
+    * DuckDB replays bit-for-bit). Per language, hash every distinct
+    * token to md5, keep the 64 smallest hashes, and estimate
+    * |vocabulary| ≈ (k−1)/u_k where u_k is the k-th smallest hash mapped
+    * into [0,1). Groups with fewer than k distinct values are exact by
+    * the KMV rule.
+    *
+    * Scale shape: explode → distinct (one shuffle on (lang, hash)) →
+    * per-group k-smallest, planned as WindowGroupLimit (rank ≤ k is
+    * pushed into the sort, so partial top-k runs map-side and no task
+    * ever holds a group's full hash set) → one tiny join against the
+    * exact counts. The sketch itself is mergeable (union = k smallest of
+    * the union), which is what makes KMV the distributed-friendly choice
+    * at 100 TB. Estimate arithmetic is two IEEE divisions on identical
+    * operands — no round(), bit-identical across engines. */
+  val qKmvDistinct: Q = Q.sql(
+    "q_kmv_distinct",
+    s"""WITH tok AS (SELECT lang, unnest(${graft.text.TextFunctions.tokensSql}) AS t FROM documents),
+       |th AS (SELECT DISTINCT lang, md5(t) AS h FROM tok),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM th),
+       |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct FROM th GROUP BY lang),
+       |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS in_sketch, max(h) AS kth_hash
+       |       FROM r WHERE rn <= 64 GROUP BY lang)
+       |SELECT n.lang, n.n_distinct, s.in_sketch, s.kth_hash,
+       |  CASE WHEN s.in_sketch < 64 THEN CAST(n.n_distinct AS DOUBLE)
+       |    ELSE 63.0 / (CAST(('0x' || substr(s.kth_hash, 1, 12)) AS BIGINT) / 281474976710656.0)
+       |  END AS est_distinct
+       |FROM nd n JOIN sk s ON n.lang = s.lang
+       |ORDER BY n.lang""".stripMargin,
+    doc = "KMV distinct-count sketch (k=64): deterministic, mergeable, oracle-replayed") { (s, d) =>
+    val th = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("lang"), explode(graft.text.TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("lang"), md5(col("t")).as("h"))
+      .distinct()
+    val nd = th.groupBy(col("lang")).agg(count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val sk = th
+      .select(col("lang").as("sklang"), col("h"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 64)
+      .groupBy(col("sklang"))
+      .agg(count(lit(1)).as("in_sketch"), max(col("h")).as("kth_hash"))
+    val uK = conv(substring(col("kth_hash"), 1, 12), 16, 10).cast("double") / 281474976710656.0
+    nd.join(sk, col("lang") === col("sklang"))
+      .select(
+        col("lang"), col("n_distinct"), col("in_sketch"), col("kth_hash"),
+        when(col("in_sketch") < 64, col("n_distinct").cast("double"))
+          .otherwise(lit(63.0) / uK)
+          .as("est_distinct"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct)
 }
