@@ -48,18 +48,28 @@ object ConnectedComponents {
     // planning after a few rounds) — the same reason GraphFrames
     // checkpoints. Checkpointing also mints fresh attribute ids, so
     // sym⋈labels is never a same-lineage self-join.
+    // sym and every round's labels checkpoint LAZILY: the convergence
+    // probe that immediately follows is the materializing action, so each
+    // round costs ONE job (probe = materialize) instead of two (eager
+    // checkpoint job + probe job); wall-clock is shuffle-bound so this
+    // trims scheduler overhead, not stage work. Only `e` stays eager: it
+    // guards the caller's whole near-dup pipeline from the 4-way
+    // symmetrization fan-out, where lazy first-touch could recompute the
+    // upstream per branch. (Pre-partitioning sym on the join key was
+    // tried and reverted: localCheckpoint drops outputPartitioning — the
+    // LogicalRDD replans with a fresh Exchange regardless.)
     val sym = e.select(col(src).as("a"), col(dst).as("b"))
       .union(e.select(col(dst).as("a"), col(src).as("b")))
       .union(e.select(col(src).as("a"), col(src).as("b")))
       .union(e.select(col(dst).as("a"), col(dst).as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // round 0 fused into initialization: with self-loops in sym, the
     // neighbor-min aggregation IS "min(self, direct neighbors)" — exactly
     // the first propagation round, for one aggregation.
     var labels = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // sum() over an empty frame is SQL NULL — an edge frame with zero rows
     // (LSH found no near-dup pairs) must yield an empty labels frame, not
     // an NPE, so the convergence probe reads the aggregate as nullable.
@@ -83,7 +93,7 @@ object ConnectedComponents {
         .select(
           col("node"),
           least(col("component"), coalesce(col("ccomp"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // labels are node ids and only ever decrease, so the label sum is
       // strictly monotone decreasing until convergence: sum unchanged ⟺
       // fixed point. One aggregate over checkpointed data, no join.
