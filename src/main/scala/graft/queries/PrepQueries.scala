@@ -400,22 +400,23 @@ object PrepQueries {
     * matches bit-for-bit (sums of logs are not portably reproducible
     * across libm implementations; integer masses are).
     *
-    * Scale shape: one explode + two hash aggregations over at most
-    * [[DsirBuckets]] rows each, broadcast back onto the exploded tokens,
-    * one per-doc re-aggregation. The bucket tables are O(1024) rows
-    * regardless of corpus size — the broadcast never grows with data. */
+    * Scale shape: one explode + ONE hash aggregation (target and raw
+    * counts as conditional aggregates of the same pass) over at most
+    * [[DsirBuckets]] rows, broadcast back onto the exploded tokens, one
+    * per-doc re-aggregation. The bucket table is O(1024) rows regardless
+    * of corpus size — the broadcast never grows with data. */
   val qDsirWeight: Q = Q.sql(
     "q_dsir_weight",
     s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents),
        |b AS (SELECT doc_id, lang,
        |  CAST(('0x' || substr(md5(t),1,6)) AS BIGINT) % $DsirBuckets AS bkt FROM tok),
-       |tgt AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bkt),
-       |raw AS (SELECT bkt, count(*) AS rc FROM b GROUP BY bkt),
+       |stats AS (SELECT bkt, count(*) AS rc,
+       |  count(*) FILTER (WHERE lang = 'en') AS tc FROM b GROUP BY bkt),
        |doc AS (
        |  SELECT d.doc_id,
-       |    sum(coalesce(t.tc, 0) + 1) AS t_mass,
-       |    sum(r.rc + 1) AS r_mass
-       |  FROM b d LEFT JOIN tgt t ON d.bkt = t.bkt JOIN raw r ON d.bkt = r.bkt
+       |    sum(s.tc + 1) AS t_mass,
+       |    sum(s.rc + 1) AS r_mass
+       |  FROM b d JOIN stats s ON d.bkt = s.bkt
        |  GROUP BY d.doc_id)
        |SELECT doc_id, CAST(t_mass AS BIGINT) AS t_mass, CAST(r_mass AS BIGINT) AS r_mass,
        |  CAST(t_mass AS DOUBLE) / r_mass AS affinity
@@ -425,18 +426,17 @@ object PrepQueries {
       .transform(graft.Tables.spread(s, _))
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), col("lang"), md5Bucket(col("t"), DsirBuckets).as("bkt"))
-    val tgt = toks.filter(col("lang") === "en")
-      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
-      .withColumnRenamed("bkt", "tbkt")
-    val raw = toks
-      .groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
-      .withColumnRenamed("bkt", "rbkt")
+    val stats = toks
+      .groupBy(col("bkt"))
+      .agg(
+        count(lit(1)).as("rc"),
+        count(when(col("lang") === "en", 1)).as("tc"))
+      .withColumnRenamed("bkt", "sbkt")
     toks
-      .join(broadcast(tgt), col("bkt") === col("tbkt"), "left")
-      .join(broadcast(raw), col("bkt") === col("rbkt"))
+      .join(broadcast(stats), col("bkt") === col("sbkt"))
       .groupBy(col("doc_id"))
       .agg(
-        sum(coalesce(col("tc"), lit(0L)) + 1L).cast("long").as("t_mass"),
+        sum(col("tc") + 1L).cast("long").as("t_mass"),
         sum(col("rc") + 1L).cast("long").as("r_mass"))
       .select(
         col("doc_id"), col("t_mass"), col("r_mass"),
