@@ -536,9 +536,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016): count adjacent character pairs
+    * across the corpus vocabulary stream; the argmax pair is the next
+    * merge. One explode chain + one count shuffle + TakeOrderedAndProject
+    * top-k — the same shape as q_top_terms, one level below words. (Full
+    * BPE iterates this with merged symbols; the pair-count pass is the
+    * distributed-heavy step, the merge table itself is driver-sized.) */
+  val qBpePairs: Q = Q.sql(
+    "q_bpe_pairs",
+    s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(t)-1), i -> substr(t, i, 2))) AS pair
+       |  FROM tok WHERE length(t) >= 2)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair
+       |LIMIT 50""".stripMargin,
+    doc = "BPE tokenizer training: top-50 adjacent character pairs") { (s, d) =>
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter)
+      qGopherFilter, qBpePairs)
 }

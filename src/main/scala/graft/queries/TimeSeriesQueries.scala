@@ -550,8 +550,90 @@ object TimeSeriesQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Ordered conversion funnel — view → click (after the view) →
+    * purchase (after the click), per user, with stage counts and mean
+    * wait. Each stage is a per-user min-aggregate joined against the
+    * previous stage's timestamps: two hash joins on user_id, no window
+    * over raw events, so the heavy frame is only ever aggregated. Mean
+    * wait is an exact integer µs sum with one final double division
+    * (lesson 12: round nothing that is already bit-deterministic). */
+  val qFunnel: Q = Q.sql(
+    "q_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(v.t0) AS t0, min(e.ts) AS t1
+      |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(c.t1) AS t1, min(e.ts) AS t2
+      |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(NULL AS DOUBLE) AS avg_wait_sec FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(count(*) AS BIGINT),
+      |    CAST(sum(epoch_us(t1) - epoch_us(t0)) AS DOUBLE) / (1000000.0 * count(*)) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+      |    CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / (1000000.0 * count(*)) FROM p
+      |) ORDER BY step""".stripMargin,
+    doc = "ordered conversion funnel: per-stage user counts + mean wait") { (s, d) =>
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t0"))
+      .groupBy(col("e.user_id"))
+      .agg(min(col("v.t0")).as("t0"), min(col("e.ts")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t1"))
+      .groupBy(col("e.user_id"))
+      .agg(min(col("c.t1")).as("t1"), min(col("e.ts")).as("t2"))
+    def stage(df: org.apache.spark.sql.DataFrame, step: Int, name: String,
+        wait: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_users"), wait.as("avg_wait_sec"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"), col("avg_wait_sec"))
+    def meanWait(from: String, to: String) =
+      sum(unix_micros(col(to)) - unix_micros(col(from))).cast("double") /
+        (lit(1000000.0) * count(lit(1)))
+    stage(v, 1, "view", max(lit(null).cast("double")))
+      .union(stage(c, 2, "click", meanWait("t0", "t1")))
+      .union(stage(p, 3, "purchase", meanWait("t1", "t2")))
+      .orderBy("step")
+  }
+
+  /** Cohort retention — users grouped by first-seen day, activity counted
+    * per (cohort, day offset) for the first week. Two aggregates over
+    * events (first-seen, distinct active days) and one user-level join:
+    * the raw event table is never windowed or self-joined, so the shape
+    * is two shuffles on user_id + one on (cohort, offset) regardless of
+    * scale. */
+  val qCohortRetention: Q = Q.sql(
+    "q_cohort_retention",
+    """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |r AS (SELECT f.cohort, CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+      |      CAST(count(*) AS BIGINT) AS n_active
+      |      FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2)
+      |SELECT cohort, day_offset, n_active FROM r WHERE day_offset <= 7
+      |ORDER BY cohort, day_offset""".stripMargin,
+    doc = "cohort retention: first-seen-day cohorts × active-day offsets") { (s, d) =>
+    val ev = events(s, d)
+    val f = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+      .withColumnRenamed("user_id", "fuid")
+    val a = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    a.join(f, col("user_id") === col("fuid"))
+      .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
-      qIntegral, qInterpLinear)
+      qIntegral, qInterpLinear, qFunnel, qCohortRetention)
 }
