@@ -144,6 +144,42 @@ class PlanSpec extends AnyFunSuite {
       "cut-point table must broadcast — the fact side never shuffles for the join")
   }
 
+  test("q_kmv_distinct: k-smallest per group plans as WindowGroupLimit") {
+    val p = plan(StatsQueries.qKmvDistinct)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push a group limit below the window — no full per-group hash sort")
+  }
+
+  test("q_shuffle_shard: head sample plans as WindowGroupLimit; stats agg is partial") {
+    val p = plan(PrepQueries.qShuffleShard)
+    assert(p.contains("WindowGroupLimit"),
+      "rn<=5 head sample must push a group limit below the window")
+    assert(p.contains("partial_"), "per-shard stats must map-side combine")
+  }
+
+  test("q_funnel / q_cohort_retention: no Window over raw events") {
+    for (q <- Seq(TimeSeriesQueries.qFunnel, TimeSeriesQueries.qCohortRetention)) {
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(p).isDefined,
+        s"${q.name}: event analytics must stay aggregate-only, never window the raw stream")
+    }
+  }
+
+  test("q_integral: lag window partitions by (series, day) — segment-bounded sorts") {
+    val p = plan(TimeSeriesQueries.qIntegral)
+    assert(p.contains("hashpartitioning(event_type") && p.contains("day"),
+      "integral window must key on (event_type, day), never a whole series in one task")
+  }
+
+  test("q_gopher_filter / q_bpe_pairs read only the text column") {
+    val g = plan(TextQueries.qGopherFilter)
+    assert(g.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+      || g.contains("ReadSchema: struct<text:string,doc_id:bigint>"),
+      "gopher filter must read only (doc_id, text)")
+    val b = plan(TextQueries.qBpePairs)
+    assert(b.contains("ReadSchema: struct<text:string>"), "bpe pairs must read only `text`")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
