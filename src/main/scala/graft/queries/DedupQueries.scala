@@ -673,8 +673,39 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Jaro-Winkler similarity over consecutive-doc text pairs — the
+    * second fuzzy-match primitive next to q_fuzzy_verify's levenshtein:
+    * O(n·window) instead of O(n²), prefix-weighted (entity/title
+    * matching semantics). Scored by the custom codegen expression
+    * [[graft.expressions.JaroWinkler]]; the oracle replays DuckDB's
+    * built-in `jaro_winkler_similarity`, so the gate fuzz-checks the
+    * whole algorithm (match window, transposition count, 0.7 boost
+    * threshold, prefix cap) over every pair at three corpus sizes.
+    * Raw doubles, no round() (NOTES lesson 12) — both engines build the
+    * same (m, t, prefix) integers and the same IEEE formula tree.
+    *
+    * Scale shape: the pair generator is a self-join on adjacent ids
+    * (shuffle on doc_id) feeding a narrow per-row scorer; a production
+    * matcher would swap the generator for LSH candidates (q_dedup_minhash)
+    * and keep the scorer unchanged. */
+  val qJaroPairs: Q = Q.sql(
+    "q_jaro_pairs",
+    """SELECT d1.doc_id AS id1, d2.doc_id AS id2,
+      |  jaro_winkler_similarity(d1.text, d2.text) AS jw
+      |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |ORDER BY id1""".stripMargin,
+    doc = "Jaro-Winkler fuzzy similarity (custom codegen expression vs DuckDB built-in)") { (s, d) =>
+    val d1 = documents(s, d).select(col("doc_id").as("id1"), col("text").as("t1"))
+    val d2 = documents(s, d).select(col("doc_id").as("id2"), col("text").as("t2"))
+    d1.join(d2, col("id2") === col("id1") + 1)
+      .select(
+        col("id1"), col("id2"),
+        graft.expressions.JaroWinkler.jaroWinkler(col("t1"), col("t2")).as("jw"))
+      .orderBy("id1")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental, qFuzzyVerify,
-      qCorpusClean, qSubstringDup)
+      qCorpusClean, qSubstringDup, qJaroPairs)
 }
