@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Central SparkSession factory.
   *
@@ -39,6 +41,18 @@ object GraftSession {
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+      // Catalyst extensions: the edit-distance prefilter rewrite (a sound
+      // length-difference bound ahead of every levenshtein<=k predicate)
+      // and jaro_winkler as a SQL-callable function.
+      .withExtensions { ext =>
+        ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+        ext.injectFunction((
+          new FunctionIdentifier("jaro_winkler"),
+          new ExpressionInfo(
+            classOf[graft.expressions.JaroWinkler].getName, "jaro_winkler"),
+          (args: Seq[Expression]) =>
+            graft.expressions.JaroWinkler(args(0), args(1))))
+      }
 
   /** Get-or-create with graft defaults; used by tests. */
   def get(master: String = "local[32]"): SparkSession = {
