@@ -502,7 +502,42 @@ object PrepQueries {
     stats.join(headagg, Seq("shard")).orderBy("shard")
   }
 
+  /** Weighted sample without replacement (A-ES / exponential-race): each
+    * doc draws a deterministic uniform from its content fingerprint and
+    * competes with key `ln(u)/w` (order-equivalent to the classical
+    * `u^(1/w)` — monotone under exp — but better conditioned); the top-k
+    * keys win, so inclusion probability scales with weight `w = n_chars`.
+    * Reproducible across engines, runs, and partitionings because the
+    * "randomness" is a pure function of the row. Plans as
+    * TakeOrderedAndProject: per-partition top-k, k rows to the driver —
+    * no global sort at any scale. */
+  val qWeightedSample: Q = Q.sql(
+    "q_weighted_sample",
+    """WITH u AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 6)) AS BIGINT) + 1.0)
+      |      / 16777217.0 AS unif
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, lang, n_chars, ln(unif) / n_chars AS k
+      |  FROM u ORDER BY k DESC, doc_id LIMIT 100
+      |)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w, round(k, 9) AS k
+      |FROM k ORDER BY doc_id""".stripMargin,
+    doc = "deterministic weighted reservoir sample (A-ES), top-k plan") { (s, d) =>
+    val unif = (conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 6),
+      16, 10).cast("long") + 1.0) / 16777217.0
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), (log(unif) / col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("w"),
+        round(col("k"), 9).as("k"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply,
-      qDsirWeight, qShuffleShard)
+      qDsirWeight, qShuffleShard, qWeightedSample)
 }

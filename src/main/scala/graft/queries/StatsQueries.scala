@@ -181,5 +181,101 @@ object StatsQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct)
+  /** Per-type linear trend of event values over time — the built-in
+    * regression aggregates (`regr_slope`/`regr_intercept`/`regr_r2`), which
+    * both engines define identically as one-pass co-moment ratios
+    * (covar_pop/var_pop etc.). Partial+final hash aggregation, no sort, no
+    * window: the same single-shuffle shape as any groupBy at any scale.
+    * Time is cast to fractional days so the slope is per-day. */
+  val qRegrTrend: Q = Q.sql(
+    "q_regr_trend",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(regr_slope(value, epoch(ts)/86400.0), 6) AS slope_per_day,
+      |  round(regr_intercept(value, epoch(ts)/86400.0), 4) AS intercept,
+      |  round(regr_r2(value, epoch(ts)/86400.0), 6) AS r2
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "linear value-vs-time trend per event type (regression aggregates)") { (s, d) =>
+    val x = col("ts").cast("double") / 86400.0
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        round(regr_slope(col("value"), x), 6).as("slope_per_day"),
+        round(regr_intercept(col("value"), x), 4).as("intercept"),
+        round(regr_r2(col("value"), x), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Data-quality audit battery (Deequ-style): null-rate, domain,
+    * range, PK-uniqueness, and FK-orphan constraints evaluated in bulk,
+    * one result row per check. Shape: ONE pass over each table folding
+    * every per-table check into a single aggregate row that `stack`
+    * unpivots into rows (no per-check scans), plus one left-anti join for
+    * referential integrity. The tax bound is deliberately tighter than
+    * the data (max l_tax = 0.08) so the violation-counting path is
+    * provably non-vacuous. */
+  val qDqAudit: Q = Q.sql(
+    "q_dq_audit",
+    """WITH o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk
+      |  FROM orders
+      |), l AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+      |    CAST(sum(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS high_tax
+      |  FROM lineitem
+      |), fk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |)
+      |SELECT * FROM (
+      |  SELECT 'orders_positive_price' AS chk, n AS n_checked, bad_price AS n_violations FROM o
+      |  UNION ALL SELECT 'orders_status_domain', n, bad_status FROM o
+      |  UNION ALL SELECT 'orders_custkey_not_null', n, null_cust FROM o
+      |  UNION ALL SELECT 'orders_pk_unique', n, dup_pk FROM o
+      |  UNION ALL SELECT 'lineitem_qty_range', n, bad_qty FROM l
+      |  UNION ALL SELECT 'lineitem_discount_range', n, bad_disc FROM l
+      |  UNION ALL SELECT 'lineitem_tax_le_007', n, high_tax FROM l
+      |  UNION ALL SELECT 'lineitem_order_fk', (SELECT n FROM l), orphans FROM fk
+      |) ORDER BY chk""".stripMargin,
+    doc = "bulk data-quality constraint checks: one scan per table + FK anti-join") { (s, d) =>
+    val v = (c: org.apache.spark.sql.Column) => sum(when(c, 1).otherwise(0)).cast("long")
+    val o = orders(s, d).agg(
+      count(lit(1)).cast("long").as("n"),
+      v(col("o_totalprice") <= 0).as("bad_price"),
+      v(!col("o_orderstatus").isin("O", "F", "P")).as("bad_status"),
+      v(col("o_custkey").isNull).as("null_cust"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long").as("dup_pk"))
+    val l = lineitem(s, d).agg(
+      count(lit(1)).cast("long").as("n"),
+      v(col("l_quantity") < 1 || col("l_quantity") > 50).as("bad_qty"),
+      v(col("l_discount") < 0 || col("l_discount") > 0.1).as("bad_disc"),
+      v(col("l_tax") > 0.07).as("high_tax"))
+    val fk = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("orphans"))
+      .crossJoin(l.select(col("n"))) // reuses l's aggregate subtree (exchange dedup)
+    o.select(expr(
+        """stack(4,
+          |  'orders_positive_price', n, bad_price,
+          |  'orders_status_domain', n, bad_status,
+          |  'orders_custkey_not_null', n, null_cust,
+          |  'orders_pk_unique', n, dup_pk) AS (chk, n_checked, n_violations)""".stripMargin))
+      .unionAll(l.select(expr(
+        """stack(3,
+          |  'lineitem_qty_range', n, bad_qty,
+          |  'lineitem_discount_range', n, bad_disc,
+          |  'lineitem_tax_le_007', n, high_tax) AS (chk, n_checked, n_violations)""".stripMargin)))
+      .unionAll(fk.select(lit("lineitem_order_fk").as("chk"),
+        col("n").as("n_checked"), col("orphans").as("n_violations")))
+      .orderBy("chk")
+  }
+
+  val all: Seq[Q] =
+    Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit)
 }

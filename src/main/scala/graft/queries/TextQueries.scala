@@ -567,9 +567,49 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Unigram-distribution entropy and type-token ratio per language — the
+    * corpus-diversity numbers a data-mix designer reads before weighting
+    * sources. Inverted-index shape: one token-explode shuffle to per-
+    * (lang, term) counts, a 5-row per-language total broadcast back, and
+    * the entropy reduces per language — the raw corpus is scanned once
+    * and never re-shuffled. The -Σ p·ln p sum spans the vocabulary, so
+    * both sides round to 6 (summation-order ulps only). */
+  val qUnigramEntropy: Q = Q.sql(
+    "q_unigram_entropy",
+    s"""WITH tok AS (
+      |  SELECT lang, unnest($tokensSql) AS t FROM documents
+      |), tf AS (
+      |  SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t
+      |), tot AS (
+      |  SELECT lang, sum(c) AS ntok, count(*) AS vocab FROM tf GROUP BY lang
+      |)
+      |SELECT f.lang, CAST(any_value(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(any_value(vocab) AS BIGINT) AS vocab,
+      |  round(-sum((c * 1.0 / ntok) * ln(c * 1.0 / ntok)), 6) AS entropy,
+      |  round(any_value(vocab) * 1.0 / any_value(ntok), 6) AS ttr
+      |FROM tf f JOIN tot USING (lang)
+      |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
+    doc = "per-language unigram entropy + type-token ratio (inverted index)") { (s, d) =>
+    val tf = documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("lang"))
+      .agg(sum(col("c")).as("ntok"), count(lit(1)).as("vocab"))
+    val p = col("c").cast("double") / col("ntok")
+    tf.join(broadcast(tot), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("ntok")).cast("long").as("n_tokens"),
+        max(col("vocab")).cast("long").as("vocab"),
+        round(-sum(p * log(p)), 6).as("entropy"),
+        round(max(col("vocab")).cast("double") / max(col("ntok")), 6).as("ttr"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs)
+      qGopherFilter, qBpePairs, qUnigramEntropy)
 }

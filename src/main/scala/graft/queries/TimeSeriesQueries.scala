@@ -632,8 +632,60 @@ object TimeSeriesQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Rolling z-score anomaly counts: each event is scored against the
+    * trailing 20 events of ITS OWN user (at least 8 of history), and the
+    * per-type anomaly totals come out. The window partitions on user_id —
+    * high cardinality, so no task ever sorts more than one user's small
+    * history (unlike a per-type window, whose 5 giant partitions would
+    * serialize at scale).
+    *
+    * Cross-engine exactness: `value` is exactly 2-decimal, so the z>3 test
+    * is done in integer cents — `(v·n − s)²·(n−1) > 9·n·(n·q − s²)` is the
+    * threshold inequality with mean and sample variance cleared of
+    * denominators. No float accumulates anywhere, so window summation
+    * order can never flip a boundary row (the failure mode a float
+    * z-score would have exactly at |z|≈3). */
+  val qAnomaly: Q = Q.sql(
+    "q_anomaly",
+    """WITH c AS (
+      |  SELECT event_id, ts, user_id, event_type, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type, v,
+      |    sum(v)   OVER win AS s,
+      |    sum(v*v) OVER win AS q,
+      |    count(*) OVER win AS n
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(CASE WHEN (v*n - s)*(v*n - s)*(n-1) > 9*n*(n*q - s*s)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM w WHERE n >= 8
+      |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "rolling per-user z-score outliers, integer-exact threshold test") { (s, d) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    val c = events(s, d).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("v"))
+    val w = c.select(
+      col("event_type"), col("v"),
+      sum("v").over(win).as("s"),
+      sum(col("v") * col("v")).over(win).as("q"),
+      count(lit(1)).over(win).as("n"))
+    val dev = col("v") * col("n") - col("s")
+    w.filter(col("n") >= 8)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n_scored"),
+        sum(when(dev * dev * (col("n") - 1) > lit(9L) * col("n") * (col("n") * col("q") - col("s") * col("s")), 1)
+          .otherwise(0)).cast("long").as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
-      qIntegral, qInterpLinear, qFunnel, qCohortRetention)
+      qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly)
 }
