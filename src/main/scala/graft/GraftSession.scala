@@ -43,15 +43,29 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // Catalyst extensions: the edit-distance prefilter rewrite (a sound
       // length-difference bound ahead of every levenshtein<=k predicate)
-      // and jaro_winkler as a SQL-callable function.
+      // and the graft codegen expressions as SQL-callable functions, so
+      // `spark.sql` users get the same operators as the Column API.
       .withExtensions { ext =>
         ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
-        ext.injectFunction((
-          new FunctionIdentifier("jaro_winkler"),
-          new ExpressionInfo(
-            classOf[graft.expressions.JaroWinkler].getName, "jaro_winkler"),
-          (args: Seq[Expression]) =>
-            graft.expressions.JaroWinkler(args(0), args(1))))
+        def fn(name: String, clazz: Class[_])(build: Seq[Expression] => Expression): Unit =
+          ext.injectFunction(
+            (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build))
+        fn("jaro_winkler", classOf[graft.expressions.JaroWinkler])(a =>
+          graft.expressions.JaroWinkler(a(0), a(1)))
+        fn("simhash32", classOf[graft.expressions.SimHash32])(a =>
+          graft.expressions.SimHash32(a(0)))
+        fn("rolling_hash", classOf[graft.expressions.RollingHash])(a =>
+          graft.expressions.RollingHash(a(0)))
+        fn("dot_product", classOf[graft.expressions.DotProduct]) (a =>
+          graft.expressions.DotProduct(a(0), a(1)))
+        fn("minhash_hex", classOf[graft.expressions.MinHashHex]) { a =>
+          val seed = a(1) match {
+            case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+            case _ => throw new IllegalArgumentException(
+              "minhash_hex(shingles, seed): seed must be a literal integer")
+          }
+          graft.expressions.MinHashHex(a(0), seed)
+        }
       }
 
   /** Get-or-create with graft defaults; used by tests. */

@@ -295,5 +295,54 @@ object RankQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit)
+  val PostingCap = 100
+
+  /** Inverted-index construction as a materialized artifact: per term, the
+    * document frequency and the first [[PostingCap]] doc ids of its sorted
+    * posting list (comma-joined — a portable, hashable surrogate for the
+    * binary posting format a real index writes).
+    *
+    * Scale design: the classic index-build shape — explode to (term,
+    * doc_id), distinct (one hash shuffle), then per-term assembly. The
+    * posting CAP is the important part at 100 TB: `collect_list` over an
+    * unbounded posting (a stopword's list is the corpus) would OOM a
+    * task, so rows are rank-limited per term BEFORE collection while df
+    * still counts the full posting via a same-partition window. Real
+    * deployments shard long postings into fixed-size blocks; the cap is
+    * that block boundary. */
+  val qPostings: Q = Q.sql(
+    "q_postings",
+    s"""WITH td AS (
+       |  SELECT DISTINCT term, doc_id
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents) _t
+       |), r AS (
+       |  SELECT term, doc_id,
+       |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY term) AS df
+       |  FROM td)
+       |SELECT term, CAST(max(df) AS BIGINT) AS df,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |FROM r WHERE rn <= $PostingCap
+       |GROUP BY term
+       |ORDER BY term""".stripMargin,
+    doc = s"inverted index: per-term df + first-$PostingCap posting block") { (s, d) =>
+    val toks = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val wRank = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("term"))
+    toks
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("df", count(lit(1)).over(wAll))
+      .filter(col("rn") <= PostingCap)
+      .groupBy(col("term"))
+      .agg(
+        max(col("df")).cast("long").as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",")
+          .as("postings"))
+      .orderBy("term")
+  }
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit, qPostings)
 }

@@ -545,6 +545,84 @@ object SimilarityQueries {
         .orderBy("vec_id")
   }
 
+  val SemClusters = 8
+  val SemThreshold = NdThreshold // 0.35 — same "near-dup" bar as the LSH path
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * cluster the embedding space coarsely, then search for near-duplicate
+    * pairs ONLY within each cluster and drop the higher-id member of every
+    * duplicate pair. Output is the per-cluster dedup report: member count,
+    * duplicate-pair count, and how many documents the policy removes.
+    *
+    * Scale design: this is the third pair-pruning geometry next to the
+    * hyperplane-LSH ([[nearDupLsh]]) and IVF cells ([[qAnnIvf]]) — the
+    * cluster id acts as the blocking key, so the pair search is a keyed
+    * equi-join on `cell`, never a cross product. At 100 TB you pick
+    * k ≈ corpus/⟨target cluster size⟩ so per-cell pair cost stays bounded,
+    * and train the centroids with [[trainedCentroids]] (spark.ml KMeans);
+    * the oracle-checked query keeps the deterministic first-K convention
+    * (same as q_ann_ivf) so DuckDB can replay assignment bit-for-bit.
+    * Assignment itself is a broadcast of k tiny centroids against the
+    * corpus — no shuffle proportional to the data. */
+  val qSemDedup: Q = Q.sql(
+    "q_semdedup",
+    s"""WITH vecs AS ($vecsSqlNested),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $SemClusters),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cid AS cell FROM (
+       |    SELECT q.vec_id, q.v, q.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY (${dotSql("q", "c").replace("c.v[", "c.cv[")}) / (q.nrm * c.cnrm) DESC, c.cid)
+       |        AS crank
+       |    FROM vecs q JOIN cents c ON true) t
+       |  WHERE crank = 1),
+       |pairs AS (
+       |  SELECT q.cell, q.vec_id AS id1, c.vec_id AS id2
+       |  FROM assign q JOIN assign c ON c.cell = q.cell AND q.vec_id < c.vec_id
+       |  WHERE (${dotSql("q", "c")}) / (q.nrm * c.nrm) >= $SemThreshold),
+       |m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY cell),
+       |p AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       |    CAST(count(DISTINCT id2) AS BIGINT) AS n_removed
+       |  FROM pairs GROUP BY cell)
+       |SELECT m.cell, m.n_members,
+       |  coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+       |  coalesce(p.n_removed, 0) AS n_removed
+       |FROM m LEFT JOIN p ON p.cell = m.cell
+       |ORDER BY m.cell""".stripMargin,
+    doc = s"SemDeDup: $SemClusters-cell blocking, within-cell cos>=$SemThreshold dedup report") {
+    (s, d) =>
+      val all = vecs(s, d)
+      val cents = all
+        .filter(col("vec_id") < SemClusters)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val centCos =
+        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assign = all
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val pairs = assign.as("q")
+        .join(assign.as("c"),
+          col("q.cell") === col("c.cell") && col("q.vec_id") < col("c.vec_id"))
+        .filter(cosCol >= SemThreshold)
+        .select(col("q.cell").as("cell"), col("q.vec_id").as("id1"), col("c.vec_id").as("id2"))
+      val members = assign.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n_members"))
+      val pairAgg = pairs.groupBy(col("cell")).agg(
+        count(lit(1)).cast("long").as("n_dup_pairs"),
+        countDistinct(col("id2")).cast("long").as("n_removed"))
+      members
+        .join(pairAgg, Seq("cell"), "left")
+        .select(
+          col("cell"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy("cell")
+  }
+
   val all: Seq[Q] =
-    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq)
+    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qSemDedup)
 }

@@ -224,6 +224,53 @@ object TimeSeriesQueries {
       .orderBy("event_type", "event_id")
   }
 
+  val EwmaTaps = 8
+  val EwmaDecay = 0.7
+
+  /** Flux exponentialMovingAverage(): trailing exponentially-weighted mean
+    * per series, truncated at [[EwmaTaps]] taps (tail weight 0.7^8 ≈ 5.8%
+    * — the bounded-window form every streaming EWMA uses so state stays
+    * O(taps), not O(history)).
+    *
+    * Float parity: the recursive EWMA definition can't be replayed
+    * bit-for-bit across engines (each accumulates in its own order), so
+    * both sides compute the SAME finite convolution — a left-associated
+    * sum of lag(value, k) · decay^k with the weight literals printed from
+    * one Scala Double (shortest round-trip repr ⇒ DuckDB parses the
+    * identical bits). Partition heads renormalize by the weight mass of
+    * the taps that exist. Pure window math — one shuffle on the series
+    * key, no joins, state bounded at [[EwmaTaps]] rows per partition. */
+  val qEwma: Q = Q.sql(
+    "q_ewma", {
+      val weights = (0 until EwmaTaps).map(k => math.pow(EwmaDecay, k))
+      val num = (1 until EwmaTaps)
+        .map(k => s"coalesce(lag(value, $k) OVER w * ${weights(k)}, 0.0)")
+        .mkString("value * 1.0 + ", " + ", "")
+      val den = (1 until EwmaTaps)
+        .map(k => s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 ELSE ${weights(k)} END")
+        .mkString("1.0 + ", " + ", "")
+      s"""SELECT event_type, event_id,
+         |  round(($num) / ($den), 6) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         |ORDER BY event_type, event_id""".stripMargin
+    },
+    doc = s"Flux exponentialMovingAverage(): $EwmaTaps-tap EWMA per series, decay $EwmaDecay") {
+    (s, d) =>
+      val wspec = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val weights = (0 until EwmaTaps).map(k => math.pow(EwmaDecay, k))
+      val num = (1 until EwmaTaps)
+        .map(k => coalesce(lag(col("value"), k).over(wspec) * lit(weights(k)), lit(0.0)))
+        .foldLeft(col("value") * lit(1.0))(_ + _)
+      val den = (1 until EwmaTaps)
+        .map(k =>
+          when(lag(col("value"), k).over(wspec).isNull, lit(0.0)).otherwise(lit(weights(k))))
+        .foldLeft(lit(1.0))(_ + _)
+      events(s, d)
+        .select(col("event_type"), col("event_id"), round(num / den, 6).as("ewma"))
+        .orderBy("event_type", "event_id")
+  }
+
   /** Spark's NATIVE gap-based session operator (`session_window`) — the
     * streaming-capable twin of [[qSessionize]]'s manual lag+cumsum: state
     * store merging in Structured Streaming, one shuffle on user_id in
@@ -686,6 +733,6 @@ object TimeSeriesQueries {
 
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
+      qDerivative, qMovingAvg, qEwma, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
       qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly)
 }

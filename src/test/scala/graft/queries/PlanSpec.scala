@@ -180,6 +180,42 @@ class PlanSpec extends AnyFunSuite {
     assert(b.contains("ReadSchema: struct<text:string>"), "bpe pairs must read only `text`")
   }
 
+  test("q_semdedup: pair search is a keyed equi-join on cell — never cartesian") {
+    val df = SimilarityQueries.qSemDedup.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pair join must equi-join on the cell id")
+    // the only nested-loop is the 8-row centroid broadcast (assignment);
+    // the corpus-sized pair join must be hash/merge on cell
+    assert(p.contains("cell"))
+  }
+
+  test("q_ewma: one Window pass for all taps, keyed by series") {
+    val p = plan(TimeSeriesQueries.qEwma)
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1,
+      s"all ${TimeSeriesQueries.EwmaTaps} lag taps must evaluate in ONE window pass")
+    assert(p.contains("hashpartitioning(event_type"),
+      "EWMA window must partition by the series key")
+  }
+
+  test("q_postings: reads only (doc_id, text); posting assembly after rank cap") {
+    val p = plan(RankQueries.qPostings)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+      || p.contains("ReadSchema: struct<text:string,doc_id:bigint>"),
+      "postings must read only (doc_id, text)")
+    assert(p.contains("collect_list"))
+  }
+
+  test("q_pagerank: dims broadcast; fact join keyed — no cartesian fact work") {
+    val df = GraphQueries.qPagerank.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "customer/supplier/nation dims must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row |V| stat may nested-loop; fact joins must stay keyed")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
