@@ -111,6 +111,85 @@ object CoreQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customer dim
+    * BROADCAST into the orders⋈lineitem fact join (which shuffles on
+    * orderkey), date predicates pushed to both fact scans, decimal-exact
+    * revenue, and the top-10 plans as TakeOrderedAndProject — the
+    * never-global-sort rule for "hottest groups" queries. The synthetic
+    * orders table has no shippriority column, so the group carries
+    * o_orderpriority instead (same shape, same cardinality class). */
+  val qShipPriority: Q = Q.sql(
+    "q_ship_priority",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1.00 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin,
+    doc = "TPC-H Q3 shape: broadcast segment dim, pushed date bounds, exact top-10 revenue") {
+    (s, d) =>
+      val one = lit(java.math.BigDecimal.valueOf(100, 2))
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < cut)
+      val l = lineitem(s, d).filter(col("l_shipdate") > cut)
+      broadcast(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)")
+          * (one - col("l_discount").cast("decimal(8,2)"))).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue where the customer
+    * and the supplier share a nation, region-filtered. The "local"
+    * predicate (c_nationkey = s_nationkey) rides the supplier broadcast
+    * join — no extra shuffle; region/nation prune the tiny dims before
+    * broadcast. Decimal-exact revenue makes the DESC output order
+    * deterministic (no float ties to wobble). */
+  val qLocalVolume: Q = Q.sql(
+    "q_local_volume",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1.00 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin,
+    doc = "TPC-H Q5 shape: local-supplier revenue by nation, broadcast dims") { (s, d) =>
+    val one = lit(java.math.BigDecimal.valueOf(100, 2))
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(20,2)")
+        * (one - col("l_discount").cast("decimal(8,2)"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Top-k: plans as TakeOrderedAndProject (no global sort at scale). */
   val qTopK: Q = Q.sql(
     "q_topk",
@@ -301,6 +380,6 @@ object CoreQueries {
   }
 
   val all: Seq[Q] = Seq(
-    q1Agg, qJoinAgg, qTopK, qAntiJoin, qSemiJoin, qWindowRank, qSetOps, qExcept,
-    qScalarFns, qJsonExtract, qSkewJoin)
+    q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
+    qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin)
 }

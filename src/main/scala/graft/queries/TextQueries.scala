@@ -267,6 +267,81 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  val WinK = 8 // k-gram length (chars)
+  val WinW = 4 // winnowing window (hashes)
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm, public): hash every [[WinK]]-char k-gram with the
+    * Karp-Rabin fold, then keep the minimum hash of each [[WinW]]-hash
+    * window. The selected set is position-robust — any shared substring of
+    * length ≥ WinK+WinW-1 between two documents is guaranteed to share at
+    * least one fingerprint — which is what makes it the standard local
+    * fingerprint for substring-level duplication (vs [[qRollingFingerprint]]
+    * whose single whole-doc hash only catches exact-document dups).
+    *
+    * Output compresses the set to (count, md5 of the sorted list) per doc
+    * — one row per document regardless of density, so the gate artifact
+    * stays O(docs) while still pinning every selected hash. Narrow per-row
+    * HOF math (integer mod-M arithmetic, exact in both engines), zero
+    * shuffles before the output sort. At 100 TB the fingerprint SET (doc
+    * → explode(fps)) feeds the same inverted-index / LSH-bucket join
+    * machinery as the MinHash pipeline — selection itself never leaves
+    * the row. */
+  val qWinnow: Q = Q.sql(
+    "q_winnow",
+    s"""WITH c AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(codes) - ${WinK - 1}),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i, i + ${WinK - 1})),
+       |      (acc, x) -> (acc * 31 + x) % ${graft.expressions.RollingHash.M})) AS hs
+       |  FROM c),
+       |w AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(hs) - ${WinW - 1}),
+       |    j -> list_min(list_slice(hs, j, j + ${WinW - 1}))))) AS fps
+       |  FROM h)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |  md5(array_to_string(fps, ',')) AS fp_hash
+       |FROM w ORDER BY doc_id""".stripMargin,
+    doc = s"winnowing fingerprints (MOSS): $WinK-gram Karp-Rabin, window-$WinW minima") {
+    (s, d) =>
+      winnowFingerprints(
+        documents(s, d).transform(graft.Tables.spread(s, _)), "doc_id", "text")
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          md5(concat_ws(",", transform(col("fps"), _.cast("string")))).as("fp_hash"))
+        .orderBy("doc_id")
+  }
+
+  /** The winnowing selection itself: (idCol, fps sorted-distinct long[])
+    * per row. Shared with [[qWinnow]] and the property spec that pins the
+    * MOSS guarantee (shared substrings of length ≥ K+W-1 always share a
+    * fingerprint). */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val m = lit(graft.expressions.RollingHash.M)
+    // per-char codes via substr (split("") emits a trailing empty token
+    // in Spark but not DuckDB — indexing sidesteps the disagreement)
+    val codes = transform(
+      sequence(lit(1), length(col(textCol))),
+      i => ascii(col(textCol).substr(i, lit(1))).cast("long"))
+    val hs = transform(
+      sequence(lit(1), size(col("codes")) - (WinK - 1)),
+      i => aggregate(
+        slice(col("codes"), i, lit(WinK)),
+        lit(0L), (acc, x) => (acc * 31 + x) % m))
+    val fps = array_sort(array_distinct(transform(
+      sequence(lit(1), size(col("hs")) - (WinW - 1)),
+      j => array_min(slice(col("hs"), j, lit(WinW))))))
+    df.select(col(idCol), codes.as("codes"))
+      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol), fps.as("fps"))
+  }
+
   /** Sentence segmentation stats — the readability layer of quality
     * scoring: split on sentence-ending punctuation, count non-empty
     * sentences, average their token lengths. Narrow per-row transform
@@ -609,7 +684,7 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qResizeStub, qRollingFingerprint, qSentenceStats,
+      qFrameSample, qResizeStub, qRollingFingerprint, qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qUnigramEntropy)
 }

@@ -216,6 +216,31 @@ class PlanSpec extends AnyFunSuite {
       "only the 1-row |V| stat may nested-loop; fact joins must stay keyed")
   }
 
+  test("q_ship_priority: broadcast segment dim, pushed dates, top-10 never global-sorts") {
+    val p = plan(CoreQueries.qShipPriority)
+    assert(p.contains("BroadcastHashJoin"), "filtered customer dim must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"), "order-date bound must reach the orders scan")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date bound must reach the lineitem scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("q_local_volume: all dims broadcast; order-date band pushed to the scan") {
+    val p = plan(CoreQueries.qLocalVolume)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      "order-date band must reach the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_winnow: narrow per-row selection — reads only (doc_id, text), no joins") {
+    val p = plan(TextQueries.qWinnow)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+      || p.contains("ReadSchema: struct<text:string,doc_id:bigint>"),
+      "winnowing must read only (doc_id, text)")
+    assert(!p.contains("Join"), "fingerprint selection never leaves the row")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
