@@ -596,20 +596,8 @@ object SimilarityQueries {
       val cents = all
         .filter(col("vec_id") < SemClusters)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val centCos =
-        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      val assign = all
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      val pairs = assign.as("q")
-        .join(assign.as("c"),
-          col("q.cell") === col("c.cell") && col("q.vec_id") < col("c.vec_id"))
-        .filter(cosCol >= SemThreshold)
-        .select(col("q.cell").as("cell"), col("q.vec_id").as("id1"), col("c.vec_id").as("id2"))
+      val assign = semAssign(all, cents)
+      val pairs = semDedupPairs(assign, SemThreshold)
       val members = assign.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n_members"))
       val pairAgg = pairs.groupBy(col("cell")).agg(
         count(lit(1)).cast("long").as("n_dup_pairs"),
@@ -622,6 +610,31 @@ object SimilarityQueries {
           coalesce(col("n_removed"), lit(0L)).as("n_removed"))
         .orderBy("cell")
   }
+
+  /** Cluster assignment for SemDeDup: argmax cosine against a broadcast
+    * centroid frame (cid, cv, cnrm), ties to the lower cid. Returns
+    * (vec_id, v, nrm, cell). */
+  def semAssign(vecsDf: DataFrame, cents: DataFrame): DataFrame = {
+    val centCos =
+      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    vecsDf
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** Within-cell near-dup pairs over a [[semAssign]] output — the keyed
+    * equi-join on `cell` that replaces the all-pairs cross product.
+    * Returns (cell, id1, id2), id1 < id2, exact cosine ≥ threshold. */
+  def semDedupPairs(assign: DataFrame, threshold: Double): DataFrame =
+    assign.as("q")
+      .join(assign.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") < col("c.vec_id"))
+      .filter(cosCol >= threshold)
+      .select(col("q.cell").as("cell"), col("q.vec_id").as("id1"), col("c.vec_id").as("id2"))
 
   val all: Seq[Q] =
     Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qSemDedup)
