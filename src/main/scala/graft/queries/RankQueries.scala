@@ -344,5 +344,62 @@ object RankQueries {
       .orderBy("term")
   }
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit, qPostings)
+  val CoocMinCount = 5
+  val CoocTopK = 50
+
+  /** PMI collocation mining — the classic distributional-semantics measure
+    * (Church & Hanks 1990): for adjacent token pairs,
+    * pmi = ln(c_xy · N / (cL_x · cR_y)), where cL/cR are the pair-stream
+    * marginals. High-PMI pairs are collocations ("new york"-style units) —
+    * the signal tokenizer-merge and phrase-mining stages rank on.
+    *
+    * Scale design: one explode → pair-count shuffle (vocab²-bounded, in
+    * practice vocab-sized); both marginals derive from the PAIR COUNTS
+    * (vocab-sized aggregates, not a second corpus pass); N is a broadcast
+    * single-row aggregate; the top-k plans as TakeOrderedAndProject. The
+    * pair-count frame feeds four consumers, so it is scratch-cached and
+    * released per the [[graft.ScratchCache]] lifecycle. Float parity: the
+    * ln argument is an identical left-associated double chain on both
+    * sides, rounded at the output edge. */
+  val qCooccurrence: Q = Q.sql(
+    "q_cooccurrence",
+    s"""WITH bg AS (SELECT unnest($bigramsSql) AS pair FROM documents),
+       |pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY pair),
+       |lc AS (SELECT split_part(pair, ' ', 1) AS l, CAST(sum(cnt) AS BIGINT) AS cl FROM pc GROUP BY 1),
+       |rc AS (SELECT split_part(pair, ' ', 2) AS r, CAST(sum(cnt) AS BIGINT) AS cr FROM pc GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM pc)
+       |SELECT pair, cnt,
+       |  round(ln(CAST(cnt AS DOUBLE) * n / CAST(cl AS DOUBLE) / CAST(cr AS DOUBLE)), 6) AS pmi
+       |FROM pc JOIN lc ON split_part(pair, ' ', 1) = l
+       |JOIN rc ON split_part(pair, ' ', 2) = r CROSS JOIN nt
+       |WHERE cnt >= $CoocMinCount
+       |ORDER BY pmi DESC, pair LIMIT $CoocTopK""".stripMargin,
+    doc = s"PMI collocations: top-$CoocTopK adjacent pairs (count >= $CoocMinCount)") { (s, d) =>
+    val pc = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(explode(bigramsOf(tokens(col("text")))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.ScratchCache.tracked)
+    val left = substring_index(col("pair"), " ", 1)
+    val right = element_at(split(col("pair"), " "), 2)
+    val lc = pc.groupBy(left.as("l")).agg(sum(col("cnt")).as("cl"))
+    val rc = pc.groupBy(right.as("r")).agg(sum(col("cnt")).as("cr"))
+    val nt = pc.agg(sum(col("cnt")).cast("double").as("n"))
+    pc
+      .join(lc, left === col("l"))
+      .join(rc, right === col("r"))
+      .crossJoin(broadcast(nt))
+      .filter(col("cnt") >= CoocMinCount)
+      .select(
+        col("pair"), col("cnt").cast("long").as("cnt"),
+        round(
+          log(col("cnt").cast("double") * col("n")
+            / col("cl").cast("double") / col("cr").cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(CoocTopK)
+  }
+
+  val all: Seq[Q] =
+    Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit, qPostings, qCooccurrence)
 }

@@ -636,6 +636,63 @@ object SimilarityQueries {
       .filter(cosCol >= threshold)
       .select(col("q.cell").as("cell"), col("q.vec_id").as("id1"), col("c.vec_id").as("id2"))
 
+  val RpOutDim = 16
+
+  /** Deterministic ±1 signs for the random projection, seeded like the
+    * LSH planes ("rp:j:d"). */
+  def rpSigns: Array[Array[Double]] = ndSigns(RpOutDim, 1, tag = "rp")
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1 variant,
+    * public): project 64-dim embeddings to [[RpOutDim]] dims with a
+    * deterministic ±1 matrix scaled by 1/√k — the dimensionality-reduction
+    * step a 100 TB embedding corpus runs before LSH/clustering when the
+    * full dimension is too wide (4× narrower vectors here, norms preserved
+    * in expectation; the output reports the per-vector norm ratio so the
+    * distortion is inspectable).
+    *
+    * Scale design: narrow per-row map — k dot products against broadcast
+    * sign literals, zero shuffles (the ORDER BY is gate determinism only).
+    * Float parity: each projection is the same index-ordered accumulation
+    * on both sides ([[graft.expressions.VectorOps.dot]] ↔ left-associated
+    * SQL term chain) — identical per-row IEEE trees, so dims and ratio
+    * are RAW doubles (NOTES Lesson 12: round() only where accumulation
+    * order varies). */
+  val qRandomProjection: Q = Q.sql(
+    "q_random_projection", {
+      val signs = rpSigns
+      def projSql(j: Int): String =
+        "(" + (0 until Dim).map(i => s"v[${i + 1}] * ${signs(j)(i)}").mkString(" + ") + ") / 4.0"
+      val pNorm = "sqrt(" + (0 until RpOutDim).map(j => s"p$j * p$j").mkString(" + ") + ")"
+      s"""WITH vecs AS ($vecsSqlNested),
+         |p AS (
+         |  SELECT vec_id, nrm,
+         |${(0 until RpOutDim).map(j => s"    ${projSql(j)} AS p$j").mkString(",\n")}
+         |  FROM vecs)
+         |SELECT vec_id,
+         |${(0 until RpOutDim).map(j => s"  p$j").mkString(",\n")},
+         |  $pNorm / nrm AS norm_ratio
+         |FROM p
+         |ORDER BY vec_id""".stripMargin
+    },
+    doc = s"JL ±1 random projection $Dim→$RpOutDim: rounded dims + norm-preservation ratio") {
+    (s, d) =>
+      val signs = rpSigns
+      val projs = (0 until RpOutDim).map { j =>
+        (graft.expressions.VectorOps.dot(col("v"), typedLit(signs(j).toSeq)) / lit(4.0))
+          .as(s"p$j")
+      }
+      val pNorm = sqrt((0 until RpOutDim).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _))
+      vecs(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("vec_id") +: col("nrm") +: projs: _*)
+        .select(
+          col("vec_id") +:
+            (0 until RpOutDim).map(j => col(s"p$j")) :+
+            (pNorm / col("nrm")).as("norm_ratio"): _*)
+        .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qSemDedup)
+    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qSemDedup,
+      qRandomProjection)
 }

@@ -237,9 +237,12 @@ object TimeSeriesQueries {
     * both sides compute the SAME finite convolution — a left-associated
     * sum of lag(value, k) · decay^k with the weight literals printed from
     * one Scala Double (shortest round-trip repr ⇒ DuckDB parses the
-    * identical bits). Partition heads renormalize by the weight mass of
-    * the taps that exist. Pure window math — one shuffle on the series
-    * key, no joins, state bounded at [[EwmaTaps]] rows per partition. */
+    * identical bits). Identical per-row IEEE trees are already
+    * bit-identical, so the output is a RAW double (NOTES Lesson 12:
+    * round() belongs only where accumulation order varies). Partition
+    * heads renormalize by the weight mass of the taps that exist. Pure
+    * window math — one shuffle on the series key, no joins, state
+    * bounded at [[EwmaTaps]] rows per partition. */
   val qEwma: Q = Q.sql(
     "q_ewma", {
       val weights = (0 until EwmaTaps).map(k => math.pow(EwmaDecay, k))
@@ -250,7 +253,7 @@ object TimeSeriesQueries {
         .map(k => s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 ELSE ${weights(k)} END")
         .mkString("1.0 + ", " + ", "")
       s"""SELECT event_type, event_id,
-         |  round(($num) / ($den), 6) AS ewma
+         |  ($num) / ($den) AS ewma
          |FROM events
          |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
          |ORDER BY event_type, event_id""".stripMargin
@@ -267,7 +270,7 @@ object TimeSeriesQueries {
           when(lag(col("value"), k).over(wspec).isNull, lit(0.0)).otherwise(lit(weights(k))))
         .foldLeft(lit(1.0))(_ + _)
       events(s, d)
-        .select(col("event_type"), col("event_id"), round(num / den, 6).as("ewma"))
+        .select(col("event_type"), col("event_id"), (num / den).as("ewma"))
         .orderBy("event_type", "event_id")
   }
 

@@ -241,6 +241,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "fingerprint selection never leaves the row")
   }
 
+  test("q_cooccurrence: top-k plans as TakeOrderedAndProject; N broadcast") {
+    val p = plan(RankQueries.qCooccurrence)
+    assert(p.contains("TakeOrderedAndProject"), "PMI top-k must not global-sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the single-row N must ride a broadcast")
+  }
+
+  test("q_random_projection: narrow per-row map — no joins, no pre-sort shuffle") {
+    val p = plan(SimilarityQueries.qRandomProjection)
+    assert(!p.contains("Join"), "projection never leaves the row")
+    assert(p.contains("dot_product"), "projections must use the codegen dot loop")
+  }
+
   test("minhash_hex: generated code, not interpreted fallback") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
