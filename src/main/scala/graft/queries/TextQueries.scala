@@ -306,8 +306,11 @@ object TextQueries {
        |FROM w ORDER BY doc_id""".stripMargin,
     doc = s"winnowing fingerprints (MOSS): $WinK-gram Karp-Rabin, window-$WinW minima") {
     (s, d) =>
-      winnowFingerprints(
-        documents(s, d).transform(graft.Tables.spread(s, _)), "doc_id", "text")
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(
+          col("doc_id"),
+          graft.expressions.WinnowFps.winnowFps(col("text"), WinK, WinW).as("fps"))
         .select(
           col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
@@ -315,29 +318,44 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
-  /** The winnowing selection itself: (idCol, fps sorted-distinct long[])
-    * per row. Shared with [[qWinnow]] and the property spec that pins the
-    * MOSS guarantee (shared substrings of length ≥ K+W-1 always share a
-    * fingerprint). */
+  /** The declarative (HOF) winnowing selection: (idCol, fps
+    * sorted-distinct long[]) per row. The benched [[qWinnow]] uses the
+    * one-pass codegen [[graft.expressions.WinnowFps]] instead (NOTES
+    * lesson 8: one static call beats ~n·k interpreted lambda frames);
+    * this form is the readable reference the oracle mirrors and
+    * `WinnowParitySpec` pins the two against each other. Also the anchor
+    * for the property spec of the MOSS guarantee (shared substrings of
+    * length ≥ K+W-1 always share a fingerprint). */
   def winnowFingerprints(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val m = lit(graft.expressions.RollingHash.M)
+    val emptyLongs = array().cast("array<bigint>")
     // per-char codes via substr (split("") emits a trailing empty token
     // in Spark but not DuckDB — indexing sidesteps the disagreement)
     val codes = transform(
       sequence(lit(1), length(col(textCol))),
       i => ascii(col(textCol).substr(i, lit(1))).cast("long"))
-    val hs = transform(
-      sequence(lit(1), size(col("codes")) - (WinK - 1)),
-      i => aggregate(
-        slice(col("codes"), i, lit(WinK)),
-        lit(0L), (acc, x) => (acc * 31 + x) % m))
-    val fps = array_sort(array_distinct(transform(
-      sequence(lit(1), size(col("hs")) - (WinW - 1)),
-      j => array_min(slice(col("hs"), j, lit(WinW))))))
-    df.select(col(idCol), codes.as("codes"))
+    // every sequence(1, n) is guarded on n >= 1: Spark descends for
+    // n < 1 where DuckDB's generate_series is empty — unguarded, a
+    // sub-K+W-1-char document would diverge (or crash on slice(_, 0, _))
+    val hs = when(
+      size(col("codes")) >= WinK,
+      transform(
+        sequence(lit(1), size(col("codes")) - (WinK - 1)),
+        i => aggregate(
+          slice(col("codes"), i, lit(WinK)),
+          lit(0L), (acc, x) => (acc * 31 + x) % m)))
+      .otherwise(emptyLongs)
+    val fps = when(
+      size(col("hs")) >= WinW,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (WinW - 1)),
+        j => array_min(slice(col("hs"), j, lit(WinW)))))))
+      .otherwise(emptyLongs)
+    df.select(col(idCol), when(length(col(textCol)) >= 1, codes).otherwise(emptyLongs)
+        .as("codes"))
       .select(col(idCol), hs.as("hs"))
       .select(col(idCol), fps.as("fps"))
   }

@@ -50,6 +50,17 @@ class WinnowSpec extends AnyFunSuite {
     assert(out(1L).intersect(out(2L)).nonEmpty)
   }
 
+  test("short and empty documents yield empty sets (DuckDB generate_series parity)") {
+    // below K chars, below K+W-1 chars, empty, and exactly the minimum
+    val out = fps(
+      1L -> "",
+      2L -> "abc",                       // < K: no k-gram exists
+      3L -> "abcdefghij",                // K <= len < K+W-1: hashes but no full window
+      4L -> "a" * minShared)             // exactly one window
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(4L).size == 1)
+  }
+
   test("deterministic across runs (set equality, not just count)") {
     val a = fps(1L -> "determinism check document body with words")
     val b = fps(1L -> "determinism check document body with words")
