@@ -66,6 +66,14 @@ object GraftSession {
           }
           graft.expressions.MinHashHex(a(0), seed)
         }
+        fn("winnow_fps", classOf[graft.expressions.WinnowFps]) { a =>
+          def litInt(e: Expression, name: String): Int = e match {
+            case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
+            case _ => throw new IllegalArgumentException(
+              s"winnow_fps(text, k, w): $name must be a literal integer")
+          }
+          graft.expressions.WinnowFps(a(0), litInt(a(1), "k"), litInt(a(2), "w"))
+        }
       }
 
   /** Get-or-create with graft defaults; used by tests. */

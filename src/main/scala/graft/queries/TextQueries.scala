@@ -247,6 +247,55 @@ object TextQueries {
       .orderBy("media_id")
   }
 
+  val RmsFrameLen = 32
+
+  /** Audio-style per-frame RMS energy over binary payloads
+    * ([[graft.expressions.FrameRms]] — the loudness/VAD primitive of any
+    * audio featurization stage): centered int8 samples, non-overlapping
+    * [[RmsFrameLen]]-sample frames, per-media frame count + mean / max /
+    * first frame energies. Unlike the decode stubs, the math here is the
+    * REAL kernel (bytes → windows → √(Σs²/n)) — only the codec that
+    * would produce PCM from a compressed container is out of scope in
+    * this environment. Narrow per-row map, zero shuffles before the
+    * output sort; energies are raw doubles (identical IEEE trees — the
+    * oracle replays position-ordered folds over character codes, ASCII
+    * contract as [[qRollingFingerprint]]). */
+  val qFrameEnergy: Q = Q.sql(
+    "q_frame_energy",
+    s"""WITH c AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(string_split(text, ''), ch -> ord(ch) - 128) AS s
+       |  FROM documents),
+       |e AS (
+       |  SELECT media_id,
+       |    list_transform(generate_series(0, len(s) // $RmsFrameLen - 1),
+       |      f -> sqrt(list_reduce(list_prepend(0.0,
+       |             list_transform(list_slice(s, f * $RmsFrameLen + 1, f * $RmsFrameLen + $RmsFrameLen),
+       |               x -> CAST(x * x AS DOUBLE))), (a, y) -> a + y) / $RmsFrameLen.0)) AS es
+       |  FROM c)
+       |SELECT media_id, CAST(len(es) AS BIGINT) AS n_frames,
+       |  list_reduce(list_prepend(0.0, es), (a, y) -> a + y) / len(es) AS mean_energy,
+       |  list_max(es) AS max_energy,
+       |  es[1] AS first_energy
+       |FROM e ORDER BY media_id""".stripMargin,
+    doc = s"per-frame RMS energy ($RmsFrameLen-sample frames): the audio loudness kernel") {
+    (s, d) =>
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(
+          col("doc_id").as("media_id"),
+          graft.expressions.FrameRms
+            .frameRms(col("text").cast("binary"), RmsFrameLen).as("es"))
+        .select(
+          col("media_id"),
+          size(col("es")).cast("long").as("n_frames"),
+          (aggregate(col("es"), lit(0.0), (a, y) => a + y) / size(col("es")))
+            .as("mean_energy"),
+          array_max(col("es")).as("max_energy"),
+          element_at(col("es"), 1).as("first_energy"))
+        .orderBy("media_id")
+  }
+
   /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
     * replays the byte fold with list_reduce over character codes (inputs
     * are ASCII, where ord(char) == utf8 byte). */
@@ -702,7 +751,7 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qResizeStub, qRollingFingerprint, qWinnow, qSentenceStats,
+      qFrameSample, qResizeStub, qFrameEnergy, qRollingFingerprint, qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qUnigramEntropy)
 }

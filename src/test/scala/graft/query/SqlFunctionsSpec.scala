@@ -71,6 +71,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(api.toSeq == sql.toSeq)
   }
 
+  test("winnow_fps via SQL == Column API") {
+    val d = docs
+    val api = d.orderBy("doc_id")
+      .select(graft.expressions.WinnowFps.winnowFps(col("text"), 8, 4).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    val sql = spark.sql("SELECT winnow_fps(text, 8, 4) AS f FROM fn_docs ORDER BY doc_id")
+      .collect().map(_.getSeq[Long](0))
+    assert(api.toSeq == sql.toSeq)
+    assert(api.forall(_.nonEmpty))
+  }
+
   test("unknown function still fails analysis (registry not a catch-all)") {
     intercept[AnalysisException] {
       spark.sql("SELECT graft_no_such_fn(1)").collect()
