@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -21,17 +21,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set
-    * in [[graft.GraftSession]]) it arrives as nanos-since-epoch LongType;
-    * the data itself is microsecond-grained, so `ts div 1000` is a lossless
-    * cast back to a proper timestamp. Happens at scan time, inside codegen.
+  /** `events.ts` has shipped in two parquet spellings across testdata
+    * generations: TIMESTAMP(NANOS) (arrives as nanos-since-epoch LongType
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[graft.GraftSession]]) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (arrives as TIMESTAMP_NTZ). Both carry the same microsecond-grained
+    * UTC wall clock, so both normalize losslessly to a session-UTC
+    * TIMESTAMP at scan time, inside codegen; every consumer sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** `events` restricted to `[start, stop)` with the predicate applied to
     * the RAW nanos long BEFORE the timestamp conversion, so it reaches the
@@ -46,13 +50,24 @@ object Tables {
       start: java.sql.Timestamp,
       stop: java.sql.Timestamp): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType) {
-      val lo = start.getTime * 1000000L
-      val hi = stop.getTime * 1000000L
-      raw
-        .filter(col("ts") >= lo && col("ts") < hi)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else raw.filter(col("ts") >= lit(start) && col("ts") < lit(stop))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val lo = start.getTime * 1000000L
+        val hi = stop.getTime * 1000000L
+        raw
+          .filter(col("ts") >= lo && col("ts") < hi)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // filter the RAW NTZ column against NTZ literals so the bound
+        // reaches the parquet scan (an LTZ literal would wrap the column
+        // in a cast and hide the predicate from pushdown); the session is
+        // pinned UTC, so the wall-clock bound equals the instant bound
+        raw
+          .filter(
+            col("ts") >= lit(start.toLocalDateTime) && col("ts") < lit(stop.toLocalDateTime))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw.filter(col("ts") >= lit(start) && col("ts") < lit(stop))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -379,7 +379,42 @@ object CoreQueries {
       .orderBy("segment")
   }
 
+  /** TPC-H Q2-shaped correlated scalar subquery ("the supplier achieving
+    * the minimum cost for each part"), expressed as LITERAL SQL through
+    * `spark.sql` — the registry entry that exercises the SQL front door
+    * and Catalyst's subquery decorrelation: `RewriteCorrelatedScalarSubquery`
+    * turns the per-part `(SELECT min ...)` into an aggregate joined back
+    * on `p_partkey`, so the physical plan re-executes nothing per row.
+    * The identical string runs unmodified in DuckDB as its own oracle.
+    *
+    * Parity: `min` over doubles is order-independent and the equality
+    * compares two mins of the same set — exact on both engines. */
+  val qMinCostSupplier: Q = {
+    val sql =
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT p.p_partkey, p.p_name, s.s_name, c.cost
+        |FROM part p
+        |JOIN cost c ON c.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |WHERE p.p_size <= 10
+        |  AND c.cost = (SELECT min(c2.cost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_name""".stripMargin
+    Q.sql(
+      "q_min_cost_supplier",
+      sql,
+      doc = "TPC-H Q2 shape: correlated scalar subquery via spark.sql (decorrelated)") {
+      (s, d) =>
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        part(s, d).createOrReplaceTempView("part")
+        supplier(s, d).createOrReplaceTempView("supplier")
+        s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
-    qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin)
+    qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier)
 }

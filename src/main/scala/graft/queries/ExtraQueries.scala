@@ -90,6 +90,33 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Explicit GROUPING SETS — the asymmetric combination neither ROLLUP
+    * nor CUBE expresses: per (flag, status), per status alone, and the
+    * grand total, in ONE pass (Catalyst plans a single Expand + hash
+    * aggregate, not three scans). Uses Spark 4's Dataset.groupingSets
+    * API; `grouping_id` disambiguates the (NULL, NULL) rows. */
+  val qGroupingSets: Q = Q.sql(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    doc = "explicit GROUPING SETS (asymmetric sets, one Expand pass, grouping_id)") { (s, d) =>
+    val (flag, status) = (col("l_returnflag"), col("l_linestatus"))
+    lineitem(s, d)
+      .groupingSets(Seq(Seq(flag, status), Seq(status), Seq()), flag, status)
+      .agg(
+        (grouping(flag) * 2 + grouping(status)).cast("long").as("gid"),
+        sum(col("l_quantity").cast("decimal(27,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   /** CUBE: all 2^k grouping combinations (ROLLUP's sibling — completes
     * the grouping-sets family). */
   val qCube: Q = Q.sql(
@@ -187,5 +214,5 @@ object ExtraQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qAsofJoin, qRollup, qCube, qApprox, qCountDistinct, qRangeJoin)
+    Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin)
 }

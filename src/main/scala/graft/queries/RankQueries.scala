@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,10 +157,12 @@ object RankQueries {
     * unordered group — partial-aggregation order would wobble the last
     * ulp; the ordered fold is bit-deterministic in both engines. Counts
     * and V are exact integers; each ln is one deterministic double op. */
-  val qBigramLm: Q = Q.sql(
-    "q_bigram_lm",
-    s"""WITH bg AS (
-       |  SELECT doc_id, unnest($bigramsSql) AS g,
+  /** Shared DuckDB CTE chain for the bigram-LM: per-document
+    * (doc_id, lang, n_bigrams, s = ordered Σ ln p). `lang` rides along
+    * (functionally dependent on doc_id) so [[qPplBucket]] can group by it. */
+  private val nllCtesSql =
+    s"""bg AS (
+       |  SELECT doc_id, lang, unnest($bigramsSql) AS g,
        |    generate_subscripts($bigramsSql, 1) AS pos
        |  FROM documents
        |), c2 AS (
@@ -171,47 +174,161 @@ object RankQueries {
        |  SELECT count(DISTINCT t) AS v FROM (
        |    SELECT unnest($tokensSql) AS t FROM documents)
        |), scored AS (
-       |  SELECT bg.doc_id, bg.pos,
+       |  SELECT bg.doc_id, bg.lang, bg.pos,
        |    ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
        |  FROM bg JOIN c2 USING (g)
        |    JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
        |    CROSS JOIN v
        |), folded AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    list_reduce(list_prepend(0.0, list(lp ORDER BY pos)), (a, x) -> a + x) AS s
-       |  FROM scored GROUP BY doc_id
-       |)
-       |SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_nll
-       |FROM folded
-       |ORDER BY doc_id""".stripMargin,
-    doc = "bigram-LM perplexity scoring (add-one smoothing, ordered log-prob fold)") { (s, d) =>
+       |  FROM scored GROUP BY doc_id, lang
+       |)""".stripMargin
+
+  /** Spark side of [[nllCtesSql]]: doc-level (doc_id, lang, n_bigrams, s),
+    * with the position-ordered log-prob fold documented on [[qBigramLm]]. */
+  private def nllPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).transform(graft.Tables.spread(s, _))
     val bg = docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), posexplode(bigramsOf(col("w"))).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), posexplode(bigramsOf(col("w"))).as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("lang"), (col("pos0") + 1).as("pos"), col("g"))
     val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(split(col("g"), " ").getItem(0).as("w1")).agg(sum(col("c2")).as("c1"))
     val v = docs
       .select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-    val scored = bg
+    bg
       .join(c2, "g")
       .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("pos"), lp.as("lp"))
-    scored
-      .groupBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("pos"), lp.as("lp"))
+      .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_bigrams"),
         aggregate(
           transform(sort_array(collect_list(struct(col("pos"), col("lp")))), x => x("lp")),
           lit(0.0),
           (a, x) => a + x).as("s"))
+  }
+
+  val qBigramLm: Q = Q.sql(
+    "q_bigram_lm",
+    s"""WITH $nllCtesSql
+       |SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_nll
+       |FROM folded
+       |ORDER BY doc_id""".stripMargin,
+    doc = "bigram-LM perplexity scoring (add-one smoothing, ordered log-prob fold)") { (s, d) =>
+    nllPerDoc(s, d)
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("s") / col("n_bigrams"), 6).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document with the corpus bigram LM, then split EACH
+    * LANGUAGE at its own NLL tertiles into head/middle/tail — the
+    * language-balanced quality partition a crawl pipeline trains from.
+    *
+    * Scale design: tertile cut points come from
+    * [[graft.operators.Quantiles.exact]] (distributed range-sort order
+    * statistics) broadcast back for a comparison-only bin assignment — a
+    * per-language Window sort over every doc (the q_ntile hazard) never
+    * exists in the plan. Parity: bucketing compares the ROUNDED score,
+    * i.e. exactly the bits the q_bigram_lm gate hash-pins; min/max per
+    * bucket are order-independent. */
+  val qPplBucket: Q = Q.sql(
+    "q_ppl_bucket",
+    s"""WITH $nllCtesSql,
+       |nll AS (
+       |  SELECT doc_id, lang, round(-s / n_bigrams, 6) AS nll FROM folded
+       |), c AS (
+       |  SELECT lang, quantile_cont(nll, 1.0/3) AS c1, quantile_cont(nll, 2.0/3) AS c2
+       |  FROM nll GROUP BY 1
+       |), b AS (
+       |  SELECT nll.lang,
+       |    1 + CAST(nll.nll > c.c1 AS INT) + CAST(nll.nll > c.c2 AS INT) AS bin,
+       |    nll.nll AS nll
+       |  FROM nll JOIN c ON nll.lang = c.lang
+       |)
+       |SELECT lang,
+       |  CASE WHEN bin = 1 THEN 'head' WHEN bin = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(nll) AS lo, max(nll) AS hi
+       |FROM b GROUP BY lang, bin
+       |ORDER BY lang, bucket""".stripMargin,
+    doc = "CCNet perplexity buckets: per-language head/middle/tail at NLL tertiles") { (s, d) =>
+    val nll = nllPerDoc(s, d)
+      .select(col("doc_id"), col("lang"), round(-col("s") / col("n_bigrams"), 6).as("nll"))
+    val cuts = graft.operators.Quantiles
+      .exact(nll, "lang", "nll", Seq(1.0 / 3, 2.0 / 3), Seq("c1", "c2"))
+      .select(col("lang").as("ck"), col("c1"), col("c2"))
+    val bin = (lit(1)
+      + (col("nll") > col("c1")).cast("int")
+      + (col("nll") > col("c2")).cast("int")).cast("int")
+    nll
+      .join(broadcast(cuts), col("lang") === col("ck"))
+      .select(col("lang"), bin.as("bin"), col("nll"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("nll")).as("lo"), max(col("nll")).as("hi"))
+      .select(
+        col("lang"),
+        when(col("bin") === 1, "head")
+          .when(col("bin") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("lo"), col("hi"))
+      .orderBy("lang", "bucket")
+  }
+
+  val ClsBuckets = 512L
+  val ClsMod = 97L
+
+  /** Hashed linear classifier inference — the fastText-shaped quality gate
+    * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification"): every token hashes into one of [[ClsBuckets]]
+    * feature buckets, a fixed per-bucket weight table scores the document
+    * by its mean token weight, and the sign decides keep/drop. The weight
+    * table here is the deterministic surrogate w(b) = b mod [[ClsMod]] − 48
+    * standing in for trained weights — a real deployment broadcasts the
+    * learned vector; the dataflow is identical.
+    *
+    * Scale design: one narrow explode + ONE doc_id hash-aggregate, no
+    * joins (the weight is a pure function of the bucket, so the
+    * "broadcast" costs zero bytes). Parity: scores accumulate as exact
+    * BIGINTs (order-independent by construction) with a single double
+    * division at the output edge — no `round()` needed anywhere. */
+  val qQualityClassifier: Q = Q.sql(
+    "q_quality_classifier",
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % $ClsBuckets) % $ClsMod - 48 AS w
+       |  FROM tok
+       |), sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(w) AS BIGINT) AS score_int
+       |  FROM f GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, score_int,
+       |  CAST(score_int AS DOUBLE) / n_tokens AS margin,
+       |  CASE WHEN score_int > 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM sc ORDER BY doc_id""".stripMargin,
+    doc = "fastText-shaped hashed linear classifier (integer-exact scoring, zero joins)") {
+    (s, d) =>
+      val w = conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % ClsBuckets % ClsMod - 48
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), w.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).cast("long").as("score_int"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("score_int"),
+          (col("score_int").cast("double") / col("n_tokens")).as("margin"),
+          when(col("score_int") > 0, "keep").otherwise("drop").as("label"))
+        .orderBy("doc_id")
   }
 
   /** Within-document repetition — the Gopher-style repetition filter:
@@ -401,5 +518,6 @@ object RankQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qTfidf, qBm25, qBigramLm, qRepNgram, qHashSplit, qPostings, qCooccurrence)
+    Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qRepNgram, qHashSplit,
+      qPostings, qCooccurrence)
 }

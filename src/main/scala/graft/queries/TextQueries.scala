@@ -296,6 +296,55 @@ object TextQueries {
         .orderBy("media_id")
   }
 
+  /** Perceptual difference-hash (dHash — the classic near-duplicate
+    * image fingerprint): sample a 7×9 "pixel" grid from the stub-decoded
+    * payload (ASCII code = pixel intensity, stride-7 sampling — the
+    * deterministic stand-in for a real decoder's 9×8 downscale), emit one
+    * bit per horizontally-adjacent pixel pair (56 bits, kept under the
+    * BIGINT sign bit on both engines), and count how many media share
+    * each fingerprint — the perceptual-dup cluster size.
+    *
+    * Scale design: the hash is a narrow per-row expression (stays inside
+    * whole-stage codegen, no UDF); the only shuffle is the per-hash
+    * window count, keyed by the 56-bit fingerprint — maximal-cardinality
+    * key, bounded groups. Parity: pure integer comparisons and adds. */
+  val qDhash: Q = {
+    val grid = for { i <- 0 until 7; j <- 0 until 8 } yield {
+      val b = i * 8 + j // output bit
+      val kL = i * 9 + j // sampled pixel and its right neighbour
+      (b, kL, kL + 1)
+    }
+    def pxSql(k: Int) =
+      s"ascii(substr(text, 1 + CAST(($k * 7) % greatest(length(text), 1) AS INT), 1))"
+    val hashSql = grid
+      .map { case (b, l, r) => s"CASE WHEN ${pxSql(l)} > ${pxSql(r)} THEN ${1L << b} ELSE 0 END" }
+      .mkString("\n      + ")
+    Q.sql(
+      "q_dhash",
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST($hashSql AS BIGINT) AS dhash
+         |  FROM documents
+         |)
+         |SELECT doc_id, dhash,
+         |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
+      doc = "perceptual dHash (7x9 grid, 56-bit) + perceptual-dup cluster sizes") { (s, d) =>
+      def px(k: Int) =
+        ascii(col("text").substr(
+          lit(1) + (lit(k * 7) % greatest(length(col("text")), lit(1))).cast("int"), lit(1)))
+      val hash = grid
+        .map { case (b, l, r) => when(px(l) > px(r), lit(1L << b)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), hash.cast("long").as("dhash"))
+        .withColumn("n_same", count(lit(1)).over(w).cast("long"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
     * replays the byte fold with list_reduce over character codes (inputs
     * are ASCII, where ord(char) == utf8 byte). */
@@ -751,7 +800,8 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qResizeStub, qFrameEnergy, qRollingFingerprint, qWinnow, qSentenceStats,
+      qFrameSample, qResizeStub, qFrameEnergy, qDhash, qRollingFingerprint, qWinnow,
+      qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qUnigramEntropy)
 }

@@ -734,8 +734,40 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** Distribution-position analytic functions — the family q_window_rank
+    * (row_number) and q_ntile don't cover: percent_rank, cume_dist, and
+    * the inter-event gap (lag), per user ordered by event time.
+    *
+    * Scale design: the window partitions by user_id — a high-cardinality
+    * key whose per-partition history is bounded by one user's activity, so
+    * unlike a per-flag sort this survives 100× (the q_ntile hazard needs
+    * a low-cardinality key). Parity: percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers/n are exact integer ratios (one correctly-rounded
+    * IEEE division each, identical bits in both engines — no round());
+    * the gap is exact integer microseconds. (ts, event_id) is unique, so
+    * the order — and therefore every rank — is fully deterministic. */
+  val qRankFuncs: Q = Q.sql(
+    "q_rank_funcs",
+    """SELECT user_id, event_id,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin,
+    doc = "percent_rank/cume_dist/lag-gap per user (high-cardinality window key)") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qEwma, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
-      qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly)
+      qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs)
 }
