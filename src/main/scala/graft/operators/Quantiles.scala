@@ -52,7 +52,10 @@ object Quantiles {
       StructField("k", base.schema("k").dataType),
       StructField("v", DoubleType),
       StructField("gidx", LongType)))
-    val ranked = spark.createDataFrame(indexed, schema)
+    // consumed three times (per-key extents + the lo/hi bracketing joins):
+    // scratch-cached so the range sort + index map materializes once; the
+    // caller's ScratchCache.releaseAll() frees it after the result lands
+    val ranked = graft.ScratchCache.tracked(spark.createDataFrame(indexed, schema))
 
     // per-key extent: (start index, count) — one tiny aggregate
     val extents = ranked.groupBy("k").agg(

@@ -260,8 +260,11 @@ object RankQueries {
        |FROM b GROUP BY lang, bin
        |ORDER BY lang, bucket""".stripMargin,
     doc = "CCNet perplexity buckets: per-language head/middle/tail at NLL tertiles") { (s, d) =>
+    // the scored frame feeds BOTH the cut-point computation and the bin
+    // assignment — scratch-cached so the LM pipeline runs once, not twice
     val nll = nllPerDoc(s, d)
       .select(col("doc_id"), col("lang"), round(-col("s") / col("n_bigrams"), 6).as("nll"))
+      .transform(graft.ScratchCache.tracked)
     val cuts = graft.operators.Quantiles
       .exact(nll, "lang", "nll", Seq(1.0 / 3, 2.0 / 3), Seq("c1", "c2"))
       .select(col("lang").as("ck"), col("c1"), col("c2"))

@@ -308,21 +308,39 @@ object TextQueries {
     * whole-stage codegen, no UDF); the only shuffle is the per-hash
     * window count, keyed by the 56-bit fingerprint — maximal-cardinality
     * key, bounded groups. Parity: pure integer comparisons and adds. */
-  val qDhash: Q = {
-    val grid = for { i <- 0 until 7; j <- 0 until 8 } yield {
-      val b = i * 8 + j // output bit
-      val kL = i * 9 + j // sampled pixel and its right neighbour
-      (b, kL, kL + 1)
+  /** 7×9 dHash sampling grid: (output bit, left pixel k, right pixel k). */
+  private val dhashGrid = for { i <- 0 until 7; j <- 0 until 8 } yield {
+    val b = i * 8 + j // output bit
+    val kL = i * 9 + j // sampled pixel and its right neighbour
+    (b, kL, kL + 1)
+  }
+
+  private def dhashPxSql(k: Int) =
+    s"ascii(substr(text, 1 + CAST(($k * 7) % greatest(length(text), 1) AS INT), 1))"
+
+  /** DuckDB expression for the 56-bit dHash over `text`. */
+  private val dhashSql = dhashGrid
+    .map { case (b, l, r) =>
+      s"CASE WHEN ${dhashPxSql(l)} > ${dhashPxSql(r)} THEN ${1L << b} ELSE 0 END"
     }
-    def pxSql(k: Int) =
-      s"ascii(substr(text, 1 + CAST(($k * 7) % greatest(length(text), 1) AS INT), 1))"
-    val hashSql = grid
-      .map { case (b, l, r) => s"CASE WHEN ${pxSql(l)} > ${pxSql(r)} THEN ${1L << b} ELSE 0 END" }
-      .mkString("\n      + ")
-    Q.sql(
+    .mkString("\n      + ")
+
+  /** Spark column for the 56-bit dHash over `text` (same bits as
+    * [[dhashSql]]; pure integer comparisons, stays in codegen). */
+  private def dhashCol: org.apache.spark.sql.Column = {
+    def px(k: Int) =
+      ascii(col("text").substr(
+        lit(1) + (lit(k * 7) % greatest(length(col("text")), lit(1))).cast("int"), lit(1)))
+    dhashGrid
+      .map { case (b, l, r) => when(px(l) > px(r), lit(1L << b)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+      .cast("long")
+  }
+
+  val qDhash: Q = Q.sql(
       "q_dhash",
       s"""WITH h AS (
-         |  SELECT doc_id, CAST($hashSql AS BIGINT) AS dhash
+         |  SELECT doc_id, CAST($dhashSql AS BIGINT) AS dhash
          |  FROM documents
          |)
          |SELECT doc_id, dhash,
@@ -330,19 +348,63 @@ object TextQueries {
          |FROM h
          |ORDER BY doc_id""".stripMargin,
       doc = "perceptual dHash (7x9 grid, 56-bit) + perceptual-dup cluster sizes") { (s, d) =>
-      def px(k: Int) =
-        ascii(col("text").substr(
-          lit(1) + (lit(k * 7) % greatest(length(col("text")), lit(1))).cast("int"), lit(1)))
-      val hash = grid
-        .map { case (b, l, r) => when(px(l) > px(r), lit(1L << b)).otherwise(lit(0L)) }
-        .reduce(_ + _)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
       documents(s, d)
         .transform(graft.Tables.spread(s, _))
-        .select(col("doc_id"), hash.cast("long").as("dhash"))
+        .select(col("doc_id"), dhashCol.as("dhash"))
         .withColumn("n_same", count(lit(1)).over(w).cast("long"))
         .orderBy("doc_id")
     }
+
+  val DhashHamBar = 3
+
+  /** Perceptual near-duplicate pairs: media whose dHashes differ in at
+    * most [[DhashHamBar]] of 56 bits — the image-dedup join every
+    * multimodal pipeline runs after fingerprinting.
+    *
+    * Scale design: 4-band pigeonhole LSH on 14-bit bands — hamming ≤ 3
+    * across 4 bands forces at least one band to match exactly, so the
+    * banded equi-join provably finds EVERY qualifying pair (same lossless
+    * scheme as q_dedup_simhash) and an all-pairs comparison never exists
+    * in the plan. The DuckDB oracle IS the all-pairs ground truth, so the
+    * gate hash-proves the losslessness claim, not just the plumbing. */
+  val qDhashNearDup: Q = Q.sql(
+    "q_dhash_neardup",
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST($dhashSql AS BIGINT) AS dhash
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DhashHamBar
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = s"perceptual near-dup pairs (hamming <= $DhashHamBar) via lossless 4-band LSH") {
+    (s, d) =>
+      val h = documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), dhashCol.as("dhash"))
+      val bands = h.select(
+        col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), shiftright(col("dhash"), b * 14).bitwiseAND(0x3fff).as("bv"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+      val cand = bands.as("a")
+        .join(
+          bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        .distinct()
+      cand
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= DhashHamBar)
+        .select(
+          col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
   }
 
   /** Karp-Rabin rolling fingerprint (custom codegen expression); DuckDB
@@ -800,8 +862,8 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
-      qFrameSample, qResizeStub, qFrameEnergy, qDhash, qRollingFingerprint, qWinnow,
-      qSentenceStats,
+      qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
+      qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qUnigramEntropy)
 }
