@@ -480,33 +480,39 @@ object SimilarityQueries {
     * a narrow broadcast join, no shuffle proportional to the corpus.
     * Distances are position-ordered left folds, so Spark and DuckDB agree
     * bit-for-bit; per-block argmin ties break on centroid id. */
+  /** Shared DuckDB CTE chain for the PQ family: vectors → sub-vector
+    * blocks → codebook → per-(vector, block) nearest-centroid assignment
+    * (`best`: vec_id, b, cid, d2). */
+  private val pqCtesSql =
+    s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |blocked AS (
+       |  SELECT vec_id, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS x
+       |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
+       |), cents AS (
+       |  SELECT vec_id AS cid, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS c
+       |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
+       |  WHERE vec_id < $PqCents
+       |), dists AS (
+       |  SELECT vec_id, blocked.b, cid,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, $PqSubDim),
+       |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y) AS d2,
+       |    row_number() OVER (PARTITION BY vec_id, blocked.b
+       |      ORDER BY list_reduce(list_prepend(0.0,
+       |        list_transform(generate_series(1, $PqSubDim),
+       |          i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y), cid) AS rn
+       |  FROM blocked JOIN cents ON blocked.b = cents.b
+       |), best AS (
+       |  SELECT vec_id, b, CAST(cid AS BIGINT) AS cid, d2 FROM dists WHERE rn = 1
+       |)""".stripMargin
+
   val qEmbedPq: Q = Q.sql(
     "q_embed_pq", {
       val codeCols = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN cid END) AS c$b")
         .mkString(",\n  ")
       val errSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN d2 END)")
         .mkString(" + ")
-      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |blocked AS (
-         |  SELECT vec_id, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS x
-         |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
-         |), cents AS (
-         |  SELECT vec_id AS cid, b, list_slice(v, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS c
-         |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b
-         |  WHERE vec_id < $PqCents
-         |), dists AS (
-         |  SELECT vec_id, blocked.b, cid,
-         |    list_reduce(list_prepend(0.0,
-         |      list_transform(generate_series(1, $PqSubDim),
-         |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y) AS d2,
-         |    row_number() OVER (PARTITION BY vec_id, blocked.b
-         |      ORDER BY list_reduce(list_prepend(0.0,
-         |        list_transform(generate_series(1, $PqSubDim),
-         |          i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y), cid) AS rn
-         |  FROM blocked JOIN cents ON blocked.b = cents.b
-         |), best AS (
-         |  SELECT vec_id, b, CAST(cid AS BIGINT) AS cid, d2 FROM dists WHERE rn = 1
-         |)
+      s"""WITH $pqCtesSql
          |SELECT vec_id,
          |  $codeCols,
          |  round($errSum, 6) AS sqerr
@@ -515,34 +521,116 @@ object SimilarityQueries {
     },
     doc = s"product quantization: $PqBlocks blocks × $PqCents-entry codebook, broadcast assign") {
     (s, d) =>
-      val vecsAll = embeddings(s, d)
-        .transform(graft.Tables.spread(s, _))
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      def blockify(df: DataFrame, idAs: String): DataFrame = df.select(
-        col("vec_id").as(idAs),
-        explode(array((0 until PqBlocks).map(b =>
-          struct(lit(b).as("b"), slice(col("v"), b * PqSubDim + 1, PqSubDim).as("s"))): _*))
-          .as("e"))
-        .select(col(idAs), col("e.b").as("b"), col("e.s").as("s"))
-      val blocked = blockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
-      val cents = blockify(vecsAll.filter(col("vec_id") < PqCents), "cid")
-        .withColumnRenamed("s", "c")
-      // position-ordered left fold — the same accumulation order as the
-      // oracle's list_reduce, so distances are bit-identical
-      val d2 = aggregate(
-        zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, y) => acc + y)
-      val w = Window.partitionBy(col("vec_id"), col("b")).orderBy(col("d2"), col("cid"))
-      val best = blocked.join(broadcast(cents), "b")
-        .select(col("vec_id"), col("b"), col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val vecsAll = pqVecs(s, d)
+      val best = pqBest(pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x"),
+        pqCentsOf(vecsAll))
       val codeCols = (0 until PqBlocks).map(b =>
         max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
       val errSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("d2")))).reduce(_ + _)
       best.groupBy(col("vec_id"))
         .agg(codeCols.head, (codeCols.tail :+ round(errSum, 6).as("sqerr")): _*)
         .orderBy("vec_id")
+  }
+
+  private def pqVecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** One row per (id, block): the block's sub-vector as `s`. */
+  private def pqBlockify(df: DataFrame, idAs: String): DataFrame = df.select(
+    col("vec_id").as(idAs),
+    explode(array((0 until PqBlocks).map(b =>
+      struct(lit(b).as("b"), slice(col("v"), b * PqSubDim + 1, PqSubDim).as("s"))): _*))
+      .as("e"))
+    .select(col(idAs), col("e.b").as("b"), col("e.s").as("s"))
+
+  private def pqCentsOf(vecsAll: DataFrame): DataFrame =
+    pqBlockify(vecsAll.filter(col("vec_id") < PqCents), "cid").withColumnRenamed("s", "c")
+
+  /** Position-ordered left fold of the block squared distance — the same
+    * accumulation order as the oracle's list_reduce, so distances are
+    * bit-identical. Expects sub-vectors in columns `x` and `c`. */
+  private def pqD2: Column = aggregate(
+    zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
+    lit(0.0), (acc, y) => acc + y)
+
+  /** PQ assignment: per (vector, block) the nearest codebook entry —
+    * (vec_id, b, cid, d2), ties on centroid id. */
+  private def pqBest(blocked: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("b")).orderBy(col("d2"), col("cid"))
+    blocked.join(broadcast(cents), "b")
+      .select(col("vec_id"), col("b"), col("cid"), pqD2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  val PqSearchQueries = 4 // vec_id < 4 act as ADC query vectors
+  val PqSearchK = 10
+
+  /** PQ asymmetric-distance search (ADC — Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): approximate top-k over
+    * the COMPRESSED corpus. Each query precomputes a lookup table of its
+    * exact sub-vector distance to every codebook entry; a base vector's
+    * approximate distance is then just [[PqBlocks]] table lookups summed —
+    * the corpus's raw floats are never touched at query time.
+    *
+    * Scale design: this is why PQ exists at 100 TB — the scan reads 8
+    * small codes per vector instead of 64 floats, the LUT
+    * ([[PqSearchQueries]]·[[PqBlocks]]·[[PqCents]] rows) is broadcast, and
+    * the per-query top-k plans through a rank window whose running-limit
+    * (WindowGroupLimit) caps every partition at k before the final merge.
+    * Parity: per-block distances are position-ordered folds; the
+    * cross-block sum is a FIXED-order conditional-aggregate chain — both
+    * bit-identical across engines, so `ad2` ships raw (no round). */
+  val qPqSearch: Q = Q.sql(
+    "q_pq_search", {
+      val adcSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN ld2 END)")
+        .mkString(" + ")
+      s"""WITH $pqCtesSql,
+         |qb AS (
+         |  SELECT vec_id AS q_id, b, x FROM blocked WHERE vec_id < $PqSearchQueries
+         |), lut AS (
+         |  SELECT q_id, cents.b AS b, CAST(cid AS BIGINT) AS cid,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, $PqSubDim),
+         |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y) AS ld2
+         |  FROM qb JOIN cents ON qb.b = cents.b
+         |), adc0 AS (
+         |  SELECT lut.q_id, best.vec_id, best.b, lut.ld2
+         |  FROM best JOIN lut ON best.b = lut.b AND best.cid = lut.cid
+         |), adc AS (
+         |  SELECT q_id, vec_id, $adcSum AS ad2 FROM adc0 GROUP BY q_id, vec_id
+         |), r AS (
+         |  SELECT q_id, vec_id, ad2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) AS rn
+         |  FROM adc
+         |)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ad2
+         |FROM r WHERE rn <= $PqSearchK
+         |ORDER BY q_id, rn""".stripMargin
+    },
+    doc = s"PQ asymmetric-distance top-$PqSearchK: LUT broadcast, codes-only corpus scan") {
+    (s, d) =>
+      val vecsAll = pqVecs(s, d)
+      val blocked = pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
+      val cents = pqCentsOf(vecsAll)
+      val codes = pqBest(blocked, cents).select(col("vec_id"), col("b"), col("cid"))
+      val lut = blocked
+        .filter(col("vec_id") < PqSearchQueries)
+        .select(col("vec_id").as("q_id"), col("b"), col("x"))
+        .join(cents, "b")
+        .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
+      val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+      codes
+        .join(broadcast(lut), Seq("b", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(adcSum.as("ad2"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PqSearchK)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
+        .orderBy("q_id", "rn")
   }
 
   val SemClusters = 8
@@ -693,6 +781,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qSemDedup,
-      qRandomProjection)
+    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qPqSearch,
+      qSemDedup, qRandomProjection)
 }

@@ -276,6 +276,80 @@ object StatsQueries {
       .orderBy("chk")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift audit: for every source, the KS
+    * statistic D = max |CDF_source − CDF_rest| over the document-length
+    * distribution, plus where the gap peaks — the dataset-shift check a
+    * pipeline runs when a new crawl source lands.
+    *
+    * Scale design: the corpus collapses FIRST to (source, length) counts —
+    * a domain-bounded frame (|sources| × |distinct lengths|), so the CDF
+    * windows and the source×length grid run over aggregates, never rows;
+    * corpus size only affects the one counting shuffle. Parity: CDFs are
+    * exact-integer cumulative counts with one correctly-rounded division
+    * each; |a/b − c/d| is then bit-identical across engines, so ks_d
+    * ships raw. Ties on the argmax break to the smallest length. */
+  val qKsDrift: Q = Q.sql(
+    "q_ks_drift",
+    """WITH c AS (
+      |  SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+      |la AS (SELECT len, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM c GROUP BY 1),
+      |grid AS (SELECT t.source, la.len, la.cnt_all FROM t CROSS JOIN la),
+      |cum AS (
+      |  SELECT g.source, g.len,
+      |    CAST(sum(coalesce(c.cnt, 0)) OVER w AS BIGINT) AS cum_s,
+      |    CAST(sum(g.cnt_all) OVER w AS BIGINT) AS cum_all
+      |  FROM grid g LEFT JOIN c ON c.source = g.source AND c.len = g.len
+      |  WINDOW w AS (PARTITION BY g.source ORDER BY g.len)
+      |), d AS (
+      |  SELECT cum.source, len,
+      |    abs(CAST(cum_s AS DOUBLE) / t.n_s
+      |      - CAST(cum_all - cum_s AS DOUBLE) / (tot.n - t.n_s)) AS diff
+      |  FROM cum JOIN t ON cum.source = t.source CROSS JOIN tot
+      |), r AS (
+      |  SELECT source, len, diff,
+      |    row_number() OVER (PARTITION BY source ORDER BY diff DESC, len) AS rk
+      |  FROM d
+      |)
+      |SELECT r.source, t.n_s AS n_docs, r.diff AS ks_d, CAST(r.len AS BIGINT) AS at_len
+      |FROM r JOIN t ON r.source = t.source
+      |WHERE rk = 1
+      |ORDER BY r.source""".stripMargin,
+    doc = "KS drift audit: per-source max CDF gap vs rest of corpus (domain-bounded)") { (s, d) =>
+    val c = graft.ScratchCache.tracked(
+      documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("len"))
+        .agg(count(lit(1)).as("cnt")))
+    val t = c.groupBy(col("source")).agg(sum(col("cnt")).cast("long").as("n_s"))
+    val tot = c.agg(sum(col("cnt")).cast("long").as("n"))
+    val la = c.groupBy(col("len")).agg(sum(col("cnt")).cast("long").as("cnt_all"))
+    val grid = t.select(col("source")).crossJoin(broadcast(la))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+    val cum = grid
+      .join(c.withColumnRenamed("source", "cs").withColumnRenamed("len", "cl"),
+        col("source") === col("cs") && col("len") === col("cl"), "left")
+      .select(
+        col("source"), col("len"),
+        sum(coalesce(col("cnt"), lit(0L))).over(w).cast("long").as("cum_s"),
+        sum(col("cnt_all")).over(w).cast("long").as("cum_all"))
+    val diff = abs(
+      col("cum_s").cast("double") / col("n_s")
+        - (col("cum_all") - col("cum_s")).cast("double") / (col("n") - col("n_s")))
+    val rw = Window.partitionBy(col("source")).orderBy(col("diff").desc, col("len"))
+    cum
+      .join(broadcast(t), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("len"), col("n_s"), diff.as("diff"))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_s").as("n_docs"), col("diff").as("ks_d"),
+        col("len").cast("long").as("at_len"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
-    Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit)
+    Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
+      qKsDrift)
 }

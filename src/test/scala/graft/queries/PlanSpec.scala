@@ -144,6 +144,36 @@ class PlanSpec extends AnyFunSuite {
       "cut-point table must broadcast — the fact side never shuffles for the join")
   }
 
+  test("q_ppl_bucket: per-language binning has no window over the scored docs") {
+    val p = plan(RankQueries.qPplBucket)
+    assert(!p.contains("ntile"), "tertile binning must not plan an NTILE window")
+    assert(p.contains("BroadcastHashJoin"),
+      "cut-point table must broadcast back onto the scored frame")
+  }
+
+  test("q_min_cost_supplier: correlated subquery decorrelates to aggregate + join") {
+    val p = plan(CoreQueries.qMinCostSupplier)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "the per-part min must run as an aggregate, not a per-row re-execution")
+  }
+
+  test("q_pq_search: LUT broadcast onto codes; top-k pushes a group limit") {
+    val p = plan(SimilarityQueries.qPqSearch)
+    assert(p.contains("BroadcastHashJoin"),
+      "the query LUT must broadcast — the codes side never shuffles for the join")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must cap partitions before the per-query merge")
+  }
+
+  test("q_dhash_neardup: banded equi-join, never a cross product") {
+    val p = plan(TextQueries.qDhashNearDup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must be a keyed band join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "band join must be an equi-join")
+  }
+
   test("q_kmv_distinct: k-smallest per group plans as WindowGroupLimit") {
     val p = plan(StatsQueries.qKmvDistinct)
     assert(p.contains("WindowGroupLimit"),
