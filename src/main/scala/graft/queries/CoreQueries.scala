@@ -414,7 +414,64 @@ object CoreQueries {
     }
   }
 
+  /** TPC-H Q4 shape — priority counts over orders having at least one
+    * qualifying line item, via correlated EXISTS. Catalyst rewrites the
+    * EXISTS into a left-semi join (`RewritePredicateSubquery`); the same
+    * string is its own DuckDB oracle. */
+  val qExistsPriority: Q = {
+    val sql =
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin
+    Q.sql(
+      "q_exists_priority",
+      sql,
+      doc = "TPC-H Q4 shape: correlated EXISTS via spark.sql (rewritten to semi join)") {
+      (s, d) =>
+        orders(s, d).createOrReplaceTempView("orders")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+    }
+  }
+
+  /** TPC-H Q17 shape — revenue from "small" orders: line items whose
+    * quantity is below 20% of the PER-PART average quantity. The
+    * correlated aggregate subquery decorrelates to a per-part average
+    * joined back (one aggregate over the fact table, not one per row) —
+    * the canonical decorrelation benchmark. avg parity: DuckDB's avg over
+    * doubles is a running sum whose order its sequential scan fixes;
+    * Spark's partial aggregation would reorder it, so BOTH sides
+    * accumulate the exact two-decimal quantities as DECIMAL (sum exact,
+    * one division at the edge) — the q1_agg exact-decimal pattern applied
+    * inside a subquery. */
+  val qSmallOrderRevenue: Q = {
+    val sql =
+      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |WHERE l.l_quantity < 0.2 * (
+        |  SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+        |      / count(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+    Q.sql(
+      "q_small_order_revenue",
+      sql,
+      doc = "TPC-H Q17 shape: correlated avg subquery via spark.sql (decorrelated)") {
+      (s, d) =>
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
-    qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier)
+    qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier,
+    qExistsPriority, qSmallOrderRevenue)
 }
