@@ -820,6 +820,99 @@ object TextQueries {
       .limit(50)
   }
 
+  val BpeVocab = 50
+
+  /** BPE tokenizer APPLY — the other half of [[qBpePairs]]'s training
+    * loop: learn the top-[[BpeVocab]] adjacent character pairs, then
+    * greedily encode every document left-to-right (merge a vocab pair,
+    * else emit a single character; spaces delimit for free — no vocab
+    * pair contains one). Output is the per-document token count and
+    * chars-per-token compression, the number a tokenizer owner tracks.
+    *
+    * Scale design: the vocab derives from the same pair-count shuffle as
+    * q_bpe_pairs and collapses to ONE broadcast row (an array literal at
+    * runtime — never a driver collect); the encode walk is the one-pass
+    * codegen kernel [[graft.expressions.BpeTokens]] — a JIT'd char walk
+    * instead of an interpreted higher-order-function lambda (at sf0.1
+    * the vocab pair-count shuffle dominates either way, ~1.8 s warm;
+    * the kernel is for the 100 TB regime, where walk cost is linear in
+    * corpus characters and the interpreted lambda would be the
+    * bottleneck; fold-equality pinned in BpeTokensSpec). The corpus is
+    * scanned once with zero additional shuffles.
+    *
+    * Oracle: DuckDB 1.0's batched list_reduce miscomputes a correlated
+    * struct-state fold on ~1 row in 500 (verified: the identical fold is
+    * correct when the same row runs alone), so the oracle instead uses a
+    * provable reformulation with no lambda state: greedy left-to-right
+    * merging merges ⌈k/2⌉ pairs in every maximal run of k consecutive
+    * vocab-pair positions (runs are independent — a merge consumes only
+    * the next position, and the position before a run never starts a
+    * merge by maximality), so n_tokens = Σ_word (len − Σ_runs ⌈k/2⌉) —
+    * pure explode/window/aggregate SQL, bit-exact vs the walk (equality
+    * verified against a reference walk on every document). */
+  val qBpeEncode: Q = Q.sql(
+    "q_bpe_encode",
+    s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(t)-1), i -> substr(t, i, 2))) AS pair
+       |  FROM tok WHERE length(t) >= 2),
+       |pc AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair),
+       |vocab AS (SELECT list(pair) AS vs FROM (
+       |  SELECT pair FROM pc ORDER BY cnt DESC, pair LIMIT $BpeVocab) _v),
+       |tokd AS (
+       |  SELECT doc_id, unnest($tokensSql) AS t,
+       |    generate_subscripts($tokensSql, 1) AS wi
+       |  FROM documents),
+       |stats AS (SELECT doc_id, CAST(sum(length(t)) AS BIGINT) AS n_alpha FROM tokd GROUP BY doc_id),
+       |posv0 AS (
+       |  SELECT doc_id, wi, t, unnest(generate_series(1, length(t) - 1)) AS p
+       |  FROM tokd WHERE length(t) >= 2),
+       |posv AS (
+       |  SELECT doc_id, wi, p FROM posv0 CROSS JOIN vocab
+       |  WHERE list_contains(vs, substr(t, p, 2))),
+       |isl AS (
+       |  SELECT doc_id, wi, p,
+       |    p - row_number() OVER (PARTITION BY doc_id, wi ORDER BY p) AS grp
+       |  FROM posv),
+       |runs AS (SELECT doc_id, wi, grp, count(*) AS k FROM isl GROUP BY 1, 2, 3),
+       |m AS (SELECT doc_id, CAST(sum((k + 1) // 2) AS BIGINT) AS merges FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(lower(d.text)) AS BIGINT) AS n_chars,
+       |  s.n_alpha - coalesce(m.merges, 0) AS n_tokens,
+       |  CAST(s.n_alpha AS DOUBLE) / (s.n_alpha - coalesce(m.merges, 0)) AS chars_per_token
+       |FROM documents d
+       |JOIN stats s ON d.doc_id = s.doc_id
+       |LEFT JOIN m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin,
+    doc = s"BPE apply: greedy top-$BpeVocab pair-merge encoding, one narrow fold per doc") {
+    (s, d) =>
+      val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+      val pc = docs
+        .select(explode(tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("t")) - 1),
+          i => col("t").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = pc
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(BpeVocab)
+        .agg(collect_list(col("pair")).as("vs"))
+      val lw = col("lw")
+      docs
+        .select(col("doc_id"), lower(col("text")).as("lw"))
+        .crossJoin(broadcast(vocab))
+        .select(
+          col("doc_id"),
+          length(lw).cast("long").as("n_chars"),
+          length(replace(lw, lit(" "), lit(""))).cast("long").as("n_alpha"),
+          graft.expressions.BpeTokens.bpeTokens(lw, col("vs")).as("n_tokens"))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"),
+          (col("n_alpha").cast("double") / col("n_tokens")).as("chars_per_token"))
+        .orderBy("doc_id")
+  }
+
   /** Unigram-distribution entropy and type-token ratio per language — the
     * corpus-diversity numbers a data-mix designer reads before weighting
     * sources. Inverted-index shape: one token-explode shuffle to per-
@@ -865,5 +958,5 @@ object TextQueries {
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs, qUnigramEntropy)
+      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy)
 }
