@@ -39,4 +39,22 @@ object StreamJoins {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+
+  /** Stream-static dimension enrichment: each streaming fact row picks
+    * up its dimension attributes through a BROADCAST hash join against a
+    * static table. Stateless — a static side has no event time, so no
+    * watermark and no join state; Spark re-plans the static side per
+    * micro-batch, so a dimension refresh on disk is visible from the
+    * next batch on. The explicit broadcast keeps the fact stream
+    * entirely shuffle-free regardless of rate — the 100 TB/day form of
+    * "join the fact to the dim". */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      how: String = "left"): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), how)
 }
