@@ -397,6 +397,52 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cluster-aware train/val/test split — the leakage guard a naive
+    * per-document hash split (q_hash_split) lacks: near-duplicate
+    * documents in the same cluster must land in the SAME split, or the
+    * test set contains paraphrases of training documents. Every document
+    * maps to its near-dup cluster (its own id when unpaired) and the
+    * 80/10/10 assignment hashes the CLUSTER id, so a cluster cannot
+    * straddle splits by construction (`ClusterSplitSpec` additionally
+    * shows the per-document split DOES straddle — the negative control).
+    *
+    * Scale design: reuses the q_dedup_clusters component frame (banded
+    * LSH pairs + rounds-bounded connected components) plus one left
+    * join and one aggregate; the split function is a pure per-row hash.
+    */
+  val qClusterSplit: Q = Q.sql(
+    "q_cluster_split",
+    s"""WITH comp0 AS (
+       |${qDedupClusters.oracle.get}
+       |), grp AS (
+       |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS gid
+       |  FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.doc_id
+       |), assigned AS (
+       |  SELECT doc_id, gid,
+       |    CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'test' ELSE 'val' END AS split
+       |  FROM (SELECT doc_id, gid,
+       |    CAST(('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS b
+       |    FROM grp) t
+       |)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+       |FROM assigned GROUP BY split
+       |ORDER BY split""".stripMargin,
+    doc = "cluster-aware 80/10/10 split: near-dup clusters assigned atomically (no leakage)") {
+    (s, d) =>
+      val clusters = qDedupClusters.run(s, d).select(col("doc_id").as("cid"), col("cluster"))
+      val grp = documents(s, d)
+        .join(clusters, col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("gid"))
+      val b = conv(substring(md5(col("gid").cast("string")), 1, 6), 16, 10).cast("long") % 10000
+      grp
+        .select(col("doc_id"), col("gid"),
+          when(b < 8000, "train").when(b < 9000, "test").otherwise("val").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("gid")).as("n_groups"))
+        .orderBy("split")
+  }
+
   /** Shingle CONTAINMENT — the asymmetric cousin of Jaccard that catches
     * near-SUPERSETS (a doc whose text swallows another doc's: boilerplate
     * wrapping, quote-and-extend, template stuffing). J(A,B) stays low when
@@ -706,6 +752,6 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
-      qJaccardAdaptive, qDedupClusters, qContainment, qDedupIncremental, qFuzzyVerify,
-      qCorpusClean, qSubstringDup, qJaroPairs)
+      qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
+      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs)
 }

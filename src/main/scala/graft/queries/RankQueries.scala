@@ -186,7 +186,15 @@ object RankQueries {
        |)""".stripMargin
 
   /** Spark side of [[nllCtesSql]]: doc-level (doc_id, lang, n_bigrams, s),
-    * with the position-ordered log-prob fold documented on [[qBigramLm]]. */
+    * with the position-ordered log-prob fold documented on [[qBigramLm]].
+    *
+    * Join shape: the log-prob is attached per DISTINCT bigram first
+    * (c2 ⋈ c1 ⨯ v — a vocabulary²-bounded frame), and the per-occurrence
+    * stream joins that table ONCE on `g`. Joining the occurrence stream
+    * against c2 and c1 separately (and crossing v in per occurrence)
+    * would shuffle the full occurrence stream twice more — at 100 TB the
+    * occurrence stream is the corpus, the distinct-gram table is the
+    * vocabulary. Same lp bits either way (identical expression tree). */
   private def nllPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).transform(graft.Tables.spread(s, _))
     val bg = docs
@@ -199,11 +207,13 @@ object RankQueries {
       .select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-    bg
-      .join(c2, "g")
+    val lpByGram = c2
       .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("lang"), col("pos"), lp.as("lp"))
+      .select(col("g"), lp.as("lp"))
+    bg
+      .join(lpByGram, "g")
+      .select(col("doc_id"), col("lang"), col("pos"), col("lp"))
       .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_bigrams"),
