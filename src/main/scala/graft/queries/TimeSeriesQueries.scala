@@ -224,6 +224,47 @@ object TimeSeriesQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** Time-INTERVAL window frame — the frame family q_moving_avg's
+    * ROWS-based frame can't express: "everything in the last 10 minutes",
+    * robust to irregular sampling (a rows frame counts points, a range
+    * frame counts TIME). The frame ranges over exact integer epoch-µs,
+    * and with RANGE semantics all timestamp peers join the frame
+    * together, so duplicate timestamps can't make the result
+    * order-dependent.
+    *
+    * Scale design: the window partitions by (series, day) — the
+    * q_integral segmentation — so no task ever sorts more than one
+    * series-day; the trailing window truncates at the day boundary by
+    * construction (documented semantics, identical in both engines). */
+  val qRangeFrame: Q = Q.sql(
+    "q_range_frame",
+    """SELECT event_type, event_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_10m,
+      |  CAST(sum(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE) AS sum_10m
+      |FROM (
+      |  SELECT event_type, event_id, value, date_trunc('day', ts) AS day,
+      |    epoch_us(ts) AS tsu
+      |  FROM events) t
+      |WINDOW w AS (PARTITION BY event_type, day ORDER BY tsu
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, event_id""".stripMargin,
+    doc = "trailing 10-minute RANGE frame per series-day (time-based, peer-safe)") { (s, d) =>
+    val w = Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tsu"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_type"), col("event_id"), col("value"),
+        date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("tsu"))
+      .select(
+        col("event_type"), col("event_id"),
+        count(lit(1)).over(w).cast("long").as("n_10m"),
+        sum(col("value").cast("decimal(27,2)")).over(w).cast("double").as("sum_10m"))
+      .orderBy("event_type", "event_id")
+  }
+
   val EwmaTaps = 8
   val EwmaDecay = 0.7
 
@@ -768,6 +809,6 @@ object TimeSeriesQueries {
 
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
-      qDerivative, qMovingAvg, qEwma, qSessionWindow, qSlidingWindow, qNtile, qBinEquidepth,
-      qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs)
+      qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
+      qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs)
 }
