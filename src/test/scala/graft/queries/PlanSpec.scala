@@ -174,6 +174,14 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), "band join must be an equi-join")
   }
 
+  test("q_range_frame: window partitions by (series, day), never series alone") {
+    val p = plan(TimeSeriesQueries.qRangeFrame)
+    assert(p.contains("hashpartitioning(event_type"),
+      "range-frame window must shuffle on the segmented key")
+    assert(p.replaceAll("\\s+", " ").matches("(?s).*hashpartitioning\\(event_type[^)]*day.*"),
+      "day must be part of the window partition key — a per-series sort would be unbounded")
+  }
+
   test("q_kmv_distinct: k-smallest per group plans as WindowGroupLimit") {
     val p = plan(StatsQueries.qKmvDistinct)
     assert(p.contains("WindowGroupLimit"),
