@@ -64,7 +64,11 @@ object Bench {
       ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
 
     case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double)
-    val results = SparkEntry.registry.map { q =>
+    // local-iteration subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b benches just
+    // those queries (unset = full battery, what the driver runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.registry)(ns => SparkEntry.registry.filter(q => ns(q.name)))
+    val results = selected.map { q =>
       val stats = (0 to passes).map { _ =>
         // drop caches a query persisted internally (LSH signature tables):
         // every pass must recompute, not read the previous pass's cache

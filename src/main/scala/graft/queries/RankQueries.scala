@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * aggregates crossed in via broadcast — never a driver collect. Float
   * parity with the DuckDB oracle: products/logs are computed with the
   * same association order on both sides and only rounded at the output
-  * edge; per-document log-prob sums use an explicit position-ordered fold
-  * (partial-aggregation order on doubles is not deterministic, a sorted
-  * fold is).
+  * edge; per-document log-prob sums accumulate in fixed-point integers
+  * (order-independent, so a plain codegen sum is bit-deterministic — see
+  * [[qBigramLm]]).
   */
 object RankQueries {
 
@@ -152,19 +152,30 @@ object RankQueries {
     * every document by its average negative log-likelihood (≈ log
     * perplexity). p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V).
     *
-    * The per-document Σ ln p runs as a POSITION-ORDERED fold over the
-    * document's bigrams (sort_array + aggregate), not a float sum over an
-    * unordered group — partial-aggregation order would wobble the last
-    * ulp; the ordered fold is bit-deterministic in both engines. Counts
-    * and V are exact integers; each ln is one deterministic double op. */
+    * The per-document Σ ln p accumulates in FIXED-POINT: each bigram's
+    * ln p (identical double bits in both engines — same integer counts,
+    * same expression tree) is quantized to [[NllQuantum]] nats as a
+    * 64-bit integer, and the document score is the integer sum rescaled.
+    * Integer addition is associative, so the sum is bit-deterministic
+    * under ANY partial-aggregation order — the fold runs as a plain
+    * codegen `sum(long)` with map-side combine: no per-document array,
+    * no ordering requirement, bounded memory at any document length.
+    * (The previous design — a position-ordered sort_array+aggregate fold
+    * — was deterministic too, but buffered whole documents inside one
+    * ObjectHashAggregate group and cost 2 extra aggregation passes.)
+    * The quantization error (≤ 5e-10 · n_bigrams, i.e. ≤ 5e-10 after the
+    * ÷ n_bigrams) sits three orders below the round-6 output edge; both
+    * engines compute the same quantized definition, so parity is exact
+    * regardless. Sums ride in decimal/hugeint (no overflow for any
+    * document parquet can hold). */
+  val NllQuantum = 1e9
+
   /** Shared DuckDB CTE chain for the bigram-LM: per-document
     * (doc_id, lang, n_bigrams, s = ordered Σ ln p). `lang` rides along
     * (functionally dependent on doc_id) so [[qPplBucket]] can group by it. */
   private val nllCtesSql =
     s"""bg AS (
-       |  SELECT doc_id, lang, unnest($bigramsSql) AS g,
-       |    generate_subscripts($bigramsSql, 1) AS pos
-       |  FROM documents
+       |  SELECT doc_id, lang, unnest($bigramsSql) AS g FROM documents
        |), c2 AS (
        |  SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
        |), c1 AS (
@@ -174,14 +185,14 @@ object RankQueries {
        |  SELECT count(DISTINCT t) AS v FROM (
        |    SELECT unnest($tokensSql) AS t FROM documents)
        |), scored AS (
-       |  SELECT bg.doc_id, bg.lang, bg.pos,
-       |    ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+       |  SELECT bg.doc_id, bg.lang,
+       |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * $NllQuantum, 0) AS BIGINT) AS li
        |  FROM bg JOIN c2 USING (g)
        |    JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
        |    CROSS JOIN v
        |), folded AS (
        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    list_reduce(list_prepend(0.0, list(lp ORDER BY pos)), (a, x) -> a + x) AS s
+       |    CAST(sum(li) AS DOUBLE) / $NllQuantum AS s
        |  FROM scored GROUP BY doc_id, lang
        |)""".stripMargin
 
@@ -190,37 +201,43 @@ object RankQueries {
     *
     * Join shape: the log-prob is attached per DISTINCT bigram first
     * (c2 ⋈ c1 ⨯ v — a vocabulary²-bounded frame), and the per-occurrence
-    * stream joins that table ONCE on `g`. Joining the occurrence stream
-    * against c2 and c1 separately (and crossing v in per occurrence)
-    * would shuffle the full occurrence stream twice more — at 100 TB the
-    * occurrence stream is the corpus, the distinct-gram table is the
-    * vocabulary. Same lp bits either way (identical expression tree). */
-  private def nllPerDoc(s: SparkSession, d: String): DataFrame = {
+    * stream joins that table ONCE on `g`, with the vocabulary side
+    * BROADCAST explicitly. The hint matters twice over: the gram table is
+    * the trained LM — vocabulary-bounded, orders of magnitude under the
+    * corpus — so it is the correct build side at any scale, and without
+    * the hint Catalyst's static size estimate (which cannot see through
+    * posexplode) picked the OCCURRENCE stream as the build side — a
+    * driver-side broadcast of the whole exploded corpus (measured: the
+    * entire GC churn of this query, and a flat OOM at real scale).
+    *
+    * The per-document accumulation is the fixed-point integer sum
+    * documented on [[qBigramLm]] — a codegen HashAggregate with map-side
+    * partials; no aggregation buffer ever holds a document. */
+  private[queries] def nllPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).transform(graft.Tables.spread(s, _))
     val bg = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), posexplode(bigramsOf(col("w"))).as(Seq("pos0", "g")))
-      .select(col("doc_id"), col("lang"), (col("pos0") + 1).as("pos"), col("g"))
+      .select(col("doc_id"), col("lang"), explode(bigramsOf(col("w"))).as("g"))
     val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(split(col("g"), " ").getItem(0).as("w1")).agg(sum(col("c2")).as("c1"))
     val v = docs
       .select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-    val lpByGram = c2
+    val liByGram = c2
       .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
       .crossJoin(broadcast(v))
-      .select(col("g"), lp.as("lp"))
+      .select(col("g"), round(lp * NllQuantum, 0).cast("long").as("li"))
     bg
-      .join(lpByGram, "g")
-      .select(col("doc_id"), col("lang"), col("pos"), col("lp"))
+      .join(broadcast(liByGram), "g")
       .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        aggregate(
-          transform(sort_array(collect_list(struct(col("pos"), col("lp")))), x => x("lp")),
-          lit(0.0),
-          (a, x) => a + x).as("s"))
+        // decimal(20,0) sum: exact at any document length (a long sum
+        // could wrap past ~2e8 bigrams in one doc); DuckDB's BIGINT sum
+        // is hugeint, also exact — both convert the same integer to
+        // double at the end
+        (sum(col("li").cast("decimal(20,0)")).cast("double") / NllQuantum).as("s"))
   }
 
   val qBigramLm: Q = Q.sql(

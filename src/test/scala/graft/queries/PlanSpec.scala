@@ -144,6 +144,15 @@ class PlanSpec extends AnyFunSuite {
       "cut-point table must broadcast — the fact side never shuffles for the join")
   }
 
+  test("q_bigram_lm: LM table broadcasts; the NLL fold is a codegen sum, no per-doc buffers") {
+    val p = plan(RankQueries.qBigramLm)
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded log-prob table must broadcast onto the occurrence stream")
+    assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+      "fixed-point NLL accumulation must plan as a plain hash aggregate — " +
+        "a collect_list fold buffers whole documents per group")
+  }
+
   test("q_ppl_bucket: per-language binning has no window over the scored docs") {
     val p = plan(RankQueries.qPplBucket)
     assert(!p.contains("ntile"), "tertile binning must not plan an NTILE window")
