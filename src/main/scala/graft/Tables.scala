@@ -60,11 +60,15 @@ object Tables {
       case TimestampNTZType =>
         // filter the RAW NTZ column against NTZ literals so the bound
         // reaches the parquet scan (an LTZ literal would wrap the column
-        // in a cast and hide the predicate from pushdown); the session is
-        // pinned UTC, so the wall-clock bound equals the instant bound
+        // in a cast and hide the predicate from pushdown). The NTZ data
+        // stores UTC wall clock, so derive the literal from the INSTANT
+        // at UTC explicitly — Timestamp.toLocalDateTime would go through
+        // the JVM default timezone and return a different row set on a
+        // non-UTC host than the nanos branch (which is instant-based).
+        def ntz(t: java.sql.Timestamp) =
+          java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
         raw
-          .filter(
-            col("ts") >= lit(start.toLocalDateTime) && col("ts") < lit(stop.toLocalDateTime))
+          .filter(col("ts") >= lit(ntz(start)) && col("ts") < lit(ntz(stop)))
           .withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw.filter(col("ts") >= lit(start) && col("ts") < lit(stop))
     }

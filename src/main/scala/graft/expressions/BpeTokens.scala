@@ -20,11 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * cost of q_bpe_encode; this kernel is one JIT'd char walk per row.
   * Equality with the fold is pinned by `BpeTokensSpec` on random inputs.
   *
-  * The vocabulary is encoded once per distinct ArrayData as a sorted
-  * int array of (c1<<16 | c2) keys probed with binary search — no
-  * per-step allocation; the encode is cached per thread keyed on the
-  * array reference (the broadcast vocab is the same object for every
-  * row of a batch).
+  * The vocabulary is encoded as a sorted int array of (c1<<16 | c2)
+  * keys probed with binary search — no per-step allocation; the sorted
+  * form is cached per thread and validated by CONTENT equality against
+  * the row's raw key sequence (object identity would go stale under
+  * columnar buffer reuse and miss under per-row array minting).
   */
 case class BpeTokens(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -44,23 +44,36 @@ case class BpeTokens(left: Expression, right: Expression) extends BinaryExpressi
 
 object BpeTokens {
 
-  private val cache = new ThreadLocal[(ArrayData, Array[Int])]
+  // (raw per-entry keys in input order, sorted probe keys): the cache is
+  // validated by CONTENT, not object identity — ArrayData instances may
+  // be reused and re-pointed at different buffers between rows (stale
+  // hit), or minted fresh per row for the same broadcast vocab (miss on
+  // every row, re-sorting the vocab each time). Extracting the raw keys
+  // is O(|vocab|) work the walk needs anyway; the equality check skips
+  // only the O(|vocab| log |vocab|) sort + allocation.
+  private val cache = new ThreadLocal[(Array[Int], Array[Int])]
 
   private def vocabKeys(vocab: ArrayData): Array[Int] = {
-    val entry = cache.get()
-    if (entry != null && (entry._1 eq vocab)) return entry._2
     val n = vocab.numElements()
     val ks = new Array[Int](n)
     var j = 0
     var m = 0
     while (j < n) {
-      val p = vocab.getUTF8String(j).toString
-      if (p.length == 2) { ks(m) = (p.charAt(0) << 16) | p.charAt(1); m += 1 }
+      val p = vocab.getUTF8String(j)
+      // 2-char entries only (anything else can never match a 2-char
+      // window); numChars is O(len) on UTF-8 bytes, cheap at len ≤ 4
+      if (p.numChars == 2) {
+        val str = p.toString
+        ks(m) = (str.charAt(0) << 16) | str.charAt(1); m += 1
+      }
       j += 1
     }
-    val sorted = java.util.Arrays.copyOf(ks, m)
+    val raw = java.util.Arrays.copyOf(ks, m)
+    val entry = cache.get()
+    if (entry != null && java.util.Arrays.equals(entry._1, raw)) return entry._2
+    val sorted = java.util.Arrays.copyOf(raw, m)
     java.util.Arrays.sort(sorted)
-    cache.set((vocab, sorted))
+    cache.set((raw, sorted))
     sorted
   }
 

@@ -306,7 +306,7 @@ object StatsQueries {
       |), d AS (
       |  SELECT cum.source, len,
       |    abs(CAST(cum_s AS DOUBLE) / t.n_s
-      |      - CAST(cum_all - cum_s AS DOUBLE) / (tot.n - t.n_s)) AS diff
+      |      - CAST(cum_all - cum_s AS DOUBLE) / nullif(tot.n - t.n_s, 0)) AS diff
       |  FROM cum JOIN t ON cum.source = t.source CROSS JOIN tot
       |), r AS (
       |  SELECT source, len, diff,
@@ -334,9 +334,15 @@ object StatsQueries {
         col("source"), col("len"),
         sum(coalesce(col("cnt"), lit(0L))).over(w).cast("long").as("cum_s"),
         sum(col("cnt_all")).over(w).cast("long").as("cum_all"))
+    // nullif guard on the rest-of-corpus size: with a single source the
+    // denominator is 0, where Spark (non-ANSI) yields NULL but DuckDB's
+    // IEEE division yields inf/nan — both engines emit NULL by
+    // construction instead (the whole source's diffs go NULL together,
+    // so the rank tiebreak stays engine-independent too)
     val diff = abs(
       col("cum_s").cast("double") / col("n_s")
-        - (col("cum_all") - col("cum_s")).cast("double") / (col("n") - col("n_s")))
+        - (col("cum_all") - col("cum_s")).cast("double")
+        / when(col("n") =!= col("n_s"), col("n") - col("n_s")))
     val rw = Window.partitionBy(col("source")).orderBy(col("diff").desc, col("len"))
     cum
       .join(broadcast(t), "source")

@@ -878,7 +878,7 @@ object TextQueries {
        |m AS (SELECT doc_id, CAST(sum((k + 1) // 2) AS BIGINT) AS merges FROM runs GROUP BY doc_id)
        |SELECT d.doc_id, CAST(length(lower(d.text)) AS BIGINT) AS n_chars,
        |  s.n_alpha - coalesce(m.merges, 0) AS n_tokens,
-       |  CAST(s.n_alpha AS DOUBLE) / (s.n_alpha - coalesce(m.merges, 0)) AS chars_per_token
+       |  CAST(s.n_alpha AS DOUBLE) / nullif(s.n_alpha - coalesce(m.merges, 0), 0) AS chars_per_token
        |FROM documents d
        |JOIN stats s ON d.doc_id = s.doc_id
        |LEFT JOIN m ON d.doc_id = m.doc_id
@@ -899,8 +899,13 @@ object TextQueries {
         .limit(BpeVocab)
         .agg(collect_list(col("pair")).as("vs"))
       val lw = col("lw")
+      // normalize ALL whitespace to ' ' before the walk: the kernel and
+      // n_alpha treat only ' ' as a delimiter, while the oracle tokenizes
+      // on \s+ — a tab/newline in a document would otherwise count as a
+      // token character on the Spark side only. \s matches single chars,
+      // so n_chars (= length) is invariant under the rewrite.
       docs
-        .select(col("doc_id"), lower(col("text")).as("lw"))
+        .select(col("doc_id"), regexp_replace(lower(col("text")), "\\s", " ").as("lw"))
         .crossJoin(broadcast(vocab))
         .select(
           col("doc_id"),
@@ -909,7 +914,11 @@ object TextQueries {
           graft.expressions.BpeTokens.bpeTokens(lw, col("vs")).as("n_tokens"))
         .select(
           col("doc_id"), col("n_chars"), col("n_tokens"),
-          (col("n_alpha").cast("double") / col("n_tokens")).as("chars_per_token"))
+          // explicit degenerate-case guard: an empty/all-whitespace doc
+          // has n_tokens = 0, where Spark's non-ANSI 0.0/0 yields NULL
+          // but DuckDB's IEEE division yields NaN — agree by construction
+          when(col("n_tokens") > 0, col("n_alpha").cast("double") / col("n_tokens"))
+            .as("chars_per_token"))
         .orderBy("doc_id")
   }
 

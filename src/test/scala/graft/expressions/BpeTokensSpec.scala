@@ -68,4 +68,22 @@ class BpeTokensSpec extends AnyFunSuite {
       assert(got(i) == want, s"text '$t'")
     }
   }
+
+  test("vocab cache validates by content: in-place buffer reuse cannot serve stale keys") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // simulate columnar buffer reuse: the SAME ArrayData object is
+    // re-pointed at different contents between rows
+    val buf: Array[Any] = Array(u("ab"))
+    val ad = new GenericArrayData(buf)
+    assert(BpeTokens.count(u("abab"), ad) == 2L) // ab + ab
+    buf(0) = u("ba")
+    assert(BpeTokens.count(u("abab"), ad) == 3L, // a + ba + b
+      "identity-keyed cache would have returned the stale {ab} encoding")
+    // and a FRESH object with identical content must hit the cache path
+    // (same result either way — this pins the equality, not the hit)
+    val ad2 = new GenericArrayData(Array[Any](u("ba")))
+    assert(BpeTokens.count(u("abab"), ad2) == 3L)
+  }
 }
