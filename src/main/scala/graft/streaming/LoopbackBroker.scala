@@ -87,6 +87,9 @@ final class LoopbackBroker(user: String, password: String) {
               s.close()
             case MqttWire.PINGREQ =>
               MqttWire.write(conn.out, MqttWire.PINGRESP, Array.emptyByteArray)
+            case MqttWire.PUBACK =>
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              acks.add(b.readUnsignedShort())
             case _ => ()
           }
         }
@@ -100,6 +103,29 @@ final class LoopbackBroker(user: String, password: String) {
       try MqttWire.write(c.out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
       catch { case _: IOException => () }
     }
+
+  /** PUBACK packet ids received from clients, in arrival order. */
+  val acks = new ConcurrentLinkedQueue[Int]()
+  private val pubIds = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** QoS-1 publish: PUBLISH carries a packet id and the QoS-1 flag; the
+    * same packet is then re-sent `redeliveries` times with DUP set — the
+    * broker-didn't-see-the-PUBACK path a spec forces deterministically
+    * (a real broker retries on an ack timeout). Returns the packet id so
+    * the spec can await its PUBACK in [[acks]]. */
+  def publishQos1(topic: String, payload: Array[Byte], redeliveries: Int = 0): Int = {
+    val pid = pubIds.getAndIncrement() & 0xffff
+    val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
+    conns.asScala.filter(_.matches(topic)).foreach { c =>
+      try {
+        MqttWire.write(c.out, MqttWire.PUBLISH | 0x02, body)
+        (0 until redeliveries).foreach { _ =>
+          MqttWire.write(c.out, MqttWire.PUBLISH | 0x02 | 0x08, body)
+        }
+      } catch { case _: IOException => () }
+    }
+    pid
+  }
 
   /** Abruptly sever every live connection — the network-blip path; the
     * client must see socket-close + a non-zero disconnect. */

@@ -9,9 +9,10 @@ import javax.net.ssl.{SSLContext, SSLSocketFactory, TrustManager, X509TrustManag
 import scala.jdk.CollectionConverters._
 
 /** [[MqttClient]] over a REAL TCP socket — the transport the seam existed
-  * for. Speaks the MQTT 3.1.1 QoS-0 subset via [[MqttWire]]; semantics
-  * mirror the reference connector (`/root/reference/src/classes/
-  * mqtt_classes.py:298-324`):
+  * for. Speaks MQTT 3.1.1 via [[MqttWire]] — the QoS-0 subscribe subset
+  * the reference exercises plus QoS-1 inbound (PUBACK + DUP-redelivery
+  * dedup, see the reader); semantics mirror the reference connector
+  * (`/root/reference/src/classes/mqtt_classes.py:298-324`):
   *
   *   - `connect` opens the socket (TLS when `useTls`; `tlsInsecure`
   *     installs a trust-all manager, the CERT_NONE + `tls_insecure_set`
@@ -102,6 +103,14 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     * its own socket is still the current one. */
   private def startReader(in: DataInputStream, mySocket: Socket, myOut: DataOutputStream): Unit = {
     val t = new Thread(() => {
+      // QoS-1 redelivery dedup, scoped to THIS connection (clean-session
+      // CONNECT resets broker state, so ids never survive a reconnect):
+      // ids this client has already PUBACKed, bounded FIFO — a DUP
+      // redelivery of an acked id means our PUBACK was lost in flight,
+      // and at-least-once becomes effectively-once by dropping it (the
+      // ack is still re-sent so the broker stops retrying)
+      val acked = new java.util.LinkedHashSet[Int]()
+      val ackedCap = 4096
       try {
         while (connected && (socket eq mySocket)) {
           val p = MqttWire.read(in)
@@ -109,10 +118,22 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
             case MqttWire.PUBLISH =>
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
               val topic = MqttWire.readStr(s)
-              // QoS 0 carries no packet id; the rest of the body is payload
+              // QoS 0 carries no packet id; QoS 1+ has a 2-byte id next
+              val qos = p.publishQos
+              val pid = if (qos > 0) s.readUnsignedShort() else 0
               val payload = new Array[Byte](s.available())
               s.readFully(payload)
-              callbacks.onMessage(topic, payload, System.currentTimeMillis() * 1000L)
+              val duplicate = qos > 0 && p.publishDup && acked.contains(pid)
+              if (qos > 0) {
+                MqttWire.write(myOut, MqttWire.PUBACK, MqttWire.packetId(pid))
+                acked.remove(pid) // re-insert → refresh FIFO position
+                acked.add(pid)
+                if (acked.size > ackedCap) {
+                  val it = acked.iterator(); it.next(); it.remove()
+                }
+              }
+              if (!duplicate)
+                callbacks.onMessage(topic, payload, System.currentTimeMillis() * 1000L)
             case MqttWire.SUBACK =>
               val qos = if (p.body.length >= 3) p.body(2).toInt else 0
               callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)

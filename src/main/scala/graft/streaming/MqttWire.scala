@@ -3,10 +3,13 @@ package graft.streaming
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Minimal MQTT 3.1.1 wire codec — the QoS-0 subset the reference
-  * connector actually exercises (`/root/reference/src/classes/
+/** Minimal MQTT 3.1.1 wire codec — the subscribe-side subset the
+  * reference connector exercises (`/root/reference/src/classes/
   * mqtt_classes.py:298-324` connects with username/password, subscribes,
-  * and receives publishes; it never publishes upstream or uses QoS>0).
+  * and receives publishes at QoS 0), plus QoS 1 inbound delivery
+  * (PUBLISH with packet id → PUBACK, DUP-flagged redelivery) — the first
+  * beyond-parity transport feature a deployment that asks the broker for
+  * at-least-once needs.
   *
   * Packet grammar per the public OASIS MQTT 3.1.1 spec: 1 control byte,
   * variable-length remaining-length (7 bits per byte, continuation bit),
@@ -20,6 +23,7 @@ object MqttWire {
   val CONNECT = 0x10
   val CONNACK = 0x20
   val PUBLISH = 0x30
+  val PUBACK = 0x40
   val SUBSCRIBE = 0x82 // full header: type nibble + mandatory 0b0010 flags
   val SUBSCRIBE_TYPE = 0x80 // what Packet.packetType masks the header to
   val SUBACK = 0x90
@@ -32,7 +36,15 @@ object MqttWire {
 
   final case class Packet(header: Int, body: Array[Byte]) {
     def packetType: Int = header & 0xf0
+    /** PUBLISH fixed-header QoS bits (spec §3.3.1.2). */
+    def publishQos: Int = (header >> 1) & 0x03
+    /** PUBLISH DUP flag: set on a broker REdelivery (spec §3.3.1.1). */
+    def publishDup: Boolean = (header & 0x08) != 0
   }
+
+  /** 2-byte big-endian packet id (PUBACK body, PUBLISH variable header). */
+  def packetId(id: Int): Array[Byte] =
+    Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
 
   /** MQTT UTF-8 string: 2-byte big-endian length + bytes. */
   def str(s: String): Array[Byte] = {

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.GraftSession
 import graft.solar.{SolarSynth, Topics}
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** [[MqttClientSpec]]'s scenarios re-run against the REAL transport: a
   * [[MqttSocketClient]] speaking MQTT 3.1.1 over a loopback TCP socket to
@@ -154,6 +155,31 @@ class MqttSocketClientSpec extends AnyFunSuite {
       client.disconnect()
       assert(got.keySet === Set(Topics.MateStatus, Topics.FxData))
       assert(got(Topics.FxData) > 300, "large payload truncated over the wire")
+    } finally broker.close()
+  }
+  test("QoS 1: broker redelivers with DUP, client PUBACKs every copy, sink sees one row") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+
+      // the PUBACK-was-lost path: the broker sends the same packet id
+      // three times (original + 2 DUP redeliveries)
+      val fx = SolarSynth.encodeFx(1700000000L, 7)
+      val pid = broker.publishQos1(Topics.FxData, fx, redeliveries = 2)
+      assert(await()(broker.acks.size >= 3), "client must PUBACK every delivery")
+      assert(broker.acks.asScala.forall(_ == pid))
+      Thread.sleep(50) // grace: duplicates must NOT trickle into the sink
+      assert(MqttSimBroker.size(log) === 1,
+        "at-least-once redelivery must collapse to effectively-once at the sink")
+
+      // a FRESH id (no DUP) is a new message, not a duplicate
+      broker.publishQos1(Topics.FxData, SolarSynth.encodeFx(1700000060L, 8))
+      assert(await()(MqttSimBroker.size(log) === 2), "fresh QoS-1 publish did not arrive")
+      client.disconnect()
     } finally broker.close()
   }
 }
