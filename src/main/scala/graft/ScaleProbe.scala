@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Load-verification harness: replays the flagship pipelines against an
+  * N×-replicated corpus and reports wall time plus the peak execution
+  * memory any single task held — the number that decides whether a plan
+  * that is merely *shaped* scale-safe actually IS (a hidden per-group
+  * buffer shows up here long before it OOMs a cluster).
+  *
+  * The N× corpus derives from the bench SF deterministically:
+  *   - `documents`: ids offset per replica; every token is prefixed with
+  *     a replica tag, so each replica keeps the original's near-dup
+  *     structure exactly while sharing no vocabulary with other replicas
+  *     (doc count, pair count, and cluster count all scale ×N — appending
+  *     a marker token instead would make replicas near-dups of each
+  *     other and square the pair count).
+  *   - `embeddings`: ids offset; each replica's vectors multiplied by a
+  *     deterministic per-(replica, dimension) ±1 sign pattern — norms
+  *     and intra-replica cosines are preserved BIT-exactly, while
+  *     cross-replica cosines decorrelate to ~0, so ANN structure scales
+  *     ×N without manufacturing cross-replica clusters.
+  *   - `lineitem`: rows replicated as-is (the percentile probe cares
+  *     about value distribution and volume, not key identity).
+  *
+  * Usage: `runMain graft.ScaleProbe [factor]` (default 10). Writes the
+  * corpus under /tmp/graft_scale_<factor>x (reused if present) and
+  * prints one line per pipeline: name, wall seconds, max task peak
+  * memory, rows. Results land in NOTES.md by hand.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = s"/tmp/graft_scale_${factor}x"
+    val spark = GraftSession
+      .builder(master = "local[32]", app = "graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) build(spark, base, dir, factor)
+
+    // max-over-tasks peak execution memory (unsafe shuffle/agg/join
+    // memory a task held at once), straight from task metrics
+    val peak = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          peak.updateAndGet(p => math.max(p, t.taskMetrics.peakExecutionMemory))
+    })
+
+    val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "q_corpus_clean" -> (() => reg("q_corpus_clean").run(spark, dir)),
+      "q_dedup_clusters" -> (() => reg("q_dedup_clusters").run(spark, dir)),
+      "q_ppl_bucket" -> (() => reg("q_ppl_bucket").run(spark, dir)),
+      // the gate query pins 4 planes for oracle parity; at scale the
+      // plane count must track log2(n) or buckets go quadratic — probe
+      // the documented scale path (see nearDupLshAuto's Scaladoc)
+      "embed_neardup_auto" -> (() => graft.queries.SimilarityQueries.nearDupLshAuto(
+        graft.queries.SimilarityQueries.vecsOf(spark, dir),
+        graft.queries.SimilarityQueries.NdThreshold)),
+      "q_percentiles" -> (() => reg("q_percentiles").run(spark, dir)))
+    pipelines.foreach { case (name, run) =>
+      spark.catalog.clearCache()
+      ScratchCache.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      peak.set(0)
+      val t0 = System.nanoTime()
+      val n = run().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name%-20s ${sec}%8.2f s  peak_task_mem=${peak.get >> 20}%5d MiB  rows=$n")
+    }
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, base: String, dir: String, factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("i"))
+    def rep(df: DataFrame): DataFrame = df.crossJoin(reps)
+    val off = lit(10000000L) * col("i")
+
+    val docs = rep(spark.read.parquet(s"$base/documents.parquet"))
+      .select(
+        (col("doc_id") + off).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), concat(lit("r"), col("i"), lit("x$1")))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = rep(spark.read.parquet(s"$base/embeddings.parquet"))
+      .select(
+        (col("vec_id") + off).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, j) => x * (pmod(hash(col("i"), j), lit(2)) * 2 - 1).cast("float"))
+          .as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    rep(spark.read.parquet(s"$base/lineitem.parquet")).drop("i")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    println(s"SCALE built $dir at ${factor}x")
+  }
+}

@@ -150,6 +150,35 @@ object SimilarityQueries {
       .orderBy("id1", "id2")
   }
 
+  /** [[nearDupLsh]] with the plane count chosen from the corpus SIZE —
+    * the knob that keeps LSH linear as the corpus grows. With a FIXED
+    * signature width, buckets fill linearly with n and the in-bucket
+    * candidate self-join grows as n² (measured by the 10× ScaleProbe:
+    * 13× wall time at 10× vectors with 4 planes). Expected bucket
+    * occupancy n / 2^planes stays constant when planes grows with
+    * log2(n): each doubling of the corpus adds one plane. The recall
+    * per table falls with each added plane (P(all planes agree)), so a
+    * production deployment raises `tables` alongside — the standard
+    * width/tables tradeoff; here tables stays fixed and the 10× probe's
+    * job is bounding candidate volume, not recall.
+    *
+    * One count() job probes n — the same cheap-probe-then-choose shape
+    * as [[graft.queries.DedupQueries.jaccardAdaptive]]. Not oracle-gated:
+    * the DuckDB oracle SQL is generated statically and cannot depend on
+    * the data; the fixed-plane [[qEmbedNearDup]] stays the parity gate
+    * and this is the documented 100 TB path (`ScaleProbe` drives it). */
+  def nearDupLshAuto(
+      vecsDf: DataFrame,
+      threshold: Double,
+      targetBucket: Int = 64,
+      tables: Int = NdTables): DataFrame = {
+    val n = vecsDf.count()
+    val planes = math.max(
+      NdPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    nearDupLsh(vecsDf, threshold, planes, tables)
+  }
+
   /** All-pairs exact near-dup — the RECALL ORACLE for [[nearDupLsh]]
     * (`EmbedNearDupRecallSpec`), O(n²) by construction: spec ground truth
     * only, deliberately NOT the benched default (a cartesian self-join is
