@@ -387,14 +387,21 @@ object DedupQueries {
        |FROM walk GROUP BY node
        |ORDER BY doc_id""".stripMargin,
     doc = "dedup clustering: connected components over SimHash near-dup pairs") { (s, d) =>
+    clustersOf(s, d)
+      .select(col("doc_id"), col("cluster"),
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** The unsorted (doc_id, cluster) component frame behind
+    * [[qDedupClusters]] — shared with [[qClusterSplit]], which joins it
+    * and must NOT pay the presentation orderBy (a global range sort the
+    * join immediately destroys). */
+  private def clustersOf(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val pairs = qDedupSimhash.run(s, d).select(col("id1"), col("id2"))
     graft.operators.ConnectedComponents
       .components(pairs)
-      .select(
-        col("node").as("doc_id"),
-        col("component").cast("long").as("cluster"),
-        when(col("node") === col("component"), 1L).otherwise(0L).as("is_canonical"))
-      .orderBy("doc_id")
+      .select(col("node").as("doc_id"), col("component").cast("long").as("cluster"))
   }
 
   /** Cluster-aware train/val/test split — the leakage guard a naive
@@ -430,7 +437,7 @@ object DedupQueries {
        |ORDER BY split""".stripMargin,
     doc = "cluster-aware 80/10/10 split: near-dup clusters assigned atomically (no leakage)") {
     (s, d) =>
-      val clusters = qDedupClusters.run(s, d).select(col("doc_id").as("cid"), col("cluster"))
+      val clusters = clustersOf(s, d).select(col("doc_id").as("cid"), col("cluster"))
       val grp = documents(s, d)
         .join(clusters, col("doc_id") === col("cid"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("gid"))

@@ -809,7 +809,129 @@ object SimilarityQueries {
         .orderBy("vec_id")
   }
 
+
+  // ---- oracle-replayed KMeans -----------------------------------------
+
+  val KmK = 8
+  /** Fixed-point quantum for centroid means and inertia: coordinates are
+    * quantized to 1e-6 before the per-cluster sums, so every mean is an
+    * exact-integer sum divided once — order-independent, hence
+    * bit-identical across engines and across partitionings (the same
+    * design as the bigram-LM's NllQuantum). */
+  val KmQuantum = 1e6
+
+  /** Two Lloyd iterations of KMeans over the embeddings, FULLY replayed
+    * by the DuckDB oracle — the gate trained-IVF cannot have (spark.ml
+    * KMeans is not replayable; this operator's explicitly-unrolled
+    * iterations are). Init = the first [[KmK]] vectors (deterministic);
+    * assignment = argmin squared L2 (computed as |q|² − 2q·c + |c|²,
+    * identical expression both engines), id tiebreak; update = fixed-
+    * point exact means ([[KmQuantum]]).
+    *
+    * Scale shape per iteration: centroids broadcast (K rows); assignment
+    * is a narrow map + ONE codegen hash aggregate with map-side combine
+    * (`min(struct(dist, cid, …))` — argmin without a window, no per-key
+    * sort, no row explosion); the update is 64 integer sum aggregates in
+    * one pass (no posexplode shuffle). Nothing buffers a cluster.
+    *
+    * Output: per surviving cluster — member count, exact-quantized
+    * inertia, and the first 4 final-mean coordinates. */
+  val qKmeans: Q = {
+    def dotCvSql(q: String, c: String) =
+      (0 until Dim).map(i => s"$q.v[${i + 1}] * $c.cv[${i + 1}]").mkString(" + ")
+    def cnrmSql(arr: String) =
+      "sqrt(" + (0 until Dim).map(i => s"$arr[${i + 1}] * $arr[${i + 1}]").mkString(" + ") + ")"
+    val qsum = (0 until Dim)
+      .map(i => s"CAST(sum(CAST(round(v[${i + 1}] * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s$i")
+      .mkString(",\n    ")
+    val meansArr = (0 until Dim)
+      .map(i => s"CAST(s$i AS DOUBLE) / 1000000.0 / n")
+      .mkString("[", ", ", "]")
+    def roundSql(t: String) =
+      s"""  SELECT q.vec_id, q.v, q.nrm, c.cid,
+         |    q.nrm * q.nrm - 2 * (${dotCvSql("q", "c")}) + c.cnrm * c.cnrm AS dist,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY q.nrm * q.nrm - 2 * (${dotCvSql("q", "c")}) + c.cnrm * c.cnrm, c.cid)
+         |      AS rk
+         |  FROM vecs q JOIN $t c ON true""".stripMargin
+    Q.sql(
+      "q_kmeans",
+      s"""WITH vecs AS ($vecsSqlNested),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $KmK),
+         |sc1 AS (
+         |${roundSql("c0")}
+         |), a1 AS (SELECT vec_id, v, cid AS cell, dist FROM sc1 WHERE rk = 1),
+         |m1 AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |    $qsum
+         |  FROM a1 GROUP BY cell
+         |), c1 AS (
+         |  SELECT cell AS cid, cv, ${cnrmSql("cv")} AS cnrm
+         |  FROM (SELECT cell, $meansArr AS cv FROM m1) _m
+         |), sc2 AS (
+         |${roundSql("c1")}
+         |), a2 AS (SELECT vec_id, v, cid AS cell, dist FROM sc2 WHERE rk = 1),
+         |m2 AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(dist * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS qi,
+         |    $qsum
+         |  FROM a2 GROUP BY cell
+         |)
+         |SELECT cell AS cluster, n AS n_vecs,
+         |  round(CAST(qi AS DOUBLE) / 1000000.0, 6) AS inertia,
+         |  round(CAST(s0 AS DOUBLE) / 1000000.0 / n, 6) AS c0,
+         |  round(CAST(s1 AS DOUBLE) / 1000000.0 / n, 6) AS c1,
+         |  round(CAST(s2 AS DOUBLE) / 1000000.0 / n, 6) AS c2,
+         |  round(CAST(s3 AS DOUBLE) / 1000000.0 / n, 6) AS c3
+         |FROM m2
+         |ORDER BY cluster""".stripMargin,
+      doc = s"KMeans, 2 Lloyd iterations, $KmK cells: fixed-point exact means, oracle-replayed") {
+      (s, d) =>
+      val all = vecs(s, d)
+      val init = all.filter(col("vec_id") < KmK)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      def assign(cents: DataFrame): DataFrame = {
+        val dist = col("nrm") * col("nrm") -
+          lit(2) * graft.expressions.VectorOps.dot(col("v"), col("cv")) +
+          col("cnrm") * col("cnrm")
+        all
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+          .groupBy(col("vec_id"))
+          // argmin via struct-min: lexicographic (dist, cid) — cid is
+          // unique per group row, so v/nrm ride along untouched; one
+          // codegen hash aggregate, no window, no re-join
+          .agg(min(struct(col("dist"), col("cid"), col("v"), col("nrm"))).as("m"))
+          .select(
+            col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+            col("m.cid").as("cell"), col("m.dist").as("dist"))
+      }
+      def qcol(c: Column): Column = round(c * KmQuantum, 0).cast("long")
+      def moments(assigned: DataFrame, extra: Seq[Column]): DataFrame = {
+        val sums = (0 until Dim).map(i => sum(qcol(element_at(col("v"), i + 1))).as(s"s$i"))
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"), extra ++ sums: _*)
+      }
+      def centsOf(m: DataFrame): DataFrame = m
+        .select(col("cell").as("cid"),
+          array((0 until Dim).map(i => col(s"s$i").cast("double") / KmQuantum / col("n")): _*)
+            .as("cv"))
+        .withColumn("cnrm", graft.expressions.VectorOps.l2norm(col("cv")))
+      val a1 = assign(init)
+      val c1 = centsOf(moments(a1, Nil))
+      val a2 = assign(c1)
+      val m2 = moments(a2, Seq(sum(qcol(col("dist"))).as("qi")))
+      m2.select(
+        col("cell").as("cluster"), col("n").as("n_vecs"),
+        round(col("qi").cast("double") / KmQuantum, 6).as("inertia"),
+        round(col("s0").cast("double") / KmQuantum / col("n"), 6).as("c0"),
+        round(col("s1").cast("double") / KmQuantum / col("n"), 6).as("c1"),
+        round(col("s2").cast("double") / KmQuantum / col("n"), 6).as("c2"),
+        round(col("s3").cast("double") / KmQuantum / col("n"), 6).as("c3"))
+        .orderBy("cluster")
+    }
+  }
+
   val all: Seq[Q] =
-    Seq(qEmbedTopk, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qPqSearch,
+    Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection)
 }

@@ -355,7 +355,60 @@ object StatsQueries {
       .orderBy("source")
   }
 
+  /** Cross-source contamination matrix: 3-gram shingle Jaccard between
+    * every pair of sources — the audit a mix designer runs before
+    * weighting "independent" crawls that may share mirrors, syndicated
+    * boilerplate, or a common upstream dump (overlapping sources break
+    * the independence assumption every mixing weight rests on).
+    *
+    * Scale design: one explode + DISTINCT collapses the corpus to the
+    * (source, gram) incidence — the inverted-index shape — and the pair
+    * join fans each gram out to at most |sources|² rows, a corpus-size-
+    * independent bound; per-source totals broadcast back. The incidence
+    * frame feeds three consumers, so it is scratch-cached. Counts are
+    * exact integers; one division, rounded at the edge. */
+  val qSourceOverlap: Q = Q.sql(
+    "q_source_overlap",
+    s"""WITH sg AS (
+      |  SELECT DISTINCT source, g FROM (
+      |    SELECT source, unnest(${graft.text.TextFunctions.shinglesSql}) AS g FROM documents)
+      |), sizes AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1
+      |), it AS (
+      |  SELECT a.source AS src1, b.source AS src2, CAST(count(*) AS BIGINT) AS inter
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT it.src1, it.src2, s1.n AS n1, s2.n AS n2, it.inter,
+      |  round(CAST(it.inter AS DOUBLE) / (s1.n + s2.n - it.inter), 6) AS jaccard
+      |FROM it
+      |JOIN sizes s1 ON it.src1 = s1.source
+      |JOIN sizes s2 ON it.src2 = s2.source
+      |ORDER BY src1, src2""".stripMargin,
+    doc = "cross-source 3-gram Jaccard matrix: shared-upstream contamination audit") { (s, d) =>
+    import graft.text.TextFunctions._
+    val sg = graft.ScratchCache.tracked(
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("source"), tokens(col("text")).as("w"))
+        .select(col("source"), explode(shinglesOf(col("w"))).as("g"))
+        .distinct())
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val it = sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("inter"))
+    it
+      .join(broadcast(sizes.select(col("source").as("src1"), col("n").as("n1"))), "src1")
+      .join(broadcast(sizes.select(col("source").as("src2"), col("n").as("n2"))), "src2")
+      .select(
+        col("src1"), col("src2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy("src1", "src2")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift)
+      qKsDrift, qSourceOverlap)
 }

@@ -153,6 +153,25 @@ class PlanSpec extends AnyFunSuite {
         "a collect_list fold buffers whole documents per group")
   }
 
+  test("q_kmeans: centroids broadcast, argmin is an aggregate, means are codegen sums") {
+    val p = plan(SimilarityQueries.qKmeans)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the K-row centroid table must broadcast-cross onto the vector stream")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    assert(!p.contains("Window"),
+      "cluster assignment must be min(struct(dist, cid)) — a streaming aggregate, " +
+        "not a row_number window (which would sort every vector per round)")
+    assert(p.contains("HashAggregate"),
+      "the 64 per-dimension fixed-point sums must plan as codegen hash aggregates")
+  }
+
+  test("q_source_overlap: incidence self-join is an equi-join, totals broadcast") {
+    val p = plan(StatsQueries.qSourceOverlap)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the source-pair fan-out must come from the gram equi-join, never a cross product")
+    assert(p.contains("BroadcastHashJoin"), "per-source totals must broadcast")
+  }
+
   test("q_ppl_bucket: per-language binning has no window over the scored docs") {
     val p = plan(RankQueries.qPplBucket)
     assert(!p.contains("ntile"), "tertile binning must not plan an NTILE window")
