@@ -757,8 +757,101 @@ object DedupQueries {
       .orderBy("id1")
   }
 
+  /** Chunk width (tokens) for line-level dedup — the "line" analogue for
+    * a corpus whose documents carry no newlines: non-overlapping 8-token
+    * windows, the paragraph-ish unit MassiveText/C4-style pipelines dedup
+    * at below whole-document granularity. */
+  val LineChunk = 8
+
+  /** LINE-level exact dedup (Rae et al. 2021 "MassiveText" repetition
+    * removal; C4's duplicate-span drop): split every document into
+    * non-overlapping [[LineChunk]]-token chunks, compute each chunk's
+    * document frequency across the corpus, and REMOVE chunks occurring in
+    * ≥ 2 distinct documents — the span-level cleanup that whole-document
+    * and near-dup dedup both miss (boilerplate headers, license blocks,
+    * navigation text repeated across pages).
+    *
+    * Output per document: chunk counts before/after and an
+    * order-independent checksum of the SURVIVING text — Σ over kept
+    * chunks of a 48-bit integer fingerprint of (position, chunk). The
+    * integer sum associates, so the cleaned-corpus fingerprint needs no
+    * per-document ordered reassembly buffer (the q_bigram_lm lesson:
+    * never hold a whole document in one aggregation buffer when an
+    * order-independent form exists).
+    *
+    * Scale shape — inverted index, never pairwise: chunking is a narrow
+    * per-row HOF (no shuffle), document frequency is one distinct +
+    * count aggregation keyed on the chunk's md5 (16 bytes in the shuffle,
+    * never the chunk text), and the verdict join is an equi-join back on
+    * that hash. A viral chunk skews one reduce key, never builds a pair
+    * bucket. */
+  val qLineDedup: Q = Q.sql(
+    "q_line_dedup", {
+      val K = LineChunk
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS cid,
+         |    unnest(chunks) AS chunk
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(
+         |        generate_series(0, (len(w) + ${K - 1}) // $K - 1),
+         |        i -> array_to_string(list_slice(w, i*$K + 1, i*$K + $K), ' ')) AS chunks
+         |    FROM t)
+         |), f AS (
+         |  SELECT md5(chunk) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM c GROUP BY md5(chunk)
+         |)
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_removed,
+         |  round(CAST(count(*) FILTER (WHERE f.df < 2) AS DOUBLE) / count(*), 6) AS kept_frac,
+         |  CAST(coalesce(sum(CASE WHEN f.df < 2
+         |    THEN ('0x' || substr(md5(CAST(c.cid AS VARCHAR) || ':' || c.chunk), 1, 12))::BIGINT
+         |    END), 0) AS BIGINT) AS kept_sig
+         |FROM c JOIN f ON md5(c.chunk) = f.h
+         |GROUP BY c.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    doc = "line-level exact dedup: corpus-wide duplicate-chunk removal via inverted index") { (s, d) =>
+    val K = LineChunk
+    val t = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val nc = floor((size(col("w")) + (K - 1)) / lit(K.toDouble)).cast("long")
+    val c = t
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), nc - 1),
+          i => array_join(slice(col("w"), (i * K + 1).cast("int"), lit(K)), " ")))
+          .as(Seq("cid", "chunk")))
+      .select(
+        col("doc_id"), col("cid").cast("long").as("cid"), col("chunk"),
+        md5(col("chunk")).as("h"))
+    val f = c.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val kept = col("df") < 2
+    c.join(f, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_removed"),
+        round(sum(when(kept, 1).otherwise(0)).cast("double") / count(lit(1)), 6)
+          .as("kept_frac"),
+        coalesce(
+          sum(when(kept,
+            conv(
+              substring(md5(concat(col("cid").cast("string"), lit(":"), col("chunk"))), 1, 12),
+              16, 10).cast("long"))),
+          lit(0L)).cast("long").as("kept_sig"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
-      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs)
+      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup)
 }

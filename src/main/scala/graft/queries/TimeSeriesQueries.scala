@@ -807,8 +807,43 @@ object TimeSeriesQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Cumulative distinct users per day — the growth-curve metric
+    * (DAU-to-date) that a naive implementation writes as
+    * `count(DISTINCT user_id) OVER (ORDER BY day)`: a running
+    * distinct-state window that holds every user id seen so far in one
+    * task's state and re-scans it per row — quadratic state at 100 TB.
+    *
+    * The scale-safe identity: a user contributes to the cumulative count
+    * exactly once, in their FIRST hour. So: min(hour) per user (one hash
+    * aggregation on the high-cardinality key, map-side combined), count
+    * per first-hour (tiny), one running sum over the hour axis. The only
+    * window runs over #hours rows — bounded by the calendar, not the
+    * data. */
+  val qRunningDistinct: Q = Q.sql(
+    "q_running_distinct",
+    """WITH fs AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS hr FROM events GROUP BY user_id
+      |), nd AS (
+      |  SELECT hr, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY hr
+      |)
+      |SELECT hr, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY hr) AS BIGINT) AS cum_users
+      |FROM nd ORDER BY hr""".stripMargin,
+    doc = "cumulative distinct users via first-seen hours (no distinct-state window)") { (s, d) =>
+    val fs = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("hr"))
+    val nd = fs.groupBy(col("hr")).agg(count(lit(1)).cast("long").as("new_users"))
+    val w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nd.select(
+      col("hr"), col("new_users"),
+      sum(col("new_users")).over(w).cast("long").as("cum_users"))
+      .orderBy("hr")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
-      qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs)
+      qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
+      qRunningDistinct)
 }
