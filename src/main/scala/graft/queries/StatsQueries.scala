@@ -408,7 +408,67 @@ object StatsQueries {
       .orderBy("src1", "src2")
   }
 
+  /** Robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe alternative to q_anomaly's rolling z-score (a mean/
+    * stddev threshold is itself dragged by the outliers it hunts; the
+    * median/MAD pair has a 50% breakdown point). Per event type: median,
+    * MAD, and the count of values beyond the standard 3σ-equivalent fence
+    * `|v − med| > 3 · 1.4826 · MAD` (1.4826 = 1/Φ⁻¹(3/4), the consistency
+    * constant that makes MAD estimate σ under normality).
+    *
+    * Both medians run through [[graft.operators.Quantiles.exact]] —
+    * distributed range-sort order statistics, never a
+    * buffer-the-whole-group percentile. Two sort passes (values, then
+    * absolute deviations) is the honest cost of exact MAD at scale; each
+    * is shuffle-bounded with no per-task group state.
+    *
+    * Float parity is by construction, not hope: values quantize to exact
+    * integer cents first (the q_anomaly trick), so every interpolated
+    * median lands on a dyadic rational (k/2 of integers; deviations k/4)
+    * that both engines represent exactly — the fence comparison can never
+    * straddle an ulp. */
+  val qMadOutliers: Q = Q.sql(
+    "q_mad_outliers",
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events
+      |), m AS (
+      |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY event_type
+      |), a AS (
+      |  SELECT c.event_type, abs(c.v - m.med) AS ad FROM c JOIN m USING (event_type)
+      |), md AS (
+      |  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  m.med AS med_cents, md.mad AS mad_cents,
+      |  CAST(sum(CASE WHEN a.ad > 3 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM a JOIN m USING (event_type) JOIN md USING (event_type)
+      |GROUP BY event_type, m.med, md.mad
+      |ORDER BY event_type""".stripMargin,
+    doc = "median/MAD robust outlier fence per group (two distributed order-statistic passes)") { (s, d) =>
+    val c = events(s, d).select(
+      col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val m = graft.operators.Quantiles
+      .exact(c, "event_type", "v", Seq(0.5), Seq("med"))
+      .select(col("event_type"), col("med"))
+    val a = c.join(broadcast(m), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
+    val md = graft.operators.Quantiles
+      .exact(a, "event_type", "ad", Seq(0.5), Seq("mad"))
+      .select(col("event_type"), col("mad"))
+    a.join(broadcast(m), "event_type").join(broadcast(md), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("ad") > lit(3) * lit(1.4826) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+      .select(
+        col("event_type"), col("n"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift, qSourceOverlap)
+      qKsDrift, qSourceOverlap, qMadOutliers)
 }

@@ -841,9 +841,52 @@ object TimeSeriesQueries {
       .orderBy("hr")
   }
 
+  /** Min/max envelope downsampling — the chart-serving reduction a
+    * time-series store runs before shipping points to a dashboard
+    * (Grafana/LTTB-family): per series per day, keep the extreme points
+    * WITH their identities so spikes survive the downsample (a plain
+    * avg-per-bucket erases exactly the excursions an operator looks for).
+    *
+    * One hash aggregation, no window, no self-join: the extremes and
+    * their row identities come from a single lexicographic
+    * `min/max(struct(value, event_id))` — ties break deterministically
+    * (min side → smallest id, max side → largest), which the oracle
+    * mirrors with conditional aggregates over a re-join. Map-side
+    * combine applies; at 100 TB this is a scan plus a
+    * series×days-bounded shuffle. */
+  val qDownsampleMm: Q = Q.sql(
+    "q_downsample_mm",
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, value, event_id FROM events
+      |), m AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+      |    min(value) AS vmin, max(value) AS vmax
+      |  FROM b GROUP BY event_type, day
+      |)
+      |SELECT event_type, day, m.n, m.vmin, m.vmax,
+      |  CAST(min(CASE WHEN b.value = m.vmin THEN b.event_id END) AS BIGINT) AS min_eid,
+      |  CAST(max(CASE WHEN b.value = m.vmax THEN b.event_id END) AS BIGINT) AS max_eid
+      |FROM b JOIN m USING (event_type, day)
+      |GROUP BY event_type, day, m.n, m.vmin, m.vmax
+      |ORDER BY event_type, day""".stripMargin,
+    doc = "min/max envelope downsampling per series-day (single agg, identity-preserving extremes)") { (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        min(struct(col("value"), col("event_id"))).as("lo"),
+        max(struct(col("value"), col("event_id"))).as("hi"))
+      .select(
+        col("event_type"), col("day"), col("n"),
+        col("lo.value").as("vmin"), col("hi.value").as("vmax"),
+        col("lo.event_id").cast("long").as("min_eid"),
+        col("hi.event_id").cast("long").as("max_eid"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct)
+      qRunningDistinct, qDownsampleMm)
 }
