@@ -213,6 +213,47 @@ object ExtraQueries {
       .orderBy("iv_id")
   }
 
+  /** JSONL (newline-delimited JSON) sink + source roundtrip — the
+    * interchange format LLM training corpora actually ship in. The query
+    * WRITES the documents table as partitioned JSONL, READS it back with
+    * an explicit schema (no inference pass — at 100 TB schema inference
+    * is a full extra scan), and aggregates a per-language fidelity
+    * report whose content checksum is an order-independent integer sum
+    * over md5(doc_id:text) — row loss, duplication, or any
+    * escaping/unicode corruption in the JSON encode/decode flips it.
+    * The oracle computes the same report straight from the parquet
+    * source, so the gate proves the roundtrip byte-faithful.
+    *
+    * Scale shape: write and read are both partition-parallel (one JSONL
+    * part-file per task, no coalesce); the report is one hash
+    * aggregation with map-side combine. */
+  val qJsonlRoundtrip: Q = Q.sql(
+    "q_jsonl_roundtrip",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT)
+      |    AS BIGINT) AS content_sig
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    doc = "JSONL sink+source roundtrip with order-independent fidelity checksum") { (s, d) =>
+    import org.apache.spark.sql.types._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(d.hashCode)}"
+    documents(s, d).write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(conv(
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 12),
+          16, 10).cast("long")).cast("long").as("content_sig"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
-    Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin)
+    Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin,
+      qJsonlRoundtrip)
 }
