@@ -126,7 +126,11 @@ object GraphQueries {
        |FROM deg d LEFT JOIN pn ON pn.node = d.node
        |ORDER BY d.node""".stripMargin,
     doc = "degree-ordered triangle counting + clustering coefficients (co-supply graph)") { (s, d) =>
-    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    // distinct (order, supplier) BEFORE the self-join: collapses the
+    // multi-lineitem fanout so the pair count is a plain count(*) — no
+    // two-phase countDistinct over the pair expansion
+    val li = graft.ScratchCache.tracked(
+      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct())
     // the fact-scale self-join distills once into a node-bounded edge
     // list; scratch-cached because degrees, orientation, and the final
     // report all read it
@@ -135,7 +139,7 @@ object GraphQueries {
         .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
-        .agg(countDistinct(col("l_orderkey")).as("shared"))
+        .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= TriMinShared)
         .select(col("a"), col("b")))
     // degrees; consumed by the orientation (twice) and the final report
