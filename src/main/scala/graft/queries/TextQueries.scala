@@ -962,10 +962,45 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Number of merge rules q_bpe_train learns. */
+  val BpeTrainMerges = 6
+
+  /** BPE tokenizer TRAINING — the full iterative merge loop (Sennrich
+    * et al. 2016), completing the BPE triptych: q_bpe_pairs is one
+    * round's pair count, q_bpe_encode APPLIES a trained table, this
+    * TRAINS one. Runs [[graft.operators.BpeTrain]] over the word-type
+    * frequency table (Heaps-law-sublinear in corpus size — the reason
+    * BPE training is feasible at 100 TB at all); each round is one
+    * weighted pair-count aggregation plus a narrow codegen fold applying
+    * the winning rule, with the winner chosen by a total
+    * (count, pair)-order so the merge table is deterministic across
+    * runs and partitionings.
+    *
+    * rows-only gate BY NECESSITY: rounds 2+ count pairs over sequences
+    * REWRITTEN by earlier rules — a sequential fold ANSI SQL cannot
+    * express (and DuckDB's list_reduce miscomputes correlated struct
+    * folds, NOTES lesson 14). Correctness is pinned instead by
+    * `BpeTrainSpec`: bit-identical merge tables vs an independent
+    * in-memory reference implementation on the real corpus plus
+    * hand-built tie-break and chain-edge fixtures. */
+  val qBpeTrain: Q = Q.rowsOnly(
+    "q_bpe_train",
+    doc = s"BPE tokenizer training ($BpeTrainMerges merges over the word-type table)") { (s, d) =>
+    import s.implicits._
+    val words = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    graft.operators.BpeTrain.train(words, BpeTrainMerges)
+      .toDF()
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"), col("freq"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy)
+      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain)
 }

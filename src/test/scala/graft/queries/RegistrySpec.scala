@@ -26,7 +26,11 @@ class RegistrySpec extends AnyFunSuite {
       assert(q.doc.nonEmpty, s"${q.name} has no doc")
     }
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(rowsOnly == Seq("q_approx_aggs"),
+    // q_approx_aggs: HLL/quantile sketches are engine-specific by design
+    // (bounded by ApproxSpec). q_bpe_train: rounds 2+ count pairs over
+    // sequences rewritten by earlier merges — a sequential fold ANSI SQL
+    // cannot express (pinned bit-exactly by BpeTrainSpec instead).
+    assert(rowsOnly.sorted == Seq("q_approx_aggs", "q_bpe_train"),
       s"unexpected rows-only queries (weaker gate): $rowsOnly")
   }
 
