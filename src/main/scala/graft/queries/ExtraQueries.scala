@@ -253,7 +253,55 @@ object ExtraQueries {
       .orderBy("lang")
   }
 
+  /** SCD type-2 interval build: treat `events` as a change log of each
+    * user's `event_type` attribute and emit the versioned dimension — one
+    * row per attribute RUN with [valid_from, valid_to) validity and a
+    * current flag. The warehouse operator every dimension load needs;
+    * pairs with [[qAsofJoin]] (SCD2 builds the intervals, as-of reads
+    * them) and with `q_merge_upsert` (which folds a batch INTO such a
+    * dimension).
+    *
+    * Plan shape: two passes of per-user windows (lag to find change
+    * points, lead over the filtered change rows for interval ends) — both
+    * partition by user_id, so one shuffle, no self-join; state per task
+    * is one row (lag/lead), never a user's history. Ties on ts break by
+    * event_id in BOTH window orders, making runs engine-independent. */
+  val qScd2: Q = Q.sql(
+    "q_scd2",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE prev IS NULL OR prev <> event_type
+      |), v AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |      AS version
+      |  FROM ch
+      |)
+      |SELECT user_id, version, event_type, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin,
+    doc = "SCD type-2 intervals from a change log (two per-key windows, one shuffle)") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(
+        col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+      .select(
+        col("user_id"), col("version"), col("event_type"), col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[Q] =
     Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin,
-      qJsonlRoundtrip)
+      qJsonlRoundtrip, qScd2)
 }

@@ -931,7 +931,98 @@ object SimilarityQueries {
     }
   }
 
+  // ---- MMR diverse selection -------------------------------------------
+
+  /** MMR selection size and candidate-pool bound. */
+  val MmrK = 10
+  val MmrCand = 64
+  val MmrLambda = 0.5
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick [[MmrK]] items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) — the diversity-aware
+    * curation step after retrieval (dedup keeps one copy of equals; MMR
+    * additionally spreads the SURVIVORS apart in embedding space).
+    *
+    * Scale split: relevance (cosine to the query vector) and the
+    * candidate×candidate cosine matrix are computed DISTRIBUTED with the
+    * codegen dot kernel over a candidate pool that is bounded by design
+    * ([[MmrCand]] — in a real pipeline the pool is the distributed
+    * top-N retrieval result, here the deterministic prefix vec_id ≤ 64).
+    * Only the bounded N + N·(N−1) score rows ever reach the driver; the
+    * greedy argmax loop is O(K·N) over them — MMR is inherently
+    * sequential (pick i+1 depends on picks 1..i), so the driver loop IS
+    * the algorithm, not a shortcut. The oracle replays the same greedy
+    * as a DuckDB recursive CTE over the identical score matrix; both
+    * engines' doubles are bit-identical (same-order dot sums, exact 0.5
+    * multiplier), so ties and ranks agree by construction. */
+  val qMmrSelect: Q = Q.sql(
+    "q_mmr_select",
+    s"""WITH RECURSIVE vecs AS ($vecsSqlNested),
+       |qv AS (SELECT v, nrm FROM vecs WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, v, nrm FROM vecs WHERE vec_id >= 1 AND vec_id <= $MmrCand),
+       |rel AS (
+       |  SELECT c.vec_id, (${dotSql("c", "q")}) / (c.nrm * q.nrm) AS rel
+       |  FROM cand c CROSS JOIN qv q
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    (${dotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |),
+       |sel(step, picked, score, ids) AS (
+       |  (SELECT 1, vec_id, rel, [vec_id] FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+       |  UNION ALL
+       |  (SELECT s.step + 1, nxt.id, nxt.sc, list_append(s.ids, nxt.id)
+       |  FROM sel s, LATERAL (
+       |    SELECT c.vec_id AS id,
+       |      $MmrLambda * c.rel - ${1 - MmrLambda} * (SELECT max(p.cos) FROM pairs p
+       |        WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)) AS sc
+       |    FROM rel c WHERE NOT list_contains(s.ids, c.vec_id)
+       |    ORDER BY sc DESC, c.vec_id LIMIT 1) nxt
+       |  WHERE s.step < $MmrK)
+       |)
+       |SELECT CAST(step AS BIGINT) AS step, CAST(picked AS BIGINT) AS vec_id,
+       |  round(score, 9) AS score
+       |FROM sel ORDER BY step""".stripMargin,
+    doc = s"MMR diverse top-$MmrK (distributed scoring, bounded-pool greedy; recursive-CTE oracle)") {
+    (s, d) =>
+      val all = vecs(s, d)
+      val qv = all.filter(col("vec_id") === 0).select(col("v"), col("nrm")).as("q")
+      val cand = all.filter(col("vec_id") >= 1 && col("vec_id") <= MmrCand)
+      val rel = cand.as("c")
+        .crossJoin(broadcast(qv))
+        .select(col("c.vec_id"), (dotCol("c", "q") / (col("c.nrm") * col("q.nrm"))).as("rel"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      val cos = cand.as("a")
+        .join(broadcast(cand.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          (dotCol("a", "b") / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // greedy argmax, same arithmetic + (score DESC, id ASC) tiebreak as
+      // the oracle's recursive CTE
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val chosen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (picked.length < MmrK) {
+        val best = rel.iterator
+          .filterNot { case (id, _) => chosen(id) }
+          .map { case (id, r) =>
+            val sc =
+              if (chosen.isEmpty) r
+              else MmrLambda * r - (1 - MmrLambda) * chosen.iterator.map(sid => cos(id -> sid)).max
+            (id, sc)
+          }
+          .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        picked += ((picked.length + 1L, best._1, best._2))
+        chosen += best._1
+      }
+      import s.implicits._
+      picked.toSeq.toDF("step", "vec_id", "score")
+        .select(col("step"), col("vec_id"), round(col("score"), 9).as("score"))
+        .orderBy("step")
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qPqSearch,
-      qSemDedup, qRandomProjection)
+      qSemDedup, qRandomProjection, qMmrSelect)
 }

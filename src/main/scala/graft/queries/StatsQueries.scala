@@ -468,7 +468,84 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** PSI term quantum: each (p−q)·ln(p/q) term is quantized to 1e-12
+    * before summation so the 10-term sum is an integer add — immune to
+    * partial-aggregation order on both engines (the q_bigram_lm
+    * fixed-point pattern). */
+  private val PsiQuantum = 1e12
+
+  /** Population-stability-index drift audit: for every source, PSI of its
+    * document-length histogram against the rest of the corpus over 10
+    * fixed-width bins — the monitoring-standard companion to [[qKsDrift]]
+    * (KS answers "is there drift anywhere in the CDF"; PSI scores HOW
+    * redistributed the mass is, the number dashboards alarm on at 0.1/0.25).
+    *
+    * Laplace-smoothed proportions (cnt+1)/(n+B) keep every bin strictly
+    * positive, so ln is always defined and the single-source degenerate
+    * case (rest = ∅ → uniform prior) agrees across engines by
+    * construction — no nullif guard needed.
+    *
+    * Scale design: the corpus collapses FIRST to (source, bin) counts —
+    * a |sources|×10 frame — so the grid, smoothing, and PSI fold run
+    * over aggregates; corpus size only affects the one counting shuffle.
+    * Parity: each term is quantized to [[PsiQuantum]] before the fold
+    * (integer sum ⇒ order-independent), divided back once, rounded. */
+  val qPsiDrift: Q = Q.sql(
+    "q_psi_drift",
+    s"""WITH c AS (
+       |  SELECT source, least(n_chars // 64, 9) AS bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2
+       |), t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+       |ba AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM c GROUP BY 1),
+       |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+       |prop AS (
+       |  SELECT g.source, g.n_s,
+       |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (g.n_s + 10) AS p,
+       |    CAST(coalesce(ba.cnt_all, 0) - coalesce(c.cnt, 0) + 1 AS DOUBLE)
+       |      / (tot.n - g.n_s + 10) AS q
+       |  FROM (SELECT t.source, t.n_s, b.bin FROM t CROSS JOIN bins b) g
+       |  LEFT JOIN c ON c.source = g.source AND c.bin = g.bin
+       |  LEFT JOIN ba ON ba.bin = g.bin
+       |  CROSS JOIN tot
+       |)
+       |SELECT source, n_s AS n_docs,
+       |  round(CAST(sum(CAST(round((p - q) * ln(p / q) * $PsiQuantum, 0) AS BIGINT)) AS DOUBLE)
+       |    / $PsiQuantum, 6) AS psi
+       |FROM prop GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    doc = "PSI drift audit: per-source length-histogram stability vs rest (10 fixed bins)") {
+    (s, d) =>
+      val c = graft.ScratchCache.tracked(
+        documents(s, d)
+          .groupBy(col("source"), least(floor(col("n_chars") / 64), lit(9L)).as("bin"))
+          .agg(count(lit(1)).as("cnt")))
+      val t = c.groupBy(col("source")).agg(sum(col("cnt")).cast("long").as("n_s"))
+      val tot = c.agg(sum(col("cnt")).cast("long").as("n"))
+      val ba = c.groupBy(col("bin")).agg(sum(col("cnt")).cast("long").as("cnt_all"))
+      val grid = t.crossJoin(broadcast(
+        binFrame(s)))
+      val p = (coalesce(col("cnt"), lit(0L)) + 1).cast("double") / (col("n_s") + 10)
+      val q = (coalesce(col("cnt_all"), lit(0L)) - coalesce(col("cnt"), lit(0L)) + 1)
+        .cast("double") / (col("n") - col("n_s") + 10)
+      val term = round((p - q) * log(p / q) * PsiQuantum, 0).cast("long")
+      grid
+        .join(c.withColumnRenamed("source", "cs").withColumnRenamed("bin", "cb"),
+          col("source") === col("cs") && col("bin") === col("cb"), "left")
+        .join(broadcast(ba), Seq("bin"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"), term.as("term"))
+        .groupBy("source", "n_s")
+        .agg(round(sum(col("term")).cast("double") / PsiQuantum, 6).as("psi"))
+        .select(col("source"), col("n_s").as("n_docs"), col("psi"))
+        .orderBy("source")
+  }
+
+  /** The 10-bin frame for [[qPsiDrift]]'s grid: `sequence` is evaluated
+    * once on a single-row frame, then exploded — no driver-side range. */
+  private def binFrame(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(1).select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift, qSourceOverlap, qMadOutliers)
+      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift)
 }
