@@ -56,6 +56,77 @@ object Profile {
         .select(col("id1"), col("id2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       t("jaccard")(out.count())
+    } else if (name == "tri_edge_diag") {
+      import graft.Tables._
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val pairsOf = (ss: org.apache.spark.sql.Column) => flatten(transform(ss, (x, i) =>
+        transform(slice(ss, i + lit(2), size(ss)), y => struct(x.as("a"), y.as("b")))))
+      (1 to 2).foreach { pass =>
+        println(s"pass $pass")
+        val sets = lineitem(spark, sfDir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        t("sets")(sets.write.format("noop").mode("overwrite").save())
+        val pairs = sets.select(explode(pairsOf(col("ss"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        t("pairs")(pairs.write.format("noop").mode("overwrite").save())
+        val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= graft.queries.GraphQueries.TriMinShared)
+        t("edges")(e.write.format("noop").mode("overwrite").save())
+        if (pass == 2) println(pairs.queryExecution.executedPlan.toString.take(3500))
+      }
+    } else if (name == "triangles_stages") {
+      import graft.Tables._
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      (1 to 2).foreach { pass =>
+        println(s"pass $pass")
+        spark.catalog.clearCache()
+        val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        t("li distinct")(li.write.format("noop").mode("overwrite").save())
+        val lic = li.persist()
+        t("li persist")(lic.count())
+        val e = lic.select(col("l_orderkey"), col("l_suppkey").as("a"))
+          .join(lic.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= graft.queries.GraphQueries.TriMinShared)
+          .select(col("a"), col("b"))
+        val ec = e.persist()
+        t("edges persist")(ec.count())
+        val deg = ec.select(col("a").as("node")).unionAll(ec.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        val degc = deg.persist()
+        t("deg persist")(degc.count())
+        val da = degc.select(col("node").as("a"), col("degree").as("dega"))
+        val db = degc.select(col("node").as("b"), col("degree").as("degb"))
+        val aLower = (col("dega") < col("degb")) ||
+          (col("dega") === col("degb") && col("a") < col("b"))
+        val oriented = ec.join(broadcast(da), "a").join(broadcast(db), "b")
+          .select(
+            when(aLower, col("a")).otherwise(col("b")).as("src"),
+            when(aLower, col("b")).otherwise(col("a")).as("dst"),
+            when(aLower, col("degb")).otherwise(col("dega")).as("degdst"))
+        val oc = oriented.persist()
+        t("oriented persist")(oc.count())
+        val o1 = oc.select(col("src"), col("dst").as("v"), col("degdst").as("dv"))
+        val o2 = oc.select(col("src"), col("dst").as("w"), col("degdst").as("dw"))
+        val vLower = (col("dv") < col("dw")) ||
+          (col("dv") === col("dw") && col("v") < col("w"))
+        val wedges = o1.join(o2, "src").filter(vLower)
+        val closure = oc.select(col("src").as("v"), col("dst").as("w"))
+        val tris = wedges.join(closure, Seq("v", "w"))
+          .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+        t("wedge+closure")(tris.write.format("noop").mode("overwrite").save())
+        Seq(lic, ec, degc, oc).foreach(_.unpersist(true))
+      }
     } else if (name == "ingest_throughput") {
       // packets/s and points/s through the full decode chain (encode UDF
       // excluded from the timed region by materializing raw first)
