@@ -470,8 +470,76 @@ object CoreQueries {
     }
   }
 
+  /** TPC-H Q21 shape — fault attribution on multi-party orders: suppliers
+    * who, on finalized multi-supplier orders, were the ONLY supplier with
+    * a returned line. The hardest decorrelation combo in the TPC-H suite:
+    * a correlated EXISTS (→ left-semi join) AND a correlated NOT EXISTS
+    * (→ left-anti join) against the same fact table, inside one query.
+    * (This testdata has no receipt/commit dates, so "returned" stands in
+    * for Q21's "late"; the plan shape is identical.) Tie-broken ORDER BY
+    * so the LIMIT cut is engine-independent. */
+  val qFaultSupplier: Q = {
+    val sql =
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numfault
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numfault DESC, s.s_name
+        |LIMIT 20""".stripMargin
+    Q.sql(
+      "q_fault_supplier",
+      sql,
+      doc = "TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelation (semi + anti join)") {
+      (s, d) =>
+        supplier(s, d).createOrReplaceTempView("supplier")
+        orders(s, d).createOrReplaceTempView("orders")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+    }
+  }
+
+  /** TPC-H Q20 shape — dominant suppliers: suppliers holding > 20% of the
+    * corpus-wide shipped quantity of ANY part, via a nested IN whose
+    * grouped subquery carries a correlated scalar aggregate in HAVING
+    * (Q20's partsupp availability test, restated over lineitem since this
+    * testdata ships no partsupp). Catalyst decorrelates the inner
+    * aggregate to a per-part total joined back, and the IN to a
+    * left-semi join. Quantity sums accumulate as exact DECIMAL on both
+    * sides and the threshold is the integer-exact `5·x > total` form, so
+    * the comparison needs no float tolerance. */
+  val qDominantSupplier: Q = {
+    val sql =
+      """SELECT s.s_name, round(s.s_acctbal, 2) AS acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING 5 * sum(CAST(l.l_quantity AS DECIMAL(27,2))) > (
+        |    SELECT sum(CAST(l2.l_quantity AS DECIMAL(27,2)))
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s.s_name""".stripMargin
+    Q.sql(
+      "q_dominant_supplier",
+      sql,
+      doc = "TPC-H Q20 shape: nested IN + correlated aggregate in HAVING (decorrelated)") {
+      (s, d) =>
+        supplier(s, d).createOrReplaceTempView("supplier")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
     qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier,
-    qExistsPriority, qSmallOrderRevenue)
+    qExistsPriority, qSmallOrderRevenue, qFaultSupplier, qDominantSupplier)
 }

@@ -545,7 +545,81 @@ object StatsQueries {
   private def binFrame(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
     s.range(1).select(explode(sequence(lit(0L), lit(9L))).as("bin"))
 
+  /** Count-min sketch geometry: depth (independent hash rows) × width. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  private val CmsTopK = 20
+
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): fold
+    * the corpus token stream into a [[CmsDepth]]×[[CmsWidth]] counter
+    * matrix and read back estimates for the exact top-[[CmsTopK]] terms —
+    * `est = min_j cell[j][h_j(t)]`, with the one-sided guarantee
+    * est ≥ true count. Like [[qKmvDistinct]] (and unlike HLL), the
+    * sketch is fully DETERMINISTIC — md5-derived bucket hashes — so the
+    * DuckDB oracle replays every cell and every estimate bit-for-bit;
+    * this is the frequency sketch next to KMV's cardinality sketch.
+    *
+    * Scale design: the sketch is what makes heavy hitters tractable on a
+    * stream — a FIXED 1 Ki-cell matrix with map-side partial sums
+    * (mergeable: CMS(A∪B) = CMS(A)+CMS(B), cell-wise), built here from
+    * the vocabulary-bounded count frame rather than raw occurrences
+    * (same cells, one shuffle less). The estimate probe joins the
+    * top-k×depth rows against the BROADCAST sketch. */
+  val qCmsTopk: Q = Q.sql(
+    "q_cms_topk",
+    s"""WITH tok AS (
+       |  SELECT unnest(${graft.text.TextFunctions.tokensSql}) AS t FROM documents
+       |), cnt AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+       |), js AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j),
+       |sk AS (
+       |  SELECT j.j,
+       |    CAST(('0x' || substr(md5(j.j || ':' || cnt.t), 1, 8)) AS BIGINT) % $CmsWidth AS bucket,
+       |    CAST(sum(cnt.c) AS BIGINT) AS cell
+       |  FROM cnt CROSS JOIN js j
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+       |  FROM cnt QUALIFY rk <= $CmsTopK
+       |), est AS (
+       |  SELECT top.t, top.c, top.rk, CAST(min(sk.cell) AS BIGINT) AS est
+       |  FROM top CROSS JOIN js j
+       |  JOIN sk ON sk.j = j.j
+       |    AND sk.bucket =
+       |      CAST(('0x' || substr(md5(j.j || ':' || top.t), 1, 8)) AS BIGINT) % $CmsWidth
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, t AS term, c AS n, est, est - c AS overcount
+       |FROM est ORDER BY rk""".stripMargin,
+    doc = s"count-min sketch heavy hitters (${CmsDepth}x$CmsWidth, deterministic, oracle-replayed)") {
+    (s, d) =>
+      import graft.text.TextFunctions.tokens
+      def bucket(j: Int, t: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$j:"), t)), 1, 8), 16, 10).cast("long") % CmsWidth
+      val cnt = graft.ScratchCache.tracked(
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c")))
+      val sk = (0 until CmsDepth)
+        .map(j => cnt.select(lit(j).as("j"), bucket(j, col("t")).as("bucket"), col("c")))
+        .reduce(_ unionAll _)
+        .groupBy("j", "bucket").agg(sum(col("c")).cast("long").as("cell"))
+      val top = cnt
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
+        .filter(col("rk") <= CmsTopK)
+      (0 until CmsDepth)
+        .map(j => top.select(col("t"), col("c"), col("rk"),
+          lit(j).as("j"), bucket(j, col("t")).as("bucket")))
+        .reduce(_ unionAll _)
+        .join(broadcast(sk), Seq("j", "bucket"))
+        .groupBy("t", "c", "rk").agg(min(col("cell")).cast("long").as("est"))
+        .select(col("rk"), col("t").as("term"), col("c").as("n"), col("est"),
+          (col("est") - col("c")).as("overcount"))
+        .orderBy("rk")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift)
+      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk)
 }

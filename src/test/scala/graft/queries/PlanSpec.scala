@@ -330,4 +330,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "minhash stage fell out of whole-stage codegen")
     assert(docs.filter(col("h0").isNotNull).count() > 0)
   }
+
+  test("q_fault_supplier: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan(CoreQueries.qFaultSupplier)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "correlated EXISTS must plan a left-semi join")
+    assert(p.contains("LeftAnti"), "correlated NOT EXISTS must plan a left-anti join")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER BY + LIMIT 20 must plan top-k")
+  }
+
+  test("q_dominant_supplier: IN + correlated HAVING decorrelate to aggregate + semi join") {
+    val p = plan(CoreQueries.qDominantSupplier)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "the IN must plan a left-semi join")
+    assert(p.contains("HashAggregate"),
+      "the per-part total must run as an aggregate, not per-row re-execution")
+  }
+
+  test("q_cms_topk: sketch broadcasts; exact top-k caps with a group limit") {
+    val p = plan(StatsQueries.qCmsTopk)
+    assert(p.contains("BroadcastHashJoin"), "the 1 Ki-cell sketch must broadcast")
+    // LimitPushDownThroughWindow rewrites rk<=k over the global
+    // row_number into TakeOrderedAndProject(limit=k) — per-partition
+    // top-k then a single 20-row merge, even stronger than the
+    // WindowGroupLimit fallback
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      "rk<=k must cap the vocabulary sort before the global merge")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
