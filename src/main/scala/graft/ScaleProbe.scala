@@ -23,8 +23,11 @@ import java.util.concurrent.atomic.AtomicLong
   *     and intra-replica cosines are preserved BIT-exactly, while
   *     cross-replica cosines decorrelate to ~0, so ANN structure scales
   *     ×N without manufacturing cross-replica clusters.
-  *   - `lineitem`: rows replicated as-is (the percentile probe cares
-  *     about value distribution and volume, not key identity).
+  *   - `lineitem`: order and supplier keys offset per replica — the
+  *     co-supply graph becomes N disjoint copies (nodes, edges, and
+  *     triangles all scale ×N; as-is replication would collapse back to
+  *     the 1× graph under the distinct), while the value distribution
+  *     the percentile probe reads is untouched.
   *
   * Usage: `runMain graft.ScaleProbe [factor]` (default 10). Writes the
   * corpus under /tmp/graft_scale_<factor>x (reused if present) and
@@ -64,7 +67,15 @@ object ScaleProbe {
       "embed_neardup_auto" -> (() => graft.queries.SimilarityQueries.nearDupLshAuto(
         graft.queries.SimilarityQueries.vecsOf(spark, dir),
         graft.queries.SimilarityQueries.NdThreshold)),
-      "q_percentiles" -> (() => reg("q_percentiles").run(spark, dir)))
+      "q_percentiles" -> (() => reg("q_percentiles").run(spark, dir)),
+      // fact-scale graph distillation + wedge enumeration over N disjoint
+      // replica graphs (keys offset per replica in build())
+      "q_triangles" -> (() => reg("q_triangles").run(spark, dir)),
+      // fixed-geometry sketch under 10x vocabulary: cells saturate, wall
+      // time must track the one counting shuffle, peak memory stays flat
+      "q_cms_topk" -> (() => reg("q_cms_topk").run(spark, dir)),
+      // iterative merge training over the 10x word-frequency frame
+      "q_bpe_train" -> (() => reg("q_bpe_train").run(spark, dir)))
     pipelines.foreach { case (name, run) =>
       spark.catalog.clearCache()
       ScratchCache.releaseAll()
@@ -102,7 +113,10 @@ object ScaleProbe {
         col("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    rep(spark.read.parquet(s"$base/lineitem.parquet")).drop("i")
+    rep(spark.read.parquet(s"$base/lineitem.parquet"))
+      .withColumn("l_orderkey", col("l_orderkey") + off)
+      .withColumn("l_suppkey", col("l_suppkey") + lit(100000L) * col("i"))
+      .drop("i")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     println(s"SCALE built $dir at ${factor}x")
   }

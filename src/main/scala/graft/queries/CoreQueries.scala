@@ -538,8 +538,82 @@ object CoreQueries {
     }
   }
 
+  /** TPC-H Q15 shape — the top supplier(s) by shipped revenue over a
+    * quarter: an aggregate "view" (CTE) consumed twice, once as the fact
+    * frame and once under an UNcorrelated scalar `max` subquery that
+    * Catalyst plans as a single-row aggregate broadcast into the filter.
+    * The equality `total_revenue = (SELECT max ...)` is float-hostile if
+    * revenue sums reorder, so revenue accumulates as exact
+    * DECIMAL(27,4) (price·(1−discount) has exactly 4 decimals) and the
+    * max/equality compare identical bits; one cast at the edge. */
+  val qTopSupplier: Q = {
+    val sql =
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(27,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(27,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s
+        |JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin
+    Q.sql(
+      "q_top_supplier",
+      sql,
+      doc = "TPC-H Q15 shape: aggregate view + uncorrelated scalar max subquery") {
+      (s, d) =>
+        supplier(s, d).createOrReplaceTempView("supplier")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+    }
+  }
+
+  /** TPC-H Q22 shape — "global sales opportunity": customers with an
+    * above-average positive balance and no order in 1996 H1, rolled up
+    * by nation (this testdata carries no phone column and every customer
+    * orders continuously 1995–2001, so nation replaces Q22's phone-prefix
+    * bucketing and a half-year absence window replaces "never ordered" —
+    * the plan shape — uncorrelated scalar avg subquery + correlated
+    * NOT EXISTS → one single-row broadcast + one left-anti join — is
+    * identical, and the gate stays non-vacuous at every SF). The avg
+    * threshold accumulates as exact DECIMAL on both engines (the Q17
+    * pattern), so the > comparison needs no tolerance. */
+  val qGlobalOpportunity: Q = {
+    val sql =
+      """SELECT c.c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+        |        / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin
+    Q.sql(
+      "q_global_opportunity",
+      sql,
+      doc = "TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti join") {
+      (s, d) =>
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
     qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier,
-    qExistsPriority, qSmallOrderRevenue, qFaultSupplier, qDominantSupplier)
+    qExistsPriority, qSmallOrderRevenue, qFaultSupplier, qDominantSupplier,
+    qTopSupplier, qGlobalOpportunity)
 }

@@ -850,8 +850,103 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed-point quantum for sparse tf-idf weights (1e-6 resolution):
+    * dot products and norms become exact integer/decimal sums, immune to
+    * partial-aggregation order on both engines. */
+  private val SparseQuantum = 1e6
+
+  /** Weighted sparse cosine all-pairs (Bayardo, Ma & Srikant 2007,
+    * "Scaling Up All Pairs Similarity Search"): document pairs with
+    * tf-idf 3-gram cosine ≥ 0.5 — the WEIGHTED lexical similarity join
+    * next to the set-based [[qJaccardNgram]] (Jaccard treats a shingle
+    * shared once like one shared ten times and weighs boilerplate like
+    * signal; idf-weighted cosine is what search-style near-dup scoring
+    * actually uses).
+    *
+    * Scale design — inverted index with a DOCUMENT-FREQUENCY CAP: only
+    * grams with df ≤ (n+400)/20 enter the index, so the per-gram
+    * pair fanout is df²-bounded by a corpus-fraction constant — the
+    * frequency-pruning half of the all-pairs algorithm (its remaining
+    * prefix ordering is [[jaccardPrefixJoin]]'s territory). The cap is
+    * part of the operator's DEFINITION (weights, norms, and cosines are
+    * computed over the capped representation on both engines), which is
+    * standard for sparse similarity search: a gram in ≥5% of the corpus
+    * is boilerplate, not signal. Weights are quantized to
+    * [[SparseQuantum]] and accumulated as DECIMAL — bit-identical
+    * across engines; one sqrt + one division at the edge. */
+  val qSparseCosine: Q = Q.sql(
+    "q_sparse_cosine",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS t FROM documents
+       |), tf AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w AS (
+       |  SELECT tf.doc_id, tf.t,
+       |    CAST(round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) * $SparseQuantum, 0) AS BIGINT)
+       |      AS wq
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+       |  WHERE 20 * df.df <= n.n + 400
+       |), nrm AS (
+       |  SELECT doc_id, sqrt(CAST(sum(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0)))
+       |    AS DOUBLE)) AS nrm
+       |  FROM w GROUP BY 1
+       |), dot AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(sum(CAST(a.wq AS DECIMAL(19,0)) * CAST(b.wq AS DECIMAL(19,0))) AS DOUBLE) AS dot
+       |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.id1, d.id2, round(d.dot / (n1.nrm * n2.nrm), 6) AS cos
+       |FROM dot d
+       |JOIN nrm n1 ON n1.doc_id = d.id1
+       |JOIN nrm n2 ON n2.doc_id = d.id2
+       |WHERE d.dot / (n1.nrm * n2.nrm) >= 0.5
+       |ORDER BY id1, id2""".stripMargin,
+    doc = "weighted sparse cosine all-pairs: df-capped tf-idf inverted index (Bayardo 2007)") {
+    (s, d) => sparseCosine(documents(s, d)).orderBy("id1", "id2")
+  }
+
+  /** tf-idf sparse cosine pairs over `docs(doc_id, text)` — see
+    * [[qSparseCosine]] for the scale/parity design. Exposed for
+    * planted-corpus property tests. */
+  def sparseCosine(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val tf = graft.ScratchCache.tracked(
+      docs
+        .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val wq = round(
+      col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)) * SparseQuantum, 0).cast("long")
+    val w = graft.ScratchCache.tracked(
+      tf.join(dfT, "t")
+        .crossJoin(broadcast(n))
+        .filter(lit(20) * col("df") <= col("n") + 400)
+        .select(col("doc_id"), col("t"), wq.as("wq")))
+    val wd = col("wq").cast("decimal(19,0)")
+    val nrm = w.groupBy("doc_id")
+      .agg(sqrt(sum(wd * wd).cast("double")).as("nrm"))
+    val dot = w.as("a")
+      .join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(sum(col("a.wq").cast("decimal(19,0)") * col("b.wq").cast("decimal(19,0)"))
+        .cast("double").as("dot"))
+    val cos = col("dot") / (col("n1") * col("n2"))
+    dot
+      .join(nrm.select(col("doc_id").as("d1"), col("nrm").as("n1")), col("id1") === col("d1"))
+      .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("n2")), col("id2") === col("d2"))
+      .filter(cos >= tau)
+      .select(col("id1"), col("id2"), round(cos, 6).as("cos"))
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
-      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup)
+      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine)
 }

@@ -347,6 +347,34 @@ class PlanSpec extends AnyFunSuite {
       "the per-part total must run as an aggregate, not per-row re-execution")
   }
 
+  test("q_top_supplier: scalar max subquery plans once, not per row") {
+    val p = plan(CoreQueries.qTopSupplier)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Subquery") || p.contains("ReusedSubquery"),
+      "the max(total_revenue) must plan as a one-row subquery, re-executed never")
+    assert(p.contains("HashAggregate"), "revenue view must aggregate with partials")
+  }
+
+  test("q_global_opportunity: NOT EXISTS decorrelates to an anti join") {
+    val p = plan(CoreQueries.qGlobalOpportunity)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "correlated NOT EXISTS must plan a left-anti join")
+  }
+
+  test("q_sparse_cosine: pair generation is an equi-join on the gram key") {
+    val p = plan(DedupQueries.qSparseCosine)
+    graft.ScratchCache.releaseAll()
+    assert(!p.contains("CartesianProduct"))
+    // the pair join must be HASH-keyed on the gram — a nested-loop pair
+    // join would mean the a.t = b.t key fell out of the condition. (The
+    // plan's one BroadcastNestedLoopJoin is the intentional single-ROW
+    // corpus-count crossJoin feeding the df cap, not the pair join.)
+    val pairJoin = p.linesIterator.exists(l =>
+      l.contains("HashJoin [t#") && l.contains("doc_id") && l.contains("<"))
+    assert(pairJoin, "inverted-index pair join must be a hash equi-join on t " +
+      "with the doc_id < doc_id tie-break as residual")
+  }
+
   test("q_cms_topk: sketch broadcasts; exact top-k caps with a group limit") {
     val p = plan(StatsQueries.qCmsTopk)
     assert(p.contains("BroadcastHashJoin"), "the 1 Ki-cell sketch must broadcast")
