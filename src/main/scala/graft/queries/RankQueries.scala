@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -361,6 +361,154 @@ object RankQueries {
         .orderBy("doc_id")
   }
 
+  /** Linear-probe feature dimension (hashed buckets; +1 bias). */
+  val ProbeDim = 8
+  /** Gradient-descent step size (full-batch, squared loss). */
+  val ProbeEta = 0.0003
+  /** Weight fixed-point scale: w = wq / 1e6. */
+  val ProbeScale = 1000000L
+
+  /** Distributed linear-probe TRAINING — the companion to
+    * [[qQualityClassifier]]'s inference: learn the weight vector itself
+    * with 3 full-batch gradient-descent iterations of a least-squares
+    * probe (x = [[ProbeDim]] hashed token-count buckets + bias,
+    * y = the doc's language-is-'en' label). Linear probes over cheap
+    * features are the standard first quality classifier a data team
+    * trains (fastText-style); squared loss keeps every quantity
+    * polynomial, which is what makes distributed training bit-exact.
+    *
+    * Scale design: one explode + ONE conditional aggregation builds the
+    * n×9 feature frame; each GD iteration is ONE crossJoin(broadcast)
+    * of the 1-row weight frame plus ONE aggregation producing 9 gradient
+    * sums — weights never touch the driver, and nothing scales with
+    * vocabulary. Parity: margins mq = Σ wq·x, residuals r = mq − S·y,
+    * gradients Σ x·r and losses Σ r² are ALL exact integers (weights
+    * live in 1e-6 fixed point), so partial-aggregation order cannot
+    * matter; the single rounding per weight per iteration —
+    * round(η·G/n) — is the same correctly-rounded double expression on
+    * both engines. Gradient/loss sums accumulate as DECIMAL(38,0) so
+    * the arithmetic is overflow-free at any corpus size. */
+  val qLinearProbe: Q = {
+    val D = ProbeDim
+    val xsSql = (0 until D)
+      .map(i => s"CAST(sum(CASE WHEN d = $i THEN 1 ELSE 0 END) AS BIGINT) AS x$i")
+      .mkString(",\n      ")
+    def mqSql = (0 until D).map(i => s"x$i * w$i").mkString(" + ") + s" + x$D * w$D"
+    val gradSql = (0 to D)
+      .map(i => s"CAST(sum(CAST(x$i * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS g$i")
+      .mkString(",\n    ")
+    def stepSql(t: Int) =
+      s"""m$t AS (
+         |  SELECT doc_id, y, ${(0 to D).map(i => s"x$i").mkString(", ")},
+         |    ($mqSql) - $ProbeScale * y AS r
+         |  FROM xy CROSS JOIN w${t - 1}
+         |), g$t AS (
+         |  SELECT $gradSql,
+         |    CAST(sum(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS lq,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM m$t
+         |), w$t AS (
+         |  SELECT ${(0 to D).map(i =>
+             s"w$i - CAST(round(CAST(g$i AS DOUBLE) * $ProbeEta / n, 0) AS BIGINT) AS w$i")
+             .mkString(",\n    ")}
+         |  FROM g$t CROSS JOIN w${t - 1}
+         |)""".stripMargin
+    val sql =
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % $D AS d
+         |  FROM tok
+         |), xy AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |      $xsSql,
+         |    CAST(1 AS BIGINT) AS x$D
+         |  FROM b GROUP BY doc_id, lang
+         |), w0 AS (SELECT ${(0 to D).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")}),
+         |${stepSql(1)},
+         |${stepSql(2)},
+         |${stepSql(3)},
+         |fin AS (
+         |  SELECT xy.y, ($mqSql) AS mq FROM xy CROSS JOIN w3
+         |), score AS (
+         |  SELECT
+         |    CAST(sum(CAST((mq - $ProbeScale * y) * (mq - $ProbeScale * y) AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS lq,
+         |    CAST(sum(CASE WHEN (CASE WHEN 2 * mq > $ProbeScale THEN 1 ELSE 0 END) = y
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM fin
+         |)
+         |SELECT s.n, s.n_correct,
+         |  round(CAST(g1.lq AS DOUBLE) / (2e12 * s.n), 9) AS mse0,
+         |  round(CAST(g2.lq AS DOUBLE) / (2e12 * s.n), 9) AS mse1,
+         |  round(CAST(g3.lq AS DOUBLE) / (2e12 * s.n), 9) AS mse2,
+         |  round(CAST(s.lq AS DOUBLE) / (2e12 * s.n), 9) AS mse3,
+         |  ${(0 to D).map(i => s"w3.w$i AS w$i").mkString(", ")}
+         |FROM score s CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN g3 CROSS JOIN w3""".stripMargin
+    Q.sql(
+      "q_linear_probe",
+      sql,
+      doc = "distributed linear-probe training: 3 exact fixed-point GD iterations") { (s, d) =>
+      val bucket = conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % D
+      val xs = (0 until D).map(i =>
+        sum(when(col("d") === i, 1L).otherwise(0L)).cast("long").as(s"x$i"))
+      val xy = graft.ScratchCache.tracked(
+        documents(s, d)
+          .transform(graft.Tables.spread(s, _))
+          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+          .select(col("doc_id"), col("lang"), bucket.as("d"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(xs.head, xs.tail: _*)
+          .select(
+            (when(col("lang") === "en", 1L).otherwise(0L)).as("y") +:
+              (0 until D).map(i => col(s"x$i")) :+ lit(1L).as(s"x$D"): _*))
+      val mq = (0 to D).map(i => col(s"x$i") * col(s"w$i")).reduce(_ + _)
+      // one GD step: returns (newWeights 1-row frame, quantized loss frame)
+      def step(w: DataFrame): (DataFrame, DataFrame) = {
+        val m = xy.crossJoin(broadcast(w))
+          .select(col("y") +: (0 to D).map(i => col(s"x$i")) :+
+            (mq - lit(ProbeScale) * col("y")).as("r"): _*)
+        val g = m.agg(
+          sum((col("x0") * col("r")).cast("decimal(38,0)")).cast("decimal(38,0)").as("g0"),
+          (1 to D).map(i =>
+            sum((col(s"x$i") * col("r")).cast("decimal(38,0)")).cast("decimal(38,0)").as(s"g$i")) ++
+            Seq(
+              sum((col("r") * col("r")).cast("decimal(38,0)")).cast("decimal(38,0)").as("lq"),
+              count(lit(1)).as("n")): _*)
+        val w2 = g.crossJoin(broadcast(w)).select((0 to D).map(i =>
+          (col(s"w$i") -
+            round(col(s"g$i").cast("double") * ProbeEta / col("n"), 0).cast("long")).as(s"w$i")): _*)
+        (w2, g.select(col("lq"), col("n")))
+      }
+      val w0 = s.range(1).select((0 to D).map(i => lit(0L).as(s"w$i")): _*)
+      val (w1, l1) = step(w0)
+      val (w2, l2) = step(w1)
+      val (w3, l3) = step(w2)
+      val fin = xy.crossJoin(broadcast(w3)).select(col("y"), mq.as("mq"))
+      val score = fin.agg(
+        sum(((col("mq") - lit(ProbeScale) * col("y")) *
+          (col("mq") - lit(ProbeScale) * col("y"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("lq"),
+        sum(when((lit(2) * col("mq") > ProbeScale).cast("long") === col("y"), 1L)
+          .otherwise(0L)).cast("long").as("n_correct"),
+        count(lit(1)).as("n"))
+      def mse(lq: Column, n: Column) = round(lq.cast("double") / (lit(2e12) * n), 9)
+      score
+        .crossJoin(broadcast(l1.select(col("lq").as("lq1"))))
+        .crossJoin(broadcast(l2.select(col("lq").as("lq2"))))
+        .crossJoin(broadcast(l3.select(col("lq").as("lq3"))))
+        .crossJoin(broadcast(w3))
+        .select(
+          Seq(col("n"), col("n_correct"),
+            mse(col("lq1"), col("n")).as("mse0"),
+            mse(col("lq2"), col("n")).as("mse1"),
+            mse(col("lq3"), col("n")).as("mse2"),
+            mse(col("lq"), col("n")).as("mse3")) ++
+            (0 to D).map(i => col(s"w$i")): _*)
+    }
+  }
+
   /** Within-document repetition — the Gopher-style repetition filter:
     * duplicate-bigram fraction and the hottest bigram's count per doc.
     * Integer counts and one exact division; explode + two hash shuffles. */
@@ -548,6 +696,6 @@ object RankQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qRepNgram, qHashSplit,
+    Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
       qPostings, qCooccurrence)
 }

@@ -33,6 +33,20 @@ class NewOpsSpec extends AnyFunSuite {
     assert(zero == 0.0)
   }
 
+  // ---- q_linear_probe --------------------------------------------------
+
+  test("linear probe: full-batch GD strictly decreases the training loss each iteration") {
+    val r = RankQueries.qLinearProbe.run(spark, sf).collect()(0)
+    val mse = (0 to 3).map(t => r.getDouble(r.fieldIndex(s"mse$t")))
+    assert(mse.sliding(2).forall { case Seq(a, b) => b < a },
+      s"loss must fall monotonically, got $mse")
+    // the probe must actually learn: some weight moves off zero
+    val ws = (0 to RankQueries.ProbeDim).map(i => r.getLong(r.fieldIndex(s"w$i")))
+    assert(ws.exists(_ != 0L), "all weights stayed zero — gradient never applied")
+    // and the learned weights must beat the all-zero model's loss (mse0)
+    assert(mse.last < mse.head * 0.9, s"3 iterations should cut mse0 by >10%: $mse")
+  }
+
   // ---- q_scd2 ----------------------------------------------------------
 
   test("SCD2 intervals: per user, half-open, non-overlapping, exactly one current") {
