@@ -873,11 +873,18 @@ object DedupQueries {
     * standard for sparse similarity search: a gram in ≥5% of the corpus
     * is boilerplate, not signal. Weights are quantized to
     * [[SparseQuantum]] and accumulated as DECIMAL — bit-identical
-    * across engines; one sqrt + one division at the edge. */
+    * across engines; one sqrt + one division at the edge.
+    *
+    * Grams are keyed by a 60-bit md5-prefix INTEGER on both engines —
+    * the minhash-family convention: int64 join/shuffle keys instead of
+    * ~30-byte 3-word strings through the index's three shuffles, and
+    * any astronomically-unlikely collision merges the same two grams on
+    * both sides (part of the operator definition, not a divergence). */
   val qSparseCosine: Q = Q.sql(
     "q_sparse_cosine",
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest($shinglesSql) AS t FROM documents
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t0), 1, 15)) AS BIGINT) AS t
+       |  FROM (SELECT doc_id, unnest($shinglesSql) AS t0 FROM documents) _t
        |), tf AS (
        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
        |), df AS (
@@ -915,9 +922,13 @@ object DedupQueries {
   def sparseCosine(
       docs: org.apache.spark.sql.DataFrame,
       tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val gramKey = conv(substring(md5(col("t0")), 1, 15), 16, 10).cast("long")
     val tf = graft.ScratchCache.tracked(
       docs
-        .select(col("doc_id"), explode(shingles(col("text"))).as("t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("t0"))
+        .select(col("doc_id"), gramKey.as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))

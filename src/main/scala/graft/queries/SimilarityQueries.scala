@@ -662,6 +662,112 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
   }
 
+  /** IVF-PQ search (Jégou et al. 2011 §V, the FAISS `IVFx,PQy` index —
+    * THE standard billion-scale ANN layout): the coarse IVF quantizer
+    * prunes the corpus to nprobe cells per query, and PQ asymmetric
+    * distance scores only those candidates from their 8-byte codes. The
+    * two stages compose the engine's existing oracle-gated parts:
+    * [[qAnnIvf]]'s cosine cell assignment and [[qPqSearch]]'s
+    * broadcast-LUT ADC scoring.
+    *
+    * Scale design — this is the 100 TB search plan: the scan cost is
+    * `nprobe/cells` of the corpus AND reads codes instead of floats
+    * (here 16× cell pruning × 32× byte compression); the LUT and the
+    * probe list broadcast; the candidate join is an equi-join on cell;
+    * the per-query top-k caps through the rank window's running limit.
+    * Parity: both stages reuse the exact expression forms their parent
+    * gates pin, so `ad2` ships raw. (This variant PQ-encodes raw
+    * vectors, not cell residuals — the residual refinement changes
+    * codebook training, not the dataflow shape.) */
+  val qIvfPq: Q = Q.sql(
+    "q_ivfpq", {
+      val adcSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN ld2 END)")
+        .mkString(" + ")
+      s"""WITH $pqCtesSql,
+         |nv AS (SELECT vec_id, v, $normSelfSql AS nrm FROM vecs),
+         |icents AS (SELECT vec_id AS icid, v AS cv, nrm AS cnrm FROM nv WHERE vec_id < $IvfCells),
+         |iscored AS (
+         |  SELECT q.vec_id, c.icid,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${dotSql("q", "c").replace("c.v[", "c.cv[")}) / (q.nrm * c.cnrm) DESC,
+         |        c.icid) AS BIGINT) AS crank
+         |  FROM nv q JOIN icents c ON true
+         |),
+         |iassigned AS (SELECT vec_id, icid AS cell FROM iscored WHERE crank = 1),
+         |iprobes AS (
+         |  SELECT vec_id AS q_id, icid AS cell FROM iscored
+         |  WHERE crank <= $NProbe AND vec_id < $PqSearchQueries
+         |),
+         |qb AS (
+         |  SELECT vec_id AS q_id, b, x FROM blocked WHERE vec_id < $PqSearchQueries
+         |), lut AS (
+         |  SELECT q_id, cents.b AS b, CAST(cid AS BIGINT) AS cid,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, $PqSubDim),
+         |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y) AS ld2
+         |  FROM qb JOIN cents ON qb.b = cents.b
+         |), cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM iprobes p JOIN iassigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |), adc0 AS (
+         |  SELECT cand.q_id, best.vec_id, best.b, lut.ld2
+         |  FROM cand
+         |  JOIN best ON best.vec_id = cand.vec_id
+         |  JOIN lut ON lut.q_id = cand.q_id AND lut.b = best.b AND lut.cid = best.cid
+         |), adc AS (
+         |  SELECT q_id, vec_id, $adcSum AS ad2 FROM adc0 GROUP BY q_id, vec_id
+         |), r AS (
+         |  SELECT q_id, vec_id, ad2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) AS rn
+         |  FROM adc
+         |)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ad2
+         |FROM r WHERE rn <= $PqSearchK
+         |ORDER BY q_id, rn""".stripMargin
+    },
+    doc = s"IVF-PQ: $IvfCells cells nprobe=$NProbe coarse prune, PQ-ADC scoring of codes only") {
+    (s, d) =>
+      // coarse IVF stage — same expressions q_ann_ivf pins
+      val all = vecs(s, d)
+      val icents = all.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("icid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val centCos =
+        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
+      val iscored = all.crossJoin(broadcast(icents))
+        .select(col("vec_id"), col("icid"), centCos.as("ccos"))
+        .withColumn("crank", row_number().over(wAssign))
+      val iassigned = iscored.filter(col("crank") === 1)
+        .select(col("vec_id"), col("icid").as("cell"))
+      val iprobes = iscored
+        .filter(col("crank") <= NProbe && col("vec_id") < PqSearchQueries)
+        .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
+      // PQ stage — same helpers q_pq_search pins
+      val vecsAll = pqVecs(s, d)
+      val blocked = pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
+      val cents = pqCentsOf(vecsAll)
+      val codes = pqBest(blocked, cents).select(col("vec_id"), col("b"), col("cid"))
+      val lut = blocked
+        .filter(col("vec_id") < PqSearchQueries)
+        .select(col("vec_id").as("q_id"), col("b"), col("x"))
+        .join(cents, "b")
+        .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
+      val cand = broadcast(iprobes)
+        .join(iassigned, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+      codes
+        .join(cand, "vec_id")
+        .join(broadcast(lut), Seq("q_id", "b", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(adcSum.as("ad2"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PqSearchK)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
+        .orderBy("q_id", "rn")
+  }
+
   val SemClusters = 8
   val SemThreshold = NdThreshold // 0.35 — same "near-dup" bar as the LSH path
 
@@ -1023,6 +1129,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qEmbedQuantize, qEmbedPq, qPqSearch,
+    Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect)
 }

@@ -52,4 +52,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained32 > trained - 0.05, s"over-segmented recall $trained32 regressed vs $trained")
     assert(topkSet(SimilarityQueries.qAnnIvf).nonEmpty)
   }
+
+  test("IVF-PQ recall vs exact ground truth on the PQ query set") {
+    val exact = topkSet(SimilarityQueries.qEmbedTopk)
+    // q_ivfpq columns: (q_id, rn, vec_id, ad2) — neighbor id is index 2
+    val approx = SimilarityQueries.qIvfPq.run(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(approx.size == SimilarityQueries.PqSearchQueries,
+      s"every PQ query must return candidates, got ${approx.keySet}")
+    // exact top-5 recovered within the IVF-PQ top-10: both cell pruning
+    // (misses truth outside probed cells) and PQ distortion (misranks
+    // inside them) can lose neighbors — this guards a BROKEN compose
+    // (recall ~0), not a tuned target
+    val per = approx.toSeq.sortBy(_._1).map { case (qid, a) =>
+      (a & exact(qid)).size.toDouble / exact(qid).size
+    }
+    val recall = per.sum / per.size
+    info(f"recall@5-in-10 — ivfpq: $recall%.2f (per-query: ${per.map(p => f"$p%.1f").mkString(",")})")
+    assert(recall > 0.15, s"IVF-PQ recall $recall")
+  }
 }
