@@ -75,7 +75,15 @@ object ScaleProbe {
       // time must track the one counting shuffle, peak memory stays flat
       "q_cms_topk" -> (() => reg("q_cms_topk").run(spark, dir)),
       // iterative merge training over the 10x word-frequency frame
-      "q_bpe_train" -> (() => reg("q_bpe_train").run(spark, dir)))
+      "q_bpe_train" -> (() => reg("q_bpe_train").run(spark, dir)),
+      // df-capped inverted index: cap is corpus-RELATIVE, so hot-gram
+      // pair fanout must stay a constant corpus fraction at 10x
+      "q_sparse_cosine" -> (() => reg("q_sparse_cosine").run(spark, dir)),
+      // 3 GD iterations: per-iteration cost is one broadcast + one
+      // 9-column aggregation — wall time should track the corpus scan
+      "q_linear_probe" -> (() => reg("q_linear_probe").run(spark, dir)),
+      // coarse-cell prune + code-only ADC scan at 10x corpus
+      "q_ivfpq" -> (() => reg("q_ivfpq").run(spark, dir)))
     pipelines.foreach { case (name, run) =>
       spark.catalog.clearCache()
       ScratchCache.releaseAll()

@@ -855,6 +855,11 @@ object DedupQueries {
     * partial-aggregation order on both engines. */
   private val SparseQuantum = 1e6
 
+  /** Absolute document-frequency cap for [[qSparseCosine]]'s inverted
+    * index — the term that makes candidate volume LINEAR in corpus size
+    * (see the qSparseCosine Scaladoc for the 10× probe measurement). */
+  val SparseDfCap = 256L
+
   /** Weighted sparse cosine all-pairs (Bayardo, Ma & Srikant 2007,
     * "Scaling Up All Pairs Similarity Search"): document pairs with
     * tf-idf 3-gram cosine ≥ 0.5 — the WEIGHTED lexical similarity join
@@ -864,16 +869,22 @@ object DedupQueries {
     * actually uses).
     *
     * Scale design — inverted index with a DOCUMENT-FREQUENCY CAP: only
-    * grams with df ≤ (n+400)/20 enter the index, so the per-gram
-    * pair fanout is df²-bounded by a corpus-fraction constant — the
-    * frequency-pruning half of the all-pairs algorithm (its remaining
-    * prefix ordering is [[jaccardPrefixJoin]]'s territory). The cap is
-    * part of the operator's DEFINITION (weights, norms, and cosines are
-    * computed over the capped representation on both engines), which is
-    * standard for sparse similarity search: a gram in ≥5% of the corpus
-    * is boilerplate, not signal. Weights are quantized to
-    * [[SparseQuantum]] and accumulated as DECIMAL — bit-identical
-    * across engines; one sqrt + one division at the edge.
+    * grams with df ≤ min((n+400)/20, [[SparseDfCap]]) enter the index.
+    * The corpus-fraction term keeps small corpora meaningful; the
+    * ABSOLUTE term is what makes the operator linear — a purely relative
+    * cap (df ≤ n/20) lets per-gram pair fanout grow as (n/20)², i.e.
+    * quadratically with corpus size, which the 10× ScaleProbe measured
+    * as a 28× blowup (103 s) before the absolute cap. With it, candidate
+    * volume is ≤ #grams·cap² ∝ n — probe re-measured 31 s for 10× the
+    * corpus and exactly 10× the output pairs, i.e. linear against the
+    * 3.7 s 1× time. A gram shared by >256 documents identifies nothing at
+    * any scale; this is the frequency-pruning half of the all-pairs
+    * algorithm (its remaining prefix ordering is [[jaccardPrefixJoin]]'s
+    * territory). The cap is part of the operator's DEFINITION (weights,
+    * norms, and cosines are computed over the capped representation on
+    * both engines). Weights are quantized to [[SparseQuantum]] and
+    * accumulated as DECIMAL — bit-identical across engines; one sqrt +
+    * one division at the edge.
     *
     * Grams are keyed by a 60-bit md5-prefix INTEGER on both engines —
     * the minhash-family convention: int64 join/shuffle keys instead of
@@ -895,7 +906,7 @@ object DedupQueries {
        |    CAST(round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) * $SparseQuantum, 0) AS BIGINT)
        |      AS wq
        |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
-       |  WHERE 20 * df.df <= n.n + 400
+       |  WHERE 20 * df.df <= n.n + 400 AND df.df <= $SparseDfCap
        |), nrm AS (
        |  SELECT doc_id, sqrt(CAST(sum(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0)))
        |    AS DOUBLE)) AS nrm
@@ -937,7 +948,7 @@ object DedupQueries {
     val w = graft.ScratchCache.tracked(
       tf.join(dfT, "t")
         .crossJoin(broadcast(n))
-        .filter(lit(20) * col("df") <= col("n") + 400)
+        .filter(lit(20) * col("df") <= col("n") + 400 && col("df") <= SparseDfCap)
         .select(col("doc_id"), col("t"), wq.as("wq")))
     val wd = col("wq").cast("decimal(19,0)")
     val nrm = w.groupBy("doc_id")
