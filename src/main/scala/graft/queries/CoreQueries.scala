@@ -611,9 +611,92 @@ object CoreQueries {
     }
   }
 
+  /** TPC-H Q7 shape — volume shipping between two trade blocs, by
+    * directed nation pair and ship year: the DOUBLE-dimension join
+    * (nation joined twice under different roles, supplier-side and
+    * customer-side) plus a cross-filter keeping only cross-bloc flows in
+    * either direction (Q7's two-nation IN-pair filter widened to
+    * 5-nation blocs so the gate stays non-vacuous at sf0.001). Both
+    * nation joins broadcast; the year extraction is identical on both
+    * engines; revenue is the exact-decimal pattern. */
+  val qNationVolume: Q = {
+    val sql =
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(20,2))
+        |      * (1.00 - CAST(l.l_discount AS DECIMAL(8,2))) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_nationkey < 5 AND n2.n_nationkey >= 20)
+        |     OR (n1.n_nationkey >= 20 AND n2.n_nationkey < 5)
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    Q.sql(
+      "q_nation_volume",
+      sql,
+      doc = "TPC-H Q7 shape: dual-role nation dims, directed-pair volume by year") {
+      (s, d) =>
+        supplier(s, d).createOrReplaceTempView("supplier")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        orders(s, d).createOrReplaceTempView("orders")
+        customer(s, d).createOrReplaceTempView("customer")
+        nation(s, d).createOrReplaceTempView("nation")
+        s.sql(sql)
+    }
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and year:
+    * the 5-table star join with an arithmetic that MIXES two fact/dim
+    * columns (revenue minus cost·quantity; this testdata ships no
+    * partsupp, so the part's retail price at a 10% margin-factor stands
+    * in for ps_supplycost — same join/agg shape). Part filter is a
+    * substring match ("widget" product line). All money stays DECIMAL
+    * until the output edge so the per-(nation, year) sums are exact. */
+  val qProductProfit: Q = {
+    val sql =
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(20,2))
+        |      * (1.00 - CAST(l.l_discount AS DECIMAL(8,2)))
+        |      - CAST(0.10 AS DECIMAL(8,2)) * CAST(p.p_retailprice AS DECIMAL(20,2))
+        |        * CAST(l.l_quantity AS DECIMAL(20,2)) AS amount
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%widget%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin
+    Q.sql(
+      "q_product_profit",
+      sql,
+      doc = "TPC-H Q9 shape: 5-table star join, mixed revenue-minus-cost decimal arithmetic") {
+      (s, d) =>
+        part(s, d).createOrReplaceTempView("part")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        supplier(s, d).createOrReplaceTempView("supplier")
+        orders(s, d).createOrReplaceTempView("orders")
+        nation(s, d).createOrReplaceTempView("nation")
+        s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qJoinAgg, qShipPriority, qLocalVolume, qTopK, qAntiJoin, qSemiJoin,
     qWindowRank, qSetOps, qExcept, qScalarFns, qJsonExtract, qSkewJoin, qMinCostSupplier,
     qExistsPriority, qSmallOrderRevenue, qFaultSupplier, qDominantSupplier,
-    qTopSupplier, qGlobalOpportunity)
+    qTopSupplier, qGlobalOpportunity, qNationVolume, qProductProfit)
 }

@@ -347,6 +347,19 @@ class PlanSpec extends AnyFunSuite {
       "the per-part total must run as an aggregate, not per-row re-execution")
   }
 
+  test("q_nation_volume: both nation roles broadcast; no cartesian") {
+    val p = plan(CoreQueries.qNationVolume)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "dual-role nation dims must broadcast")
+  }
+
+  test("q_product_profit: star join broadcasts dims; partial agg on profit") {
+    val p = plan(CoreQueries.qProductProfit)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_"), "profit sum must combine map-side")
+  }
+
   test("q_top_supplier: scalar max subquery plans once, not per row") {
     val p = plan(CoreQueries.qTopSupplier)
     assert(!p.contains("CartesianProduct"))
