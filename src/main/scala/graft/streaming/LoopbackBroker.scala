@@ -21,6 +21,11 @@ final class LoopbackBroker(user: String, password: String) {
 
   private final class Conn(val socket: Socket) {
     val out = new DataOutputStream(socket.getOutputStream)
+    /** Serializes packet writes: the serve thread (SUBACK/PUBREL/...) and
+      * the test thread (publish*) share this stream — interleaved bytes
+      * would corrupt the wire. */
+    def send(header: Int, body: Array[Byte]): Unit =
+      out.synchronized { MqttWire.write(out, header, body) }
     val subs = new ConcurrentLinkedQueue[String]()
     def matches(topic: String): Boolean = subs.asScala.exists { f =>
       if (f.endsWith("/#")) topic.startsWith(f.dropRight(1)) || topic == f.dropRight(2)
@@ -75,21 +80,30 @@ final class LoopbackBroker(user: String, password: String) {
               val topic = MqttWire.readStr(b)
               val qos = b.readUnsignedByte()
               conn.subs.add(topic)
-              MqttWire.write(conn.out, MqttWire.SUBACK,
+              conn.send(MqttWire.SUBACK,
                 Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte, qos.toByte))
             case MqttWire.UNSUBSCRIBE_TYPE =>
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               val id = b.readUnsignedShort()
               conn.subs.remove(MqttWire.readStr(b))
-              MqttWire.write(conn.out, MqttWire.UNSUBACK,
+              conn.send(MqttWire.UNSUBACK,
                 Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte))
             case MqttWire.DISCONNECT =>
               s.close()
             case MqttWire.PINGREQ =>
-              MqttWire.write(conn.out, MqttWire.PINGRESP, Array.emptyByteArray)
+              conn.send(MqttWire.PINGRESP, Array.emptyByteArray)
             case MqttWire.PUBACK =>
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               acks.add(b.readUnsignedShort())
+            case MqttWire.PUBREC =>
+              // QoS-2 leg 2: the sender answers every PUBREC with PUBREL
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              val pid = b.readUnsignedShort()
+              recs.add(pid)
+              conn.send(MqttWire.PUBREL, MqttWire.packetId(pid))
+            case MqttWire.PUBCOMP =>
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              comps.add(b.readUnsignedShort())
             case _ => ()
           }
         }
@@ -100,12 +114,15 @@ final class LoopbackBroker(user: String, password: String) {
   /** Broker-side publish to every subscribed connection (QoS 0). */
   def publish(topic: String, payload: Array[Byte]): Unit =
     conns.asScala.filter(_.matches(topic)).foreach { c =>
-      try MqttWire.write(c.out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
+      try c.send(MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
       catch { case _: IOException => () }
     }
 
   /** PUBACK packet ids received from clients, in arrival order. */
   val acks = new ConcurrentLinkedQueue[Int]()
+  /** QoS-2 PUBREC / PUBCOMP packet ids received, in arrival order. */
+  val recs = new ConcurrentLinkedQueue[Int]()
+  val comps = new ConcurrentLinkedQueue[Int]()
   private val pubIds = new java.util.concurrent.atomic.AtomicInteger(1)
 
   /** QoS-1 publish: PUBLISH carries a packet id and the QoS-1 flag; the
@@ -118,9 +135,28 @@ final class LoopbackBroker(user: String, password: String) {
     val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
     conns.asScala.filter(_.matches(topic)).foreach { c =>
       try {
-        MqttWire.write(c.out, MqttWire.PUBLISH | 0x02, body)
+        c.send(MqttWire.PUBLISH | 0x02, body)
         (0 until redeliveries).foreach { _ =>
-          MqttWire.write(c.out, MqttWire.PUBLISH | 0x02 | 0x08, body)
+          c.send(MqttWire.PUBLISH | 0x02 | 0x08, body)
+        }
+      } catch { case _: IOException => () }
+    }
+    pid
+  }
+
+  /** QoS-2 publish: PUBLISH carries a packet id and the QoS-2 flag; the
+    * same packet is re-sent `republishes` times with DUP set BEFORE the
+    * release handshake resolves — the broker-didn't-see-the-PUBREC path.
+    * The serve loop answers each PUBREC with PUBREL (leg 2); the spec
+    * awaits the pid in [[comps]] to know the four-leg flow completed. */
+  def publishQos2(topic: String, payload: Array[Byte], republishes: Int = 0): Int = {
+    val pid = pubIds.getAndIncrement() & 0xffff
+    val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
+    conns.asScala.filter(_.matches(topic)).foreach { c =>
+      try {
+        c.send(MqttWire.PUBLISH | 0x04, body)
+        (0 until republishes).foreach { _ =>
+          c.send(MqttWire.PUBLISH | 0x04 | 0x08, body)
         }
       } catch { case _: IOException => () }
     }

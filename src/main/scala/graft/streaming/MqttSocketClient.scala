@@ -11,7 +11,8 @@ import scala.jdk.CollectionConverters._
 /** [[MqttClient]] over a REAL TCP socket — the transport the seam existed
   * for. Speaks MQTT 3.1.1 via [[MqttWire]] — the QoS-0 subscribe subset
   * the reference exercises plus QoS-1 inbound (PUBACK + DUP-redelivery
-  * dedup, see the reader); semantics mirror the reference connector
+  * dedup) and QoS-2 inbound (the PUBREC/PUBREL/PUBCOMP exactly-once
+  * handshake, see the reader); semantics mirror the reference connector
   * (`/root/reference/src/classes/mqtt_classes.py:298-324`):
   *
   *   - `connect` opens the socket (TLS when `useTls`; `tlsInsecure`
@@ -42,6 +43,12 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
   private val packetIds = new AtomicInteger(1)
 
   override def isConnected: Boolean = connected
+
+  /** Serializes packet writes: the reader thread (PUBACK/PUBREC/PUBCOMP/
+    * PINGRESP) and caller threads (subscribe/unsubscribe/disconnect)
+    * share one stream; interleaved bytes would corrupt the wire. */
+  private def send(o: DataOutputStream, header: Int, body: Array[Byte]): Unit =
+    o.synchronized { MqttWire.write(o, header, body) }
 
   private def trustAllFactory: SSLSocketFactory = {
     val ctx = SSLContext.getInstance("TLS")
@@ -111,6 +118,12 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
       // ack is still re-sent so the broker stops retrying)
       val acked = new java.util.LinkedHashSet[Int]()
       val ackedCap = 4096
+      // QoS-2 receiver state (spec §4.3.3, deliver-on-PUBLISH method):
+      // pids delivered + PUBREC'd but not yet PUBREL'd. A re-sent PUBLISH
+      // for an in-flight pid re-arms the PUBREC but must NOT re-deliver —
+      // that is the exactly-once guarantee; PUBREL completes the flow
+      // (PUBCOMP) and releases the pid for reuse by a future message.
+      val unreleased = new java.util.HashSet[Int]()
       try {
         while (connected && (socket eq mySocket)) {
           val p = MqttWire.read(in)
@@ -123,24 +136,36 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
               val pid = if (qos > 0) s.readUnsignedShort() else 0
               val payload = new Array[Byte](s.available())
               s.readFully(payload)
-              val duplicate = qos > 0 && p.publishDup && acked.contains(pid)
-              if (qos > 0) {
-                MqttWire.write(myOut, MqttWire.PUBACK, MqttWire.packetId(pid))
+              val duplicate =
+                if (qos == 2) unreleased.contains(pid)
+                else qos == 1 && p.publishDup && acked.contains(pid)
+              if (qos == 1) {
+                send(myOut, MqttWire.PUBACK, MqttWire.packetId(pid))
                 acked.remove(pid) // re-insert → refresh FIFO position
                 acked.add(pid)
                 if (acked.size > ackedCap) {
                   val it = acked.iterator(); it.next(); it.remove()
                 }
+              } else if (qos == 2) {
+                unreleased.add(pid)
+                send(myOut, MqttWire.PUBREC, MqttWire.packetId(pid))
               }
               if (!duplicate)
                 callbacks.onMessage(topic, payload, System.currentTimeMillis() * 1000L)
+            case MqttWire.PUBREL_TYPE =>
+              val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
+              val pid = s.readUnsignedShort()
+              unreleased.remove(pid)
+              // PUBCOMP answers EVERY PUBREL, including a retransmitted
+              // one whose pid we already released (spec §4.3.3)
+              send(myOut, MqttWire.PUBCOMP, MqttWire.packetId(pid))
             case MqttWire.SUBACK =>
               val qos = if (p.body.length >= 3) p.body(2).toInt else 0
               callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)
             case MqttWire.UNSUBACK =>
               callbacks.onUnsubscribe("")
             case MqttWire.PINGREQ =>
-              MqttWire.write(myOut, MqttWire.PINGRESP, Array.emptyByteArray)
+              send(myOut, MqttWire.PINGRESP, Array.emptyByteArray)
             case _ => ()
           }
         }
@@ -166,14 +191,13 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     val id = packetIds.getAndIncrement() & 0xffff
     val body = Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++
       MqttWire.str(topic) :+ qos.toByte
-    MqttWire.write(out, MqttWire.SUBSCRIBE, body)
+    send(out, MqttWire.SUBSCRIBE, body)
   }
 
   override def unsubscribe(topic: String): Unit = if (connected) {
     subs.remove(topic)
     val id = packetIds.getAndIncrement() & 0xffff
-    MqttWire.write(out,
-      MqttWire.UNSUBSCRIBE,
+    send(out, MqttWire.UNSUBSCRIBE,
       Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++ MqttWire.str(topic))
   }
 
@@ -181,7 +205,7 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     closing = true
     connected = false
     try {
-      MqttWire.write(out, MqttWire.DISCONNECT, Array.emptyByteArray)
+      send(out, MqttWire.DISCONNECT, Array.emptyByteArray)
       socket.close()
     } catch { case _: IOException => () }
     callbacks.onSocketClose()

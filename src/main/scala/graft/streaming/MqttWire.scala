@@ -7,9 +7,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * reference connector exercises (`/root/reference/src/classes/
   * mqtt_classes.py:298-324` connects with username/password, subscribes,
   * and receives publishes at QoS 0), plus QoS 1 inbound delivery
-  * (PUBLISH with packet id → PUBACK, DUP-flagged redelivery) — the first
-  * beyond-parity transport feature a deployment that asks the broker for
-  * at-least-once needs.
+  * (PUBLISH with packet id → PUBACK, DUP-flagged redelivery) and QoS 2
+  * inbound (PUBLISH → PUBREC / PUBREL → PUBCOMP, the four-leg
+  * exactly-once handshake of spec §4.3.3) — the beyond-parity transport
+  * features a deployment that asks the broker for at-least-once or
+  * exactly-once needs.
   *
   * Packet grammar per the public OASIS MQTT 3.1.1 spec: 1 control byte,
   * variable-length remaining-length (7 bits per byte, continuation bit),
@@ -24,6 +26,10 @@ object MqttWire {
   val CONNACK = 0x20
   val PUBLISH = 0x30
   val PUBACK = 0x40
+  val PUBREC = 0x50 // QoS-2 leg 1: receiver got the PUBLISH
+  val PUBREL = 0x62 // QoS-2 leg 2: sender releases (type nibble + mandatory 0b0010)
+  val PUBREL_TYPE = 0x60
+  val PUBCOMP = 0x70 // QoS-2 leg 3: receiver completes the flow
   val SUBSCRIBE = 0x82 // full header: type nibble + mandatory 0b0010 flags
   val SUBSCRIBE_TYPE = 0x80 // what Packet.packetType masks the header to
   val SUBACK = 0x90

@@ -182,4 +182,33 @@ class MqttSocketClientSpec extends AnyFunSuite {
       client.disconnect()
     } finally broker.close()
   }
+
+  test("QoS 2: four-leg handshake completes; in-flight republish delivers exactly once") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val log = s"slog-${System.nanoTime()}"
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      val bridge = new IngestBridge(client, log, "mate/#")
+      assert(client.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+
+      // the PUBREC-was-lost path: the broker re-sends the same PUBLISH
+      // (same pid, DUP) twice more before the release handshake resolves
+      val fx = SolarSynth.encodeFx(1700000000L, 9)
+      val pid = broker.publishQos2(Topics.FxData, fx, republishes = 2)
+      // every PUBLISH copy is PUBREC'd, every PUBREL is PUBCOMP'd
+      assert(await()(broker.recs.size >= 3), "client must PUBREC every delivery")
+      assert(broker.recs.asScala.forall(_ == pid))
+      assert(await()(broker.comps.asScala.exists(_ == pid)),
+        "the release leg must complete with PUBCOMP")
+      Thread.sleep(50) // grace: in-flight duplicates must not reach the sink
+      assert(MqttSimBroker.size(log) === 1,
+        "QoS-2 republish of an unreleased pid must deliver exactly once")
+
+      // after PUBCOMP the pid is released — a new message may reuse it
+      broker.publishQos2(Topics.FxData, SolarSynth.encodeFx(1700000060L, 10))
+      assert(await()(MqttSimBroker.size(log) === 2), "fresh QoS-2 publish did not arrive")
+      client.disconnect()
+    } finally broker.close()
+  }
 }
