@@ -884,9 +884,102 @@ object TimeSeriesQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Additive seasonal decomposition, STL-lite (Cleveland et al. 1990's
+    * trend/seasonal/remainder split restated with fixed windows): trend =
+    * centered 25-point moving average per series-day, seasonal = mean
+    * detrended value per (series, hour-of-day), remainder = what's left;
+    * reported as the 24-hour seasonal profile per series plus the
+    * variance-explained strength 1 − Σr²/Σd² — the standard "is this
+    * series seasonal?" audit a telemetry pipeline runs.
+    *
+    * Scale design: the trend window partitions by (series, day) — the
+    * q_range_frame segmentation, truncating at day boundaries by
+    * documented construction — so no task sorts more than one
+    * series-day; the seasonal index is a 24-row-per-series aggregate.
+    * Parity: detrended values quantize to 1e-6 fixed point per ROW, so
+    * every downstream sum (seasonal means, variance terms) is an exact
+    * integer/decimal fold, and the output ratios ship as RAW doubles
+    * (exact integers through correctly-rounded IEEE ops are bit-identical
+    * across engines; a final round() would NOT be — Spark rounds the
+    * shortest decimal repr where DuckDB rounds the exact binary value,
+    * and a 6th-decimal tie diverges by 1 ulp, observed at sf0.01); the
+    * strength guard makes the constant-series 0/0 case NULL on both
+    * engines by construction. */
+  val qSeasonal: Q = Q.sql(
+    "q_seasonal",
+    """WITH b AS (
+      |  SELECT event_type, event_id, value, ts,
+      |    CAST(hour(ts) AS BIGINT) AS hod, date_trunc('day', ts) AS day
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type, event_id, hod,
+      |    CAST(round((value - CAST(sum(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE)
+      |      / count(*) OVER w) * 1000000.0, 0) AS BIGINT) AS detq
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |), se AS (
+      |  SELECT event_type, hod, CAST(sum(detq) AS BIGINT) AS sq,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM t GROUP BY 1, 2
+      |), r AS (
+      |  SELECT t.event_type, t.detq,
+      |    t.detq - CAST(round(1000000.0 *
+      |      (CAST(se.sq AS DOUBLE) / 1000000.0 / se.n), 0) AS BIGINT) AS remq
+      |  FROM t JOIN se ON t.event_type = se.event_type AND t.hod = se.hod
+      |), st AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(remq AS DECIMAL(38,0)) * CAST(remq AS DECIMAL(38,0))) AS DOUBLE) AS ssr,
+      |    CAST(sum(CAST(detq AS DECIMAL(38,0)) * CAST(detq AS DECIMAL(38,0))) AS DOUBLE) AS ssd
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT se.event_type AS event_type, se.hod, se.n,
+      |  CAST(se.sq AS DOUBLE) / 1000000.0 / se.n AS seasonal,
+      |  CASE WHEN st.ssd = 0 THEN NULL
+      |       ELSE 1.0 - st.ssr / st.ssd END AS strength
+      |FROM se JOIN st ON se.event_type = st.event_type
+      |ORDER BY se.event_type, se.hod""".stripMargin,
+    doc = "STL-lite seasonal decomposition: day-segmented trend MA, hour-of-day index, strength") {
+    (s, d) =>
+      val w = Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-12, 12)
+      val trend = sum(col("value").cast("decimal(27,2)")).over(w).cast("double") /
+        count(lit(1)).over(w)
+      val t = graft.ScratchCache.tracked(
+        events(s, d)
+          .select(
+            col("event_type"), col("event_id"), col("value"), col("ts"),
+            hour(col("ts")).cast("long").as("hod"), date_trunc("day", col("ts")).as("day"))
+          .select(
+            col("event_type"), col("event_id"), col("hod"),
+            round((col("value") - trend) * 1000000.0, 0).cast("long").as("detq")))
+      val se = t.groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("detq")).cast("long").as("sq"), count(lit(1)).cast("long").as("n"))
+      val seasonalD = col("sq").cast("double") / 1000000.0 / col("n")
+      val r = t.join(broadcast(se), Seq("event_type", "hod"))
+        .select(
+          col("event_type"), col("detq"),
+          (col("detq") - round(lit(1000000.0) * seasonalD, 0).cast("long")).as("remq"))
+      val st = r.groupBy(col("event_type"))
+        .agg(
+          sum((col("remq").cast("decimal(38,0)") * col("remq").cast("decimal(38,0)")))
+            .cast("double").as("ssr"),
+          sum((col("detq").cast("decimal(38,0)") * col("detq").cast("decimal(38,0)")))
+            .cast("double").as("ssd"))
+      se.join(broadcast(st), "event_type")
+        .select(
+          col("event_type"), col("hod"), col("n"),
+          seasonalD.as("seasonal"),
+          when(col("ssd") === 0.0, lit(null).cast("double"))
+            .otherwise(lit(1.0) - col("ssr") / col("ssd")).as("strength"))
+        .orderBy("event_type", "hod")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm)
+      qRunningDistinct, qDownsampleMm, qSeasonal)
 }
