@@ -977,9 +977,88 @@ object TimeSeriesQueries {
         .orderBy("event_type", "hod")
   }
 
+  /** Data-outage report: per series, every inter-point gap longer than
+    * 10 minutes — count, worst, total, and when the worst one started.
+    * The monitoring question every telemetry deployment asks first
+    * ("when did the sensor go dark?"), and the reference's pipeline has
+    * no answer to (it drops offline-device data silently via the status
+    * gate; this measures the silence).
+    *
+    * Scale design — the two-level segmentation pattern: within-day gaps
+    * come from a lag window partitioned by (series, day), so no task
+    * sorts more than one series-day; DAY-BOUNDARY gaps (including whole
+    * missing days) come from a lead window over the per-(series, day)
+    * min/max summary — a |series|×|days| frame, tiny at any corpus
+    * size. Everything is integer epoch-µs arithmetic — exact on both
+    * engines; the worst-gap pick tie-breaks on start time. */
+  val qGapReport: Q = Q.sql(
+    "q_gap_report",
+    """WITH b AS (
+      |  SELECT event_type, ts, event_id, date_trunc('day', ts) AS day,
+      |    epoch_us(ts) AS tsu
+      |  FROM events
+      |), within AS (
+      |  SELECT event_type, tsu - lag(tsu) OVER w AS gap_us, lag(tsu) OVER w AS start_us
+      |  FROM b WINDOW w AS (PARTITION BY event_type, day ORDER BY tsu, event_id)
+      |), daily AS (
+      |  SELECT event_type, day, min(tsu) AS first_us, max(tsu) AS last_us
+      |  FROM b GROUP BY 1, 2
+      |), crossday AS (
+      |  SELECT event_type,
+      |    lead(first_us) OVER (PARTITION BY event_type ORDER BY day) - last_us AS gap_us,
+      |    last_us AS start_us
+      |  FROM daily
+      |), gaps AS (
+      |  SELECT * FROM within WHERE gap_us > 600000000
+      |  UNION ALL
+      |  SELECT * FROM crossday WHERE gap_us > 600000000
+      |)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+      |  CAST(min(CASE WHEN rk = 1 THEN start_us END) AS BIGINT) AS worst_start_us
+      |FROM (
+      |  SELECT event_type, gap_us, start_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us DESC, start_us) AS rk
+      |  FROM gaps) g
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin,
+    doc = "per-series data-outage report: >10 min gaps incl. day boundaries, two-level segmentation") {
+    (s, d) =>
+      val b = events(s, d).select(
+        col("event_type"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("tsu"))
+      val wIn = Window.partitionBy(col("event_type"), col("day")).orderBy(col("tsu"), col("event_id"))
+      val within = b.select(
+        col("event_type"),
+        (col("tsu") - lag(col("tsu"), 1).over(wIn)).as("gap_us"),
+        lag(col("tsu"), 1).over(wIn).as("start_us"))
+      val daily = b.groupBy(col("event_type"), col("day"))
+        .agg(min(col("tsu")).as("first_us"), max(col("tsu")).as("last_us"))
+      val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val crossday = daily.select(
+        col("event_type"),
+        (lead(col("first_us"), 1).over(wDay) - col("last_us")).as("gap_us"),
+        col("last_us").as("start_us"))
+      val gaps = within.filter(col("gap_us") > 600000000L)
+        .unionAll(crossday.filter(col("gap_us") > 600000000L))
+      val wRank = Window.partitionBy(col("event_type")).orderBy(col("gap_us").desc, col("start_us"))
+      gaps
+        .withColumn("rk", row_number().over(wRank))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_gaps"),
+          max(col("gap_us")).cast("long").as("max_gap_us"),
+          sum(col("gap_us")).cast("long").as("total_gap_us"),
+          min(when(col("rk") === 1, col("start_us"))).cast("long").as("worst_start_us"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm, qSeasonal)
+      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport)
 }
