@@ -935,21 +935,30 @@ object DedupQueries {
       tau: Double = 0.5): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     val gramKey = conv(substring(md5(col("t0")), 1, 15), 16, 10).cast("long")
-    val tf = graft.ScratchCache.tracked(
-      docs
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(shingles(col("text"))).as("t0"))
-        .select(col("doc_id"), gramKey.as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
-    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val tf = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("t0"))
+      .select(col("doc_id"), gramKey.as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // df as a count-over-window on the SAME t-shuffle (not a groupBy +
+    // self-join): tf then has exactly one consumer, so it needs no cache
+    val wDf = Window.partitionBy(col("t"))
     val n = docs.agg(count(lit(1)).as("n"))
     val wq = round(
       col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)) * SparseQuantum, 0).cast("long")
     val w = graft.ScratchCache.tracked(
-      tf.join(dfT, "t")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(n))
         .filter(lit(20) * col("df") <= col("n") + 400 && col("df") <= SparseDfCap)
         .select(col("doc_id"), col("t"), wq.as("wq")))
+    // Materialize the cache with ONE cheap action before fan-out:
+    // `persist()` does NOT dedupe a cold frame's CONCURRENT first
+    // computation — the pair join's two sides and the norm aggregate are
+    // independent stages that all launch at once and each recompute the
+    // whole index while the cache is still filling (measured: 2.9 s →
+    // 14-26 s in-battery, cpu_ratio ~20 — real duplicated work, shape
+    // set by scheduler timing). One count() fills the cache exactly once.
+    w.count()
     val wd = col("wq").cast("decimal(19,0)")
     val nrm = w.groupBy("doc_id")
       .agg(sqrt(sum(wd * wd).cast("double")).as("nrm"))
