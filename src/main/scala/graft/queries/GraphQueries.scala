@@ -131,6 +131,12 @@ object GraphQueries {
     // two-phase countDistinct over the pair expansion
     val li = graft.ScratchCache.tracked(
       lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct())
+    // materialize each fan-out cache with one cheap action BEFORE its
+    // consumers launch: persist() does not dedupe concurrent first
+    // computation (NOTES lesson 11b) — li feeds both self-join sides,
+    // e feeds degrees + orientation, oriented feeds three stages; cold,
+    // those stages race and each recompute the upstream plan
+    li.count()
     // the fact-scale self-join distills once into a node-bounded edge
     // list; scratch-cached because degrees, orientation, and the final
     // report all read it
@@ -142,6 +148,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= TriMinShared)
         .select(col("a"), col("b")))
+    e.count()
     // degrees; consumed by the orientation (twice) and the final report
     val deg = graft.ScratchCache.tracked(
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
@@ -159,6 +166,7 @@ object GraphQueries {
           when(aLower, col("a")).otherwise(col("b")).as("src"),
           when(aLower, col("b")).otherwise(col("a")).as("dst"),
           when(aLower, col("degb")).otherwise(col("dega")).as("degdst")))
+    oriented.count()
     // wedges at the lowest-order vertex: two out-edges, canonically ordered
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("degdst").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("degdst").as("dw"))

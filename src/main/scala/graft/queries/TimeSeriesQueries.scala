@@ -955,6 +955,10 @@ object TimeSeriesQueries {
           .select(
             col("event_type"), col("event_id"), col("hod"),
             round((col("value") - trend) * 1000000.0, 0).cast("long").as("detq")))
+      // materialize before fan-out: t feeds both the seasonal aggregate
+      // and the join-back — cold, those stages race and recompute the
+      // trend window twice (NOTES lesson 11b)
+      t.count()
       val se = t.groupBy(col("event_type"), col("hod"))
         .agg(sum(col("detq")).cast("long").as("sq"), count(lit(1)).cast("long").as("n"))
       val seasonalD = col("sq").cast("double") / 1000000.0 / col("n")
