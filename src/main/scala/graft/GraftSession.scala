@@ -40,6 +40,17 @@ object GraftSession {
       .config(
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // The generated-class cache holds only 100 entries by default; a
+      // battery of 140+ queries (each plan = several generated classes)
+      // thrashes it, so a query's passes RE-janino-and-RE-JIT every
+      // stage — measured as q_sparse_cosine swinging 2.2 → 14-44 s
+      // in-battery with cpu_ratio ~25 and zero GC (C2 compiler threads,
+      // not query work; cold-JVM profile of the same query decays
+      // 13.5 → 7.4 → 3.0 s as compilation drains). A long-lived
+      // production session serving many queries wants this high for the
+      // same reason; entries are soft-referenced so memory pressure can
+      // still reclaim them.
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       // Catalyst extensions: the edit-distance prefilter rewrite (a sound
       // length-difference bound ahead of every levenshtein<=k predicate)
