@@ -76,8 +76,10 @@ object ScaleProbe {
       "q_cms_topk" -> (() => reg("q_cms_topk").run(spark, dir)),
       // iterative merge training over the 10x word-frequency frame
       "q_bpe_train" -> (() => reg("q_bpe_train").run(spark, dir)),
-      // df-capped inverted index: cap is corpus-RELATIVE, so hot-gram
-      // pair fanout must stay a constant corpus fraction at 10x
+      // df-capped inverted index: the df cap has an ABSOLUTE term
+      // (SparseDfCap=256, see qSparseCosine's Scaladoc), so hot-gram
+      // pair fanout stays linear in corpus size at 10x — the purely
+      // relative n/20 cap measured a 28x pair blowup
       "q_sparse_cosine" -> (() => reg("q_sparse_cosine").run(spark, dir)),
       // 3 GD iterations: per-iteration cost is one broadcast + one
       // 9-column aggregation — wall time should track the corpus scan
@@ -123,7 +125,10 @@ object ScaleProbe {
 
     rep(spark.read.parquet(s"$base/lineitem.parquet"))
       .withColumn("l_orderkey", col("l_orderkey") + off)
-      .withColumn("l_suppkey", col("l_suppkey") + lit(100000L) * col("i"))
+      // same offset as every other key: a smaller stride (the old
+      // 100000*i) silently merges replica co-supply graphs once the base
+      // corpus has >100k suppliers (TPC-H sf>=100)
+      .withColumn("l_suppkey", col("l_suppkey") + off)
       .drop("i")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     println(s"SCALE built $dir at ${factor}x")

@@ -153,6 +153,7 @@ object GraphQueries {
     val deg = graft.ScratchCache.tracked(
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree")))
+    deg.count()
     // orient each edge from its lower-(degree, id) endpoint to the higher
     val da = deg.select(col("node").as("a"), col("degree").as("dega"))
     val db = deg.select(col("node").as("b"), col("degree").as("degb"))

@@ -322,6 +322,8 @@ object StatsQueries {
       documents(s, d)
         .groupBy(col("source"), col("n_chars").as("len"))
         .agg(count(lit(1)).as("cnt")))
+    // same fan-out materialization as qPsiDrift (NOTES lesson 11b)
+    c.count()
     val t = c.groupBy(col("source")).agg(sum(col("cnt")).cast("long").as("n_s"))
     val tot = c.agg(sum(col("cnt")).cast("long").as("n"))
     val la = c.groupBy(col("len")).agg(sum(col("cnt")).cast("long").as("cnt_all"))
@@ -519,6 +521,10 @@ object StatsQueries {
         documents(s, d)
           .groupBy(col("source"), least(floor(col("n_chars") / 64), lit(9L)).as("bin"))
           .agg(count(lit(1)).as("cnt")))
+      // materialize before the fan-out (t, tot, ba, and the grid join all
+      // read c): persist() does not dedupe concurrent first computation
+      // (NOTES lesson 11b)
+      c.count()
       val t = c.groupBy(col("source")).agg(sum(col("cnt")).cast("long").as("n_s"))
       val tot = c.agg(sum(col("cnt")).cast("long").as("n"))
       val ba = c.groupBy(col("bin")).agg(sum(col("cnt")).cast("long").as("cnt_all"))
@@ -600,6 +606,9 @@ object StatsQueries {
         documents(s, d)
           .select(explode(tokens(col("text"))).as("t"))
           .groupBy("t").agg(count(lit(1)).as("c")))
+      // cnt feeds the sketch build AND the top-k probe: materialize before
+      // the fan-out (NOTES lesson 11b)
+      cnt.count()
       val sk = (0 until CmsDepth)
         .map(j => cnt.select(lit(j).as("j"), bucket(j, col("t")).as("bucket"), col("c")))
         .reduce(_ unionAll _)

@@ -96,11 +96,18 @@ final class LoopbackBroker(user: String, password: String) {
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               acks.add(b.readUnsignedShort())
             case MqttWire.PUBREC =>
-              // QoS-2 leg 2: the sender answers every PUBREC with PUBREL
+              // QoS-2 leg 2: the sender answers every PUBREC with PUBREL —
+              // unless the pid's DUP copies are still being written
+              // ([[publishQos2]] holds the pid until every copy is on the
+              // wire, so the client can never see PUBREL before the last
+              // DUP and accidentally re-deliver a spec-compliant duplicate)
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               val pid = b.readUnsignedShort()
               recs.add(pid)
-              conn.send(MqttWire.PUBREL, MqttWire.packetId(pid))
+              held.synchronized {
+                if (held.contains(pid)) deferredRel.add((conn, pid))
+                else conn.send(MqttWire.PUBREL, MqttWire.packetId(pid))
+              }
             case MqttWire.PUBCOMP =>
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               comps.add(b.readUnsignedShort())
@@ -124,6 +131,10 @@ final class LoopbackBroker(user: String, password: String) {
   val recs = new ConcurrentLinkedQueue[Int]()
   val comps = new ConcurrentLinkedQueue[Int]()
   private val pubIds = new java.util.concurrent.atomic.AtomicInteger(1)
+  /** QoS-2 pids whose PUBREL must wait until every DUP copy is written;
+    * guarded by its own monitor (shared with [[deferredRel]]). */
+  private val held = scala.collection.mutable.Set.empty[Int]
+  private val deferredRel = new ConcurrentLinkedQueue[(Conn, Int)]()
 
   /** QoS-1 publish: PUBLISH carries a packet id and the QoS-1 flag; the
     * same packet is then re-sent `redeliveries` times with DUP set — the
@@ -152,6 +163,7 @@ final class LoopbackBroker(user: String, password: String) {
   def publishQos2(topic: String, payload: Array[Byte], republishes: Int = 0): Int = {
     val pid = pubIds.getAndIncrement() & 0xffff
     val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
+    if (republishes > 0) held.synchronized { held.add(pid); () }
     conns.asScala.filter(_.matches(topic)).foreach { c =>
       try {
         c.send(MqttWire.PUBLISH | 0x04, body)
@@ -159,6 +171,21 @@ final class LoopbackBroker(user: String, password: String) {
           c.send(MqttWire.PUBLISH | 0x04 | 0x08, body)
         }
       } catch { case _: IOException => () }
+    }
+    if (republishes > 0) held.synchronized {
+      // every DUP copy is on the wire: release the pid and send any
+      // PUBRELs the serve thread parked while we were writing (TCP
+      // ordering then guarantees the client sees the last DUP first)
+      held.remove(pid)
+      val it = deferredRel.iterator()
+      while (it.hasNext) {
+        val (c, p) = it.next()
+        if (p == pid) {
+          it.remove()
+          try c.send(MqttWire.PUBREL, MqttWire.packetId(p))
+          catch { case _: IOException => () }
+        }
+      }
     }
     pid
   }
