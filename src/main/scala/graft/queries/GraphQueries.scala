@@ -126,28 +126,38 @@ object GraphQueries {
        |FROM deg d LEFT JOIN pn ON pn.node = d.node
        |ORDER BY d.node""".stripMargin,
     doc = "degree-ordered triangle counting + clustering coefficients (co-supply graph)") { (s, d) =>
-    // distinct (order, supplier) BEFORE the self-join: collapses the
-    // multi-lineitem fanout so the pair count is a plain count(*) — no
-    // two-phase countDistinct over the pair expansion
-    val li = graft.ScratchCache.tracked(
-      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct())
-    // materialize each fan-out cache with one cheap action BEFORE its
-    // consumers launch: persist() does not dedupe concurrent first
-    // computation (NOTES lesson 11b) — li feeds both self-join sides,
-    // e feeds degrees + orientation, oriented feeds three stages; cold,
-    // those stages race and each recompute the upstream plan
-    li.count()
-    // the fact-scale self-join distills once into a node-bounded edge
-    // list; scratch-cached because degrees, orientation, and the final
-    // report all read it
+    // distill the fact table into co-supply pairs WITHOUT a fact-scale
+    // self-join: one groupBy(l_orderkey) with a map-side-combined
+    // collect_set builds each order's (small, bounded — TPC-H caps
+    // lineitems/order at 7) supplier set, and ordered pairs are generated
+    // IN-ROW by nested array transforms (whole-stage codegen, no join).
+    // Two shuffles total (orderkey, then pair) vs four for the
+    // distinct + self-join + pair-count shape this replaces — and the
+    // orderkey shuffle moves ~one row per order, not one per lineitem,
+    // thanks to the partial aggregation. At 100 TB the per-group state is
+    // the per-order supplier set, bounded by order width, never the
+    // corpus.
+    val sets = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = sets
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // node-bounded edge list; scratch-cached because degrees, orientation,
+    // and the final report all read it
     val e = graft.ScratchCache.tracked(
-      li.select(col("l_orderkey"), col("l_suppkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")), "l_orderkey")
-        .filter(col("a") < col("b"))
+      pairs
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= TriMinShared)
         .select(col("a"), col("b")))
+    // materialize each fan-out cache with one cheap action BEFORE its
+    // consumers launch: persist() does not dedupe concurrent first
+    // computation (NOTES lesson 11b) — e feeds degrees + orientation,
+    // oriented feeds three stages; cold, those stages race and each
+    // recompute the upstream plan
     e.count()
     // degrees; consumed by the orientation (twice) and the final report
     val deg = graft.ScratchCache.tracked(
