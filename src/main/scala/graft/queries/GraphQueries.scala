@@ -78,6 +78,44 @@ object GraphQueries {
     * nearly-complete raw co-occurrence graph down to a meaningful one. */
   val TriMinShared = 5
 
+  /** The co-supply edge list (suppliers sharing ≥ [[TriMinShared]] orders,
+    * `a < b`), distilled from the fact table WITHOUT a fact-scale
+    * self-join: one groupBy(l_orderkey) with a map-side-combined
+    * collect_set builds each order's (small, bounded — TPC-H caps
+    * lineitems/order at 7) supplier set, and ordered pairs are generated
+    * IN-ROW by nested array transforms (whole-stage codegen, no join).
+    * Two shuffles total (orderkey, then pair) vs four for the
+    * distinct + self-join + pair-count shape this replaces — and the
+    * orderkey shuffle moves ~one row per order, not one per lineitem,
+    * thanks to the partial aggregation. At 100 TB the per-group state is
+    * the per-order supplier set, bounded by order width, never the
+    * corpus. Shared by [[qTriangles]] and [[qKcore]]. */
+  private def coSupplyEdges(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sets = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    sets
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= TriMinShared)
+      .select(col("a"), col("b"))
+  }
+
+  /** The same edge list as [[coSupplyEdges]] for the DuckDB oracle (the
+    * simple distinct + self-join form — the gate hash-proves the
+    * join-free Spark distillation equivalent). */
+  private val coSupplyEdgesSql: String =
+    s"""SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT l1.l_orderkey) >= $TriMinShared""".stripMargin
+
   /** Triangle counting + local clustering coefficients over the supplier
     * co-supply graph (suppliers sharing ≥ [[TriMinShared]] orders) — the
     * third iterative-graph-family operator next to connected components
@@ -98,11 +136,7 @@ object GraphQueries {
   val qTriangles: Q = Q.sql(
     "q_triangles",
     s"""WITH e AS (
-       |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
-       |  FROM lineitem l1 JOIN lineitem l2
-       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
-       |  GROUP BY 1, 2
-       |  HAVING count(DISTINCT l1.l_orderkey) >= $TriMinShared
+       |  $coSupplyEdgesSql
        |), t AS (
        |  SELECT e1.a, e1.b, e2.b AS c
        |  FROM e e1
@@ -126,38 +160,11 @@ object GraphQueries {
        |FROM deg d LEFT JOIN pn ON pn.node = d.node
        |ORDER BY d.node""".stripMargin,
     doc = "degree-ordered triangle counting + clustering coefficients (co-supply graph)") { (s, d) =>
-    // distill the fact table into co-supply pairs WITHOUT a fact-scale
-    // self-join: one groupBy(l_orderkey) with a map-side-combined
-    // collect_set builds each order's (small, bounded — TPC-H caps
-    // lineitems/order at 7) supplier set, and ordered pairs are generated
-    // IN-ROW by nested array transforms (whole-stage codegen, no join).
-    // Two shuffles total (orderkey, then pair) vs four for the
-    // distinct + self-join + pair-count shape this replaces — and the
-    // orderkey shuffle moves ~one row per order, not one per lineitem,
-    // thanks to the partial aggregation. At 100 TB the per-group state is
-    // the per-order supplier set, bounded by order width, never the
-    // corpus.
-    val sets = lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = sets
-      .select(explode(flatten(transform(col("ss"), (x, i) =>
-        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
     // node-bounded edge list; scratch-cached because degrees, orientation,
-    // and the final report all read it
-    val e = graft.ScratchCache.tracked(
-      pairs
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= TriMinShared)
-        .select(col("a"), col("b")))
-    // materialize each fan-out cache with one cheap action BEFORE its
-    // consumers launch: persist() does not dedupe concurrent first
-    // computation (NOTES lesson 11b) — e feeds degrees + orientation,
-    // oriented feeds three stages; cold, those stages race and each
-    // recompute the upstream plan
+    // and the final report all read it — and materialized with one cheap
+    // action BEFORE its consumers launch: persist() does not dedupe
+    // concurrent first computation (NOTES lesson 11b)
+    val e = graft.ScratchCache.tracked(coSupplyEdges(s, d))
     e.count()
     // degrees; consumed by the orientation (twice) and the final report
     val deg = graft.ScratchCache.tracked(
@@ -203,5 +210,114 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles)
+  /** Peel-round cap for [[qKcore]] — both engines run EXACTLY this many
+    * rounds (the Spark loop may exit early only at a fixpoint, where
+    * further rounds are no-ops), so the gate holds round-for-round with
+    * the oracle's unrolled CTE chain whether or not the peel has
+    * converged. Measured convergence on the co-supply graph: 5 rounds at
+    * sf0.1 (the only tested SF where the peel prunes at all — smaller SFs
+    * are complete graphs and fix in one round); 8 leaves headroom. */
+  val KcoreRounds = 8
+
+  /** K-core decomposition (Seidman 1983; Batagelj & Zaveršnik 2003 for
+    * the peeling algorithm) at a DATA-DERIVED threshold k = ⌊¾·avg
+    * degree⌋ (integer form (6·|E|)/(4·|V|), exact in both engines):
+    * repeatedly delete nodes of
+    * degree < k until the remainder — the k-core — is stable. The core is
+    * the standard "dense backbone" extraction for community mining and
+    * for pruning low-connectivity noise before expensive per-node graph
+    * work; on the co-supply graph the derived k lands ON the graph's
+    * degeneracy at sf0.1 (k=71), so the peel is a real multi-round
+    * cascade there, not a single filter.
+    *
+    * Output keeps EVERY initial node with an `in_core` flag and its
+    * before/after degrees, so the result is never empty even where the
+    * core is (and the pruned set is visible, not silently dropped).
+    *
+    * Scale design: the fact-scale work is the one-pass edge distillation
+    * ([[coSupplyEdges]]); each peel round on the node-bounded graph is
+    * one degree aggregation plus two BROADCAST semi-joins of the
+    * (tiny, shrinking) keep-set against the edge list, with
+    * `localCheckpoint` truncating lineage per round (NOTES lesson 10 —
+    * an iterative rebind without it re-analyzes a plan that nests every
+    * prior round). k itself derives from two scalar counts, never a
+    * collected table. The oracle unrolls the same [[KcoreRounds]] rounds
+    * as chained CTEs. */
+  val qKcore: Q = Q.sql(
+    "q_kcore", {
+      val rounds = (1 to KcoreRounds).map { r =>
+        val prev = if (r == 1) "e" else s"g${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT node FROM (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev) _u$r
+           |  GROUP BY node HAVING count(*) >= (SELECT k FROM kk)
+           |), g$r AS MATERIALIZED (
+           |  SELECT t.a, t.b FROM $prev t
+           |  JOIN n$r x ON t.a = x.node JOIN n$r y ON t.b = y.node
+           |)""".stripMargin
+      }.mkString(", ")
+      // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+      // round chain references each round several times — inlined, the
+      // plan (and the parquet-scan count) grows exponentially in rounds
+      s"""WITH e AS MATERIALIZED (
+         |  $coSupplyEdgesSql
+         |), an AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) _n GROUP BY node
+         |), kk AS MATERIALIZED (
+         |  SELECT (6 * (SELECT count(*) FROM e)) // (4 * (SELECT count(*) FROM an)) AS k
+         |), $rounds,
+         |cd AS (
+         |  SELECT node, count(*) AS cdeg
+         |  FROM (SELECT a AS node FROM g$KcoreRounds UNION ALL SELECT b FROM g$KcoreRounds) _c
+         |  GROUP BY node
+         |)
+         |SELECT an.node, CAST(an.deg AS BIGINT) AS degree,
+         |  CAST(CASE WHEN cd.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+         |  CAST(coalesce(cd.cdeg, 0) AS BIGINT) AS core_degree,
+         |  CAST((SELECT k FROM kk) AS BIGINT) AS k
+         |FROM an LEFT JOIN cd ON cd.node = an.node
+         |ORDER BY an.node""".stripMargin
+    },
+    doc = s"k-core peel at k=(6|E|)/(4|V|), $KcoreRounds fixed rounds (co-supply graph)") {
+    (s, d) =>
+      val e = graft.ScratchCache.tracked(coSupplyEdges(s, d))
+      val m = e.count() // materializes the fan-out cache AND supplies |E|
+      val an = graft.ScratchCache.tracked(
+        e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      val v = an.count()
+      // plan-choice scalar, not data movement: k is two counts combined
+      val k = if (v == 0) 0L else (6L * m) / (4L * v)
+      var g = e
+      var prev = m
+      var r = 0
+      var stable = false
+      while (r < KcoreRounds && !stable) {
+        val keep = g.select(col("a").as("node")).unionAll(g.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("kd"))
+          .filter(col("kd") >= k).select(col("node"))
+        g = g
+          .join(broadcast(keep.withColumnRenamed("node", "a")), "a")
+          .join(broadcast(keep.withColumnRenamed("node", "b")), "b")
+          .localCheckpoint(true)
+        val n = g.count()
+        // a fixpoint makes every further round a no-op, so stopping here
+        // is exactly the oracle's round-$KcoreRounds state
+        stable = n == prev
+        prev = n
+        r += 1
+      }
+      val cd = g.select(col("a").as("node")).unionAll(g.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("cdeg"))
+      an.join(cd, Seq("node"), "left")
+        .select(
+          col("node"),
+          col("deg").cast("long").as("degree"),
+          when(col("cdeg").isNotNull, 1L).otherwise(0L).as("in_core"),
+          coalesce(col("cdeg"), lit(0L)).cast("long").as("core_degree"),
+          lit(k).as("k"))
+        .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore)
 }

@@ -115,4 +115,27 @@ class NewOpsSpec extends AnyFunSuite {
     assert(maxPairCos(ids.toSeq) <= maxPairCos(topk),
       "MMR set must be at least as diverse as relevance-only top-k")
   }
+
+  // ---- q_kcore ---------------------------------------------------------
+
+  test("k-core: every core member keeps >= k core-neighbors; non-members never do") {
+    // sf0.1 is the one fixture whose peel actually prunes (smaller SFs
+    // are complete co-supply graphs) — the property must hold on a
+    // non-trivial cascade, so this test pays the bigger read
+    val rows = GraphQueries.qKcore.run(spark, "/root/testdata/sf0.1").collect()
+    val k = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == k))
+    val (core, pruned) = rows.partition(_.getLong(2) == 1L)
+    assert(core.nonEmpty, "derived k must not empty the core at sf0.1")
+    assert(pruned.nonEmpty, "peel must actually prune at sf0.1 (k sits on the degeneracy)")
+    // defining property of the k-core: in-core degree >= k, and the core
+    // degree can only shrink relative to the full graph
+    core.foreach { r =>
+      assert(r.getLong(3) >= k, s"core node ${r.getLong(0)} has core_degree ${r.getLong(3)} < $k")
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+    pruned.foreach(r => assert(r.getLong(3) == 0L, "pruned nodes must report no core edges"))
+    // handshake: core degrees sum to an even number (each edge counted twice)
+    assert(core.map(_.getLong(3)).sum % 2 == 0)
+  }
 }
