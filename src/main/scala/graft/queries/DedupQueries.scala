@@ -976,8 +976,104 @@ object DedupQueries {
       .select(col("id1"), col("id2"), round(cos, 6).as("cos"))
   }
 
+  /** Duplicated-span window length (tokens). Any cross-document duplicate
+    * run of ≥ [[DupSpanW]] tokens is guaranteed to contain at least one
+    * shared window, so spans are found with single-token resolution at
+    * their interiors and ≤ W−1 token slack at the ends. */
+  val DupSpanW = 8
+
+  /** Duplicated-SPAN detection — the windowed-hash approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove repeated SPANS,
+    * not whole near-dup documents): hash every [[DupSpanW]]-token sliding
+    * window, keep windows whose content recurs in ≥2 DISTINCT documents,
+    * and merge each document's surviving window positions into maximal
+    * spans with a gaps-and-islands pass (consecutive start positions =
+    * one span; the span covers [start, last_start + W − 1]). Per doc:
+    * span count, duplicated-token total, longest span, and an EXACT
+    * parts-per-million duplicated fraction (integer arithmetic — no
+    * float rounding to diverge cross-engine).
+    *
+    * This catches what document-level dedup ([[qDedupSimhash]]) and
+    * whole-doc fingerprints miss: boilerplate paragraphs and quoted
+    * blocks inside otherwise-unique documents — the spans a span-level
+    * cleaner would cut.
+    *
+    * Scale design: windows are one row per corpus token keyed by a
+    * 16-byte md5 — the standard inverted-index shuffle, never all-pairs;
+    * the recurrence count is a partial-aggregated single-distinct
+    * groupBy (no Expand), and only recurring windows (a vanishing
+    * fraction) flow into the join back. The islands pass windows by
+    * doc_id — per-task state is one document's positions, bounded by doc
+    * length like every per-doc fold here. */
+  val qDupSpans: Q = Q.sql(
+    "q_dup_spans",
+    s"""WITH tok AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), wins AS (
+       |  SELECT doc_id, len(ts) AS n, unnest(generate_series(1, len(ts) - ${DupSpanW - 1})) AS i, ts
+       |  FROM tok WHERE len(ts) >= $DupSpanW
+       |), keyed AS (
+       |  SELECT doc_id, n, i,
+       |    md5(array_to_string(list_slice(ts, i, i + ${DupSpanW - 1}), ' ')) AS k
+       |  FROM wins
+       |), dup AS (
+       |  SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) >= 2
+       |), hits AS (
+       |  SELECT w.doc_id, w.n, w.i FROM keyed w JOIN dup USING (k)
+       |), isl AS (
+       |  SELECT doc_id, n, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM hits
+       |), spans AS (
+       |  SELECT doc_id, max(n) AS n, min(i) AS s, max(i) + ${DupSpanW - 1} AS e
+       |  FROM isl GROUP BY doc_id, grp
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span,
+       |  CAST((1000000 * sum(e - s + 1)) // max(n) AS BIGINT) AS dup_ppm
+       |FROM spans GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin,
+    doc = s"duplicated-span detection: shared $DupSpanW-token windows merged into maximal spans") {
+    (s, d) =>
+      val W = DupSpanW
+      val keyed = documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .filter(col("n") >= W)
+        .select(col("doc_id"), col("n"),
+          explode(transform(sequence(lit(1), col("n") - (W - 1)), i =>
+            struct(i.as("i"),
+              md5(concat_ws(" ", slice(col("ts"), i, lit(W)))).as("k")))).as("w"))
+        .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.k").as("k"))
+      val dup = keyed.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("k"))
+      val hits = keyed.join(dup, "k")
+      val isl = hits.withColumn("grp",
+        col("i") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      val spans = isl.groupBy(col("doc_id"), col("grp"))
+        .agg(max(col("n")).as("n"), min(col("i")).as("s"),
+          (max(col("i")) + (W - 1)).as("e"))
+      spans.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+          max(col("e") - col("s") + 1).cast("long").as("max_span"),
+          max(col("n")).cast("long").as("ntok"))
+        // integer `div`, matching the oracle's `//` — a double division
+        // here could truncate an exact quotient one off
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
+          expr("1000000L * dup_tokens div ntok").as("dup_ppm"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
-      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine)
+      qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
+      qDupSpans)
 }

@@ -138,4 +138,42 @@ class NewOpsSpec extends AnyFunSuite {
     // handshake: core degrees sum to an even number (each edge counted twice)
     assert(core.map(_.getLong(3)).sum % 2 == 0)
   }
+
+  // ---- q_dup_spans -----------------------------------------------------
+
+  test("dup spans: span totals equal an independent covered-position count") {
+    import graft.text.TextFunctions.tokens
+    val W = DedupQueries.DupSpanW
+    val out = DedupQueries.qDupSpans.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L) // n_spans
+      assert(r.getLong(3) >= W, "every span covers at least one full window") // max_span
+      assert(r.getLong(4) <= 1000000L) // dup_ppm
+    }
+    // independent algorithm: recompute duplicated windows from scratch and
+    // count each doc's UNION of covered token positions directly (the span
+    // merge must equal the position-set union by construction)
+    val keyed = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - (W - 1)), i =>
+          struct(i.as("i"),
+            md5(concat_ws(" ", slice(col("ts"), i, lit(W)))).as("k")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.k").as("k"))
+    val dupK = keyed.groupBy("k").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("k")
+    val covered = keyed.join(dupK, "k")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (W - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("cov"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == covered.keySet)
+    out.foreach { r =>
+      assert(r.getLong(2) == covered(r.getLong(0)),
+        s"doc ${r.getLong(0)}: span total ${r.getLong(2)} != covered ${covered(r.getLong(0))}")
+    }
+  }
 }
