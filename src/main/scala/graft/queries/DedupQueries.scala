@@ -1071,9 +1071,75 @@ object DedupQueries {
         .orderBy("doc_id")
   }
 
+  /** Sorted-neighborhood window (sorted-rank distance ≤ W−1 pairs up). */
+  val SnWindow = 4
+  /** Jaro-Winkler match threshold for the verify stage. */
+  val SnTau = 0.90
+
+  /** Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995, the
+    * merge/purge method) — the third candidate-generation strategy next
+    * to LSH bucketing ([[qDedupMinhash]]) and inverted-index prefix
+    * joins ([[qJaccardNgram]]): sort records by a normalized blocking
+    * key (here the first 24 alphanumeric chars of the lowercased text),
+    * pair each record with its ≤ [[SnWindow]]−1 successors in sort
+    * order, and verify candidates with Jaro-Winkler ≥ [[SnTau]]. Where
+    * LSH recall depends on hash luck and prefix joins on token overlap,
+    * sorted neighborhood catches the "same opening, small edits" family
+    * with exactly w−1 candidates per record — linear, tunable, and the
+    * classic choice for record linkage.
+    *
+    * Scale design: the global order comes from a distributed RANGE sort
+    * (`orderBy` = sampled range partitioning) plus one `zipWithIndex`
+    * pass for exact contiguous ranks — NOT a global row_number window
+    * (which would single-partition the corpus; lesson 10's foldable-key
+    * trap is the same failure). Neighbor pairing is ONE equi-join on the
+    * rank after exploding each record into its w−1 probe ranks — ranks
+    * are unique and uniform, so the join cannot skew. Only window pairs
+    * (w−1 per record) pay the O(len²) similarity. */
+  val qSortedNeighborhood: Q = Q.sql(
+    "q_sorted_neighborhood",
+    s"""WITH nk AS (
+       |  SELECT doc_id, text,
+       |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, text, row_number() OVER (ORDER BY k, doc_id) AS rk FROM nk
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap,
+       |  jaro_winkler_similarity(a.text, b.text) AS jw
+       |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + ${SnWindow - 1}
+       |WHERE jaro_winkler_similarity(a.text, b.text) >= $SnTau
+       |ORDER BY id1, id2""".stripMargin,
+    doc = s"sorted-neighborhood blocking (window $SnWindow) + Jaro-Winkler >= $SnTau verify") {
+    (s, d) =>
+      val nk = documents(s, d).select(col("doc_id"), col("text"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24).as("k"))
+      val ranked = s.createDataFrame(
+        nk.orderBy("k", "doc_id").rdd.zipWithIndex().map { case (row, i) =>
+          org.apache.spark.sql.Row(row.getLong(0), row.getString(1), i + 1L)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val probe = ranked.select(col("doc_id").as("id1"), col("text").as("t1"),
+        col("rk").as("rk0"),
+        explode(array((1 until SnWindow).map(o => col("rk") + o): _*)).as("rk"))
+      val jw = graft.expressions.JaroWinkler.jaroWinkler(col("t1"), col("t2"))
+      probe
+        .join(ranked.select(col("rk"), col("doc_id").as("id2"), col("text").as("t2")), "rk")
+        .filter(jw >= SnTau)
+        .select(col("id1"), col("id2"), (col("rk") - col("rk0")).cast("long").as("gap"),
+          jw.as("jw"))
+        .orderBy("id1", "id2")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
-      qDupSpans)
+      qDupSpans, qSortedNeighborhood)
 }
