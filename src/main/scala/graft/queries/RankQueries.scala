@@ -695,7 +695,79 @@ object RankQueries {
       .limit(CoocTopK)
   }
 
+  /** Exact PHRASE search over positional postings — the search-engine
+    * operator the df-only inverted index ([[qPostings]]) cannot answer:
+    * "the exact words, adjacent, in order". The phrase here is
+    * self-selected for determinism — the corpus's most frequent adjacent
+    * bigram (ties broken lexicographically) — and matching is the
+    * classic positional-adjacency join: occurrences of w1 equi-joined to
+    * occurrences of w2 on (doc, pos+1).
+    *
+    * Scale design: the postings frame (doc, pos, term) is built once
+    * (posexplode, no shuffle) and cached for its three consumers; the
+    * bigram count that picks the phrase is one (doc,pos)-keyed self-join
+    * + vocab²-bounded aggregation, the top-1 plans as
+    * TakeOrderedAndProject, and each phrase leg is an equi-join against
+    * the BROADCAST single-row phrase — so the match never shuffles the
+    * corpus on anything finer than (doc_id, pos). A longer phrase chains
+    * one more broadcast-filtered leg per word, same shape. */
+  val qPhraseSearch: Q = Q.sql(
+    "q_phrase_search",
+    s"""WITH tok AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), p AS (
+       |  SELECT doc_id, pt.pos AS pos, pt.term AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+       |      i -> struct_pack(pos := i, term := ts[i]))) AS pt
+       |    FROM tok) _e
+       |), big AS (
+       |  SELECT a.term AS w1, b.term AS w2, count(*) AS c
+       |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2
+       |), top1 AS (
+       |  SELECT w1, w2, w1 || ' ' || w2 AS phrase
+       |  FROM big ORDER BY c DESC, phrase LIMIT 1
+       |), hits AS (
+       |  SELECT p1.doc_id, p1.pos, top1.phrase
+       |  FROM p p1 JOIN top1 ON p1.term = top1.w1
+       |  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1 AND p2.term = top1.w2
+       |)
+       |SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM hits GROUP BY doc_id, phrase
+       |ORDER BY doc_id""".stripMargin,
+    doc = "positional-postings phrase search (top corpus bigram, adjacency equi-join)") {
+    (s, d) =>
+      val p = graft.ScratchCache.tracked(
+        documents(s, d)
+          .transform(graft.Tables.spread(s, _))
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term")))
+      // p fans out to the bigram self-join (both sides) and both phrase
+      // legs — materialize before the consumers race (NOTES lesson 11b)
+      p.count()
+      val big = p.as("a")
+        .join(p.as("b"),
+          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val top1 = big
+        .select(col("w1"), col("w2"), concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+          col("c"))
+        .orderBy(col("c").desc, col("phrase"))
+        .limit(1)
+        .select(col("w1"), col("w2"), col("phrase"))
+      val m1 = p.join(broadcast(top1), col("term") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("phrase"), col("w2"))
+      val m2 = p.select(col("doc_id").as("d2"), col("pos").as("p2"), col("term").as("t2"))
+      m1.join(m2,
+          col("d2") === col("doc_id") && col("p2") === col("pos") + 1 && col("t2") === col("w2"))
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
-      qPostings, qCooccurrence)
+      qPostings, qCooccurrence, qPhraseSearch)
 }
