@@ -1060,9 +1060,65 @@ object TimeSeriesQueries {
         .orderBy("event_type")
   }
 
+  /** Maximum autocorrelation lag. */
+  val AcfMaxLag = 6
+
+  /** Autocorrelation function (ACF) of each event-type series at lags
+    * 1..[[AcfMaxLag]] — the standard diagnostic for periodicity and decay
+    * structure (the input to Box-Jenkins order selection, and the natural
+    * companion to [[qSeasonal]]'s decomposition: a seasonal series shows
+    * an ACF spike at its period). ACF here is the Pearson correlation of
+    * the series with its k-step-lagged self over the (ts, event_id)
+    * total order.
+    *
+    * Scale design: ONE window pass computes all [[AcfMaxLag]] lag
+    * columns (the sort is paid once, per-series partitions), an in-row
+    * explode stacks them, and the correlations reduce in a single
+    * partial-aggregated co-moment pass — no self-join on row offsets,
+    * which would shuffle the fact table [[AcfMaxLag]] times. Per-series
+    * window partitions hold one series; for the few-massive-series
+    * regime the same co-moments compose over day segments (the
+    * [[qRangeFrame]] segmentation pattern) since every lag-k pair lies
+    * within a segment or one of k boundary rows. */
+  val qAcf: Q = Q.sql(
+    "q_acf", {
+      val legs = (1 to AcfMaxLag)
+        .map(k => s"SELECT event_type, $k AS lag, value, l$k AS lv FROM L")
+        .mkString(" UNION ALL ")
+      val lagCols = (1 to AcfMaxLag).map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")
+      s"""WITH L AS (
+         |  SELECT event_type, value, $lagCols
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         |)
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+         |  round(corr(value, lv), 6) AS acf, CAST(count(*) AS BIGINT) AS n
+         |FROM ($legs) _s
+         |WHERE lv IS NOT NULL
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+    },
+    doc = s"autocorrelation of each event-type series at lags 1..$AcfMaxLag (one window pass)") {
+    (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val lagged = events(s, d).select(
+        (col("event_type") +: col("value") +:
+          (1 to AcfMaxLag).map(k => lag(col("value"), k).over(w).as(s"l$k"))): _*)
+      lagged
+        .select(col("event_type"), col("value"),
+          explode(array((1 to AcfMaxLag).map(k =>
+            struct(lit(k).as("lag"), col(s"l$k").as("lv"))): _*)).as("x"))
+        .select(col("event_type"), col("x.lag").as("lag"), col("value"), col("x.lv").as("lv"))
+        .filter(col("lv").isNotNull)
+        .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+        .agg(round(corr(col("value"), col("lv")), 6).as("acf"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "lag")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport)
+      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf)
 }
