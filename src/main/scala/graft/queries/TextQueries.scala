@@ -997,10 +997,70 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Docs per novelty bucket (doc ids arrive in ingest order, so the
+    * bucket axis reads as "corpus growth"). */
+  val NoveltyBucket = 100
+
+  /** N-gram NOVELTY curve — the diversity-saturation diagnostic for a
+    * growing corpus (the "how much new text is each batch adding" number
+    * behind dataset-scaling decisions): a document's distinct trigrams
+    * are NOVEL if their global first occurrence (min doc_id) is this
+    * document; per [[NoveltyBucket]]-doc bucket, the novel share of all
+    * distinct-gram slots is reported in exact parts-per-million. A
+    * saturating corpus shows the ppm curve decaying toward the
+    * boilerplate floor; [[qRunningDistinct]] is the same idea for users,
+    * this is the content-level form.
+    *
+    * Scale design: gram → min(doc_id) is one partial-aggregated
+    * inverted-index shuffle (16-byte md5 keys would work too, but the
+    * gram string is needed for nothing else, so it ships once); the
+    * verdict joins back on the gram; everything after is integer sums.
+    * No windows, no sorting beyond the bucket output. */
+  val qNgramNovelty: Q = Q.sql(
+    "q_ngram_novelty",
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS g FROM documents
+       |), fo AS (
+       |  SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g
+       |), per_doc AS (
+       |  SELECT dg.doc_id,
+       |    count(*) AS n_grams,
+       |    sum(CASE WHEN fo.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS novel
+       |  FROM dg JOIN fo USING (g) GROUP BY dg.doc_id
+       |)
+       |SELECT doc_id // $NoveltyBucket AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(novel) AS BIGINT) AS novel_grams,
+       |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       |  CAST((1000000 * sum(novel)) // sum(n_grams) AS BIGINT) AS novelty_ppm
+       |FROM per_doc GROUP BY 1
+       |ORDER BY bucket""".stripMargin,
+    doc = s"trigram novelty curve per $NoveltyBucket-doc bucket (first-occurrence share, exact ppm)") {
+    (s, d) =>
+      val dg = documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), explode(shinglesOf(col("w"))).as("g"))
+        .distinct()
+      val fo = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = dg.join(fo, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      perDoc
+        .groupBy(expr(s"doc_id div $NoveltyBucket").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("novel")).cast("long").as("novel_grams"),
+          sum(col("n_grams")).cast("long").as("total_grams"))
+        .select(col("bucket"), col("n_docs"), col("novel_grams"), col("total_grams"),
+          expr("1000000L * novel_grams div total_grams").as("novelty_ppm"))
+        .orderBy("bucket")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain)
+      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty)
 }
