@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered verifiable queries, grouped by domain. */
   def registry: Seq[Q] =
-    CoreQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all ++
+    CoreQueries.all ++ StarQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all ++
       TextQueries.all ++ RankQueries.all ++ StatsQueries.all ++
       PrepQueries.all ++ LayoutQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ ExtraQueries.all ++ GraphQueries.all

@@ -1137,9 +1137,65 @@ object DedupQueries {
         .orderBy("id1", "id2")
   }
 
+  /** Survivorship — the step AFTER candidate grouping that every dedup
+    * deployment needs: inside each duplicate block, elect ONE canonical
+    * record by an explicit quality policy (here: longest text, ties to
+    * the smallest doc_id) instead of [[qDedupExact]]'s arbitrary
+    * keep-first. Blocks are shared-prefix hashes (the corpus's near-dups
+    * share 64-char prefixes but differ in length, so exact-hash groups
+    * would all be singletons); the policy metadata (member count, elected
+    * id, its length, distinct sources feeding the block) is the merge
+    * audit record.
+    *
+    * Scale design: ONE hash shuffle on the block key; the election is
+    * `max(struct(quality, -id))` — an ordinary map-side-combined
+    * aggregate, NOT a per-block window sort (no row buffering; the
+    * mixed count(DISTINCT source) adds Spark's Expand ×2 over this one
+    * aggregation, the cheapest exact form). The oracle replays the
+    * election as a row_number window. */
+  val qSurvivorship: Q = Q.sql(
+    "q_survivorship",
+    """WITH b AS (
+      |  SELECT doc_id, n_chars, source, md5(substr(text, 1, 64)) AS block FROM documents
+      |), r AS (
+      |  SELECT block, doc_id, n_chars, source,
+      |    row_number() OVER (PARTITION BY block ORDER BY n_chars DESC, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY block) AS c
+      |  FROM b
+      |)
+      |SELECT block,
+      |  CAST(max(c) AS BIGINT) AS group_n,
+      |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+      |  CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM r
+      |GROUP BY block
+      |HAVING max(c) > 1
+      |ORDER BY block""".stripMargin,
+    doc = "dedup survivorship: per-block canonical election by quality, one aggregation") {
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"), col("n_chars"), col("source"),
+          md5(substring(col("text"), 1, 64)).as("block"))
+        .groupBy(col("block"))
+        .agg(
+          count(lit(1)).as("group_n"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("group_n") > 1)
+        .select(
+          col("block"),
+          col("group_n").cast("long").as("group_n"),
+          (-col("m.negid")).cast("long").as("keep_id"),
+          col("m.n_chars").cast("long").as("keep_chars"),
+          col("n_sources").cast("long").as("n_sources"))
+        .orderBy("block")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
-      qDupSpans, qSortedNeighborhood)
+      qDupSpans, qSortedNeighborhood, qSurvivorship)
 }

@@ -319,5 +319,85 @@ object GraphQueries {
         .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore)
+  /** Walk length for [[qRandomWalk]] (3 hops → 4-node walks, the short
+    * end of node2vec's typical 3–80 range — enough to exercise the
+    * per-step plan shape without bloating the gate). */
+  val WalkSteps = 3
+
+  /** Step-seeded edge hash for [[qRandomWalk]] — shared arithmetic between
+    * engines: pure BIGINT multiply-add mod a prime, so both compute the
+    * identical value (multipliers sized so suppkeys up to ~1e12 cannot
+    * overflow int64). */
+  private def walkHashSql(src: String, dst: String, step: Int): String =
+    s"(CAST($src AS BIGINT) * 1103515 + CAST($dst AS BIGINT) * 2654435 + $step * 97) % 1000003"
+
+  /** Hash-seeded random walks over the co-supply graph — the corpus
+    * generator for graph-embedding training (DeepWalk, Perozzi 2014;
+    * node2vec, Grover 2016): from every node, [[WalkSteps]] hops, each
+    * hop choosing the neighbor minimizing a step-seeded hash. A real
+    * deployment swaps the hash for a seeded PRNG with the same shape;
+    * keeping it a pure arithmetic hash makes the walk bit-deterministic,
+    * so the gate hash-proves the whole distributed pipeline.
+    *
+    * Scale design: the hop-i choice depends only on (current node, step),
+    * so each step's transition table — argmin over each node's neighbors
+    * — is computed ONCE per step as a map-side-combined `min(struct(h,
+    * dst))` aggregation over the edge list (never a per-walk window,
+    * never a walk × edge shuffle of fanout degree). The walk table then
+    * chains [[WalkSteps]] equi-joins against these node-bounded
+    * transition tables, each shuffling walk rows on the current-node key
+    * (broadcast when the graph is small enough, as here). The oracle
+    * replays the same argmin with row_number windows. */
+  val qRandomWalk: Q = Q.sql(
+    "q_random_walk", {
+      val steps = (1 to WalkSteps).map { i =>
+        s"""b$i AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY ${walkHashSql("src", "dst", i)}, dst) AS rn
+           |    FROM sym) _r$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 to WalkSteps).map { i =>
+        val prev = if (i == 1) "nodes.n0" else s"b${i - 1}.dst"
+        s"JOIN b$i ON b$i.src = $prev"
+      }.mkString("\n")
+      val outs = (1 to WalkSteps).map(i => s"b$i.dst AS n$i").mkString(", ")
+      s"""WITH e AS (
+         |$coSupplyEdgesSql
+         |), sym AS (
+         |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+         |), nodes AS (
+         |  SELECT DISTINCT src AS n0 FROM sym
+         |),
+         |$steps
+         |SELECT n0, $outs
+         |FROM nodes
+         |$joins
+         |ORDER BY n0""".stripMargin
+    },
+    doc = s"deterministic $WalkSteps-hop random walks (DeepWalk corpus) on the co-supply graph") {
+    (s, d) =>
+      val e = graft.ScratchCache.tracked(coSupplyEdges(s, d))
+      e.count() // materialize before the fan-out (NOTES lesson 11b)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      def h(step: Int) =
+        (col("src").cast("long") * 1103515L + col("dst").cast("long") * 2654435L +
+          lit(step * 97L)) % 1000003L
+      // per-step transition table: one aggregation over the edge list;
+      // min(struct) combines map-side, ties break on dst inside the struct
+      def best(step: Int) = sym
+        .groupBy(col("src"))
+        .agg(min(struct(h(step).as("h"), col("dst"))).as("m"))
+        .select(col("src"), col("m.dst").as(s"n$step"))
+      val nodes = sym.select(col("src").as("n0")).distinct()
+      (1 to WalkSteps)
+        .foldLeft(nodes) { (walk, i) =>
+          val prev = if (i == 1) "n0" else s"n${i - 1}"
+          walk.join(broadcast(best(i)), col(prev) === col("src")).drop("src")
+        }
+        .orderBy("n0")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk)
 }

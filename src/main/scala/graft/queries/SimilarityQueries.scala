@@ -1128,7 +1128,90 @@ object SimilarityQueries {
         .orderBy("step")
   }
 
+  /** Candidate pool per query for [[qAnnRefine]]'s exact-rerank phase. */
+  val RefineC = 32
+
+  /** Two-phase quantized scan + exact rerank — the standard production
+    * ANN serving shape (coarse pass over compressed vectors, exact pass
+    * over a small candidate pool; e.g. ScaNN, Guo 2020): phase 1 scores
+    * every vector against each query with the INT8 scalar-quantized dot
+    * product ([[qEmbedQuantize]]'s encoding — 4× less memory traffic,
+    * SIMD-friendly integer math at scale) and keeps the top
+    * [[RefineC]] candidates; phase 2 reranks only those with the exact
+    * float cosine and keeps the top [[TopK]].
+    *
+    * Determinism: quantized codes are integral doubles (|Σ terms| ≤
+    * 64·127² ≪ 2⁵³), so the coarse scores are exact on both engines in
+    * any summation order; the refine cosine reuses the bit-identical
+    * position-ordered dot. Both rank edges tie-break on vec_id.
+    *
+    * Scale design: the corpus-sized work is ONE narrow scan of the
+    * quantized codes with the 16-row query side broadcast; the rank is a
+    * per-query top-C (WindowGroupLimit pushes the limit before the full
+    * sort); the exact phase touches |queries|·C rows — invariant to
+    * corpus growth. */
+  val qAnnRefine: Q = {
+    val qdSql =
+      "list_transform(v, x -> round(x * (127.0 / list_max(list_transform(v, y -> abs(y))))))"
+    def qdotSql(a: String, b: String) =
+      (0 until Dim).map(i => s"$a.qd[${i + 1}] * $b.qd[${i + 1}]").mkString(" + ")
+    Q.sql(
+      "q_ann_refine",
+      s"""WITH vecs AS ($vecsSqlNested),
+         |qz AS (SELECT vec_id, v, nrm, $qdSql AS qd FROM vecs),
+         |cand AS (
+         |  SELECT q_id, n_id, ascore, rn_c FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      CAST(${qdotSql("q", "c")} AS BIGINT) AS ascore,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${qdotSql("q", "c")} DESC, c.vec_id) AS rn_c
+         |    FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NumQueries) t
+         |  WHERE rn_c <= $RefineC)
+         |SELECT q_id, n_id, rn, ascore, cos FROM (
+         |  SELECT cand.q_id, cand.n_id, cand.ascore,
+         |    $cosSql AS cos,
+         |    CAST(row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY $cosSql DESC, cand.n_id) AS BIGINT) AS rn
+         |  FROM cand
+         |  JOIN vecs q ON q.vec_id = cand.q_id
+         |  JOIN vecs c ON c.vec_id = cand.n_id) r
+         |WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin,
+      doc = s"two-phase ANN: int8-quantized coarse top-$RefineC, exact cosine rerank top-$TopK") {
+      (s, d) =>
+        // quantized + float vectors in one frame; 4 consumers (both coarse
+        // sides, both refine sides) → scratch-cache and materialize first
+        // (NOTES lesson 11b)
+        val absmax = aggregate(transform(col("v"), y => abs(y)), lit(0.0), (a, y) => greatest(a, y))
+        val qz = graft.ScratchCache.tracked(
+          vecs(s, d)
+            .withColumn("am", absmax)
+            .withColumn("qd", transform(col("v"), x => round(x * (lit(127.0) / col("am")))))
+            .drop("am"))
+        qz.count()
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("n_id"))
+        val cand = broadcast(qz.filter(col("vec_id") < NumQueries).as("q"))
+          .join(qz.as("c"), col("c.vec_id") =!= col("q.vec_id"))
+          .select(
+            col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            graft.expressions.VectorOps.dot(col("q.qd"), col("c.qd")).as("ascore"))
+          .withColumn("rn_c", row_number().over(wc))
+          .filter(col("rn_c") <= RefineC)
+          .select(col("q_id"), col("n_id"), col("ascore").cast("long").as("ascore"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        cand
+          .join(broadcast(qz.as("q")), col("q.vec_id") === col("q_id"))
+          .join(qz.as("c"), col("c.vec_id") === col("n_id"))
+          .select(col("q_id"), col("n_id"), col("ascore"), cosCol.as("cos"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .filter(col("rn") <= TopK)
+          .select("q_id", "n_id", "rn", "ascore", "cos")
+          .orderBy("q_id", "rn")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
-      qSemDedup, qRandomProjection, qMmrSelect)
+      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine)
 }

@@ -1116,8 +1116,94 @@ object TimeSeriesQueries {
         .orderBy("event_type", "lag")
   }
 
+  /** Peak concurrent sessions per day — the sweep-line interval-overlap
+    * aggregate (count running sessions at every boundary, take the daily
+    * max) behind capacity planning and license-peak reporting. Sessions
+    * are the [[qSessionize]] 30-minute-gap intervals; each contributes a
+    * +1 boundary at its start and a −1 at its end (end INCLUSIVE: at an
+    * identical timestamp starts order before ends via `delta DESC`, so a
+    * session ending exactly when another starts counts as overlap). The
+    * daily peak always lands on a +1 boundary, so sweeping boundaries
+    * only is exact; a day whose sessions all span it without a boundary
+    * inside produces no row (defined out of scope, not a miss).
+    *
+    * Scale design — the global running sum is decomposed as a TWO-LEVEL
+    * prefix sum (the [[qGapReport]] segmentation idea applied to prefix
+    * aggregation): a day-partitioned local running sum plus a broadcast
+    * per-day carry (cumulative sum of whole-day deltas over the tiny
+    * day-totals table — the only unpartitioned window, #days rows). No
+    * single-partition sweep over the boundary stream ever runs; a
+    * billion-boundary day recurses the same trick to hours. The oracle
+    * replays the mathematically-equal single global window. */
+  val qConcurrency: Q = Q.sql(
+    "q_concurrency",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), ivl AS (
+      |  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      |  FROM sess GROUP BY user_id, session_id
+      |), b AS (
+      |  SELECT s AS ts, 1 AS delta FROM ivl
+      |  UNION ALL
+      |  SELECT e AS ts, -1 AS delta FROM ivl
+      |), run AS (
+      |  SELECT ts, delta,
+      |    sum(delta) OVER (ORDER BY ts, delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM b
+      |)
+      |SELECT date_trunc('day', ts) AS day,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_started
+      |FROM run GROUP BY day ORDER BY day""".stripMargin,
+    doc = "daily peak concurrent sessions: sweep line as a two-level prefix sum") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagTs = lag(col("ts"), 1).over(w)
+    val sess = events(s, d)
+      .withColumn(
+        "new_session",
+        when(lagTs.isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(lagTs) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val b = sess.select(col("s").as("ts"), lit(1).as("delta"))
+      .unionAll(sess.select(col("e").as("ts"), lit(-1).as("delta")))
+      .withColumn("day", date_trunc("day", col("ts")))
+    // level 1: whole-day delta totals → cumulative carry over the tiny
+    // per-day table (the one unpartitioned window, #days rows)
+    val wDay = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = b.groupBy(col("day")).agg(sum(col("delta")).as("dtot"))
+      .withColumn("carry", coalesce(sum(col("dtot")).over(wDay), lit(0L)))
+      .select(col("day"), col("carry"))
+    // level 2: day-partitioned local running sum; starts before ends at
+    // an identical timestamp (delta DESC) = inclusive-end overlap
+    val wIn = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(carry), "day")
+      .withColumn("conc", col("carry") + sum(col("delta")).over(wIn))
+      .groupBy(col("day"))
+      .agg(
+        max(col("conc")).cast("long").as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).cast("long").as("n_sessions_started"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
-    Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize,
+    Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf)

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.GraftSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the round-7 operators beyond their DuckDB hash gates:
+  * each asserts the property the operator exists for, so a refactor that
+  * keeps both engines wrong in the same way still fails here.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]")
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q_concurrency ---------------------------------------------------
+
+  test("concurrency: two-level prefix sweep equals the single-window global sweep") {
+    // recompute the daily peak with ONE global running sum (the plan the
+    // decomposition must equal exactly, only viable at toy scale)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagTs = lag(col("ts"), 1).over(w)
+    val sess = graft.Tables.events(spark, sf)
+      .withColumn(
+        "new_session",
+        when(lagTs.isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(lagTs) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val b = sess.select(col("s").as("ts"), lit(1).as("delta"))
+      .unionAll(sess.select(col("e").as("ts"), lit(-1).as("delta")))
+    val wg = Window.orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = b.withColumn("conc", sum(col("delta")).over(wg))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("conc")).cast("long").as("peak_concurrency"))
+    val got = TimeSeriesQueries.qConcurrency.run(spark, sf)
+      .select("day", "peak_concurrency")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+      "two-level decomposition must equal the global sweep")
+    // a sweep that never goes negative and a peak of at least 1 per day
+    val peaks = got.collect().map(_.getLong(1))
+    assert(peaks.nonEmpty && peaks.forall(_ >= 1))
+  }
+
+  // ---- q_random_walk ---------------------------------------------------
+
+  test("random walk: every hop follows a real co-supply edge and covers all nodes") {
+    val walks = GraphQueries.qRandomWalk.run(spark, sf).collect()
+    assert(walks.nonEmpty)
+    // rebuild the symmetric edge set independently (simple self-join form)
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val e = li.as("x").join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .agg(countDistinct(col("x.l_orderkey")).as("n"))
+      .filter(col("n") >= GraphQueries.TriMinShared)
+      .select("a", "b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val nodes = e.map(_._1)
+    assert(walks.length == nodes.size, "one walk per node with outgoing edges")
+    walks.foreach { r =>
+      val hops = (0 until 3).map(i => (r.getLong(i), r.getLong(i + 1)))
+      hops.foreach(h => assert(e.contains(h), s"hop $h is not an edge"))
+    }
+  }
+
+  // ---- q_survivorship --------------------------------------------------
+
+  test("survivorship: elected doc is a block member with maximal length, min id on ties") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), md5(substring(col("text"), 1, 64)).as("block"))
+      .collect().groupBy(_.getString(2))
+    val out = DedupQueries.qSurvivorship.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val members = docs(r.getString(0))
+      assert(members.length == r.getLong(1), "group_n must count the block")
+      val best = members.sortBy(m => (-m.getLong(1), m.getLong(0))).head
+      assert(r.getLong(2) == best.getLong(0), "keep_id must be the quality argmax")
+      assert(r.getLong(3) == best.getLong(1))
+    }
+  }
+
+  // ---- q_ann_refine ----------------------------------------------------
+
+  test("ann refine: int8 coarse pass + exact rerank recovers exact top-k with high recall") {
+    val exact = SimilarityQueries.qEmbedTopk.run(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = SimilarityQueries.qAnnRefine.run(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.size == exact.size)
+    val recall = (exact & refined).size.toDouble / exact.size
+    // int8 quantization distorts the coarse ranking only marginally; the
+    // 32-candidate pool should recover nearly every exact neighbor. The
+    // bound is a regression tripwire, not a tuned number.
+    assert(recall >= 0.9, s"refine recall $recall < 0.9 — candidate pool too lossy")
+  }
+}
