@@ -46,6 +46,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     if (!new java.io.File(s"$dir/lineitem.parquet").exists()) build(spark, base, dir, factor)
+    // events replication arrived after the corpus cache existed: top up
+    if (!new java.io.File(s"$dir/events.parquet").exists()) buildEvents(spark, base, dir, factor)
 
     // max-over-tasks peak execution memory (unsafe shuffle/agg/join
     // memory a task held at once), straight from task metrics
@@ -85,7 +87,17 @@ object ScaleProbe {
       // 9-column aggregation — wall time should track the corpus scan
       "q_linear_probe" -> (() => reg("q_linear_probe").run(spark, dir)),
       // coarse-cell prune + code-only ADC scan at 10x corpus
-      "q_ivfpq" -> (() => reg("q_ivfpq").run(spark, dir)))
+      "q_ivfpq" -> (() => reg("q_ivfpq").run(spark, dir)),
+      // N disjoint replica graphs: per-step transition tables and walks
+      // both scale xN; the argmin aggregation must stay map-side combined
+      "q_random_walk" -> (() => reg("q_random_walk").run(spark, dir)),
+      // replicas shift time (xN days) AND users (xN sessions/day): both
+      // levels of the two-level prefix sweep grow — the day-carry window
+      // stays tiny (#days) and no task may buffer more than a day-shard
+      "q_concurrency" -> (() => reg("q_concurrency").run(spark, dir)),
+      // int8 coarse scan is corpus xN against the same 16 queries; the
+      // refine stage stays invariant (|queries| x pool)
+      "q_ann_refine" -> (() => reg("q_ann_refine").run(spark, dir)))
     pipelines.foreach { case (name, run) =>
       spark.catalog.clearCache()
       ScratchCache.releaseAll()
@@ -132,5 +144,24 @@ object ScaleProbe {
       .drop("i")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     println(s"SCALE built $dir at ${factor}x")
+  }
+
+  /** `events` ×N: users offset per replica AND the clock shifted 64 days
+    * per replica — sessions/users/day-count all scale ×N with each
+    * replica's intra-day session structure preserved exactly (a same-day
+    * overlay would instead pile N× sessions into the SAME days, which
+    * also stresses the sweep but destroys the per-day comparison). */
+  private def buildEvents(spark: SparkSession, base: String, dir: String, factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("i"))
+    val off = lit(10000000L) * col("i")
+    Tables.events(spark, base)
+      .crossJoin(reps)
+      .select(
+        (col("event_id") + off).as("event_id"),
+        expr("timestampadd(DAY, i * 64, ts)").as("ts"),
+        (col("user_id") + off).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"SCALE built $dir/events.parquet at ${factor}x")
   }
 }

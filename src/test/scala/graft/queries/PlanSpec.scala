@@ -399,4 +399,66 @@ class PlanSpec extends AnyFunSuite {
       "rk<=k must cap the vocabulary sort before the global merge")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_returned_customers: pushed filters + broadcast dims + top-k, no global sort") {
+    val p = plan(StarQueries.qReturnedCustomers)
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag must reach the lineitem scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date slice must reach the orders scan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT over the aggregate must be per-partition top-k")
+  }
+
+  test("q_market_share: part filter pushed; every dim broadcast; no cartesian") {
+    val p = plan(StarQueries.qMarketShare)
+    assert(p.contains("EqualTo(p_type,STANDARD)"), "p_type filter must reach the part scan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_big_orders: HAVING-IN plans a semi join against the aggregated fact") {
+    val p = plan(StarQueries.qBigOrders)
+    assert(p.contains("LeftSemi"), "o_orderkey IN (...HAVING...) must be a left-semi join")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_part_variety: NOT IN plans an anti join, sizes pushed to the part scan") {
+    val p = plan(StarQueries.qPartVariety)
+    assert(p.contains("LeftAnti"), "NOT IN over non-null keys must plan an anti join")
+    assert(p.contains("In(p_size"), "size set must reach the part scan")
+  }
+
+  test("q_concurrency: the boundary sweep windows by day — only the tiny day-carry is global") {
+    val df = TimeSeriesQueries.qConcurrency.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every Window over the boundary stream must carry the day partition
+    // key; exactly one unpartitioned window is allowed (the #days-row
+    // carry cumsum) plus the per-user sessionize windows
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.count(l => !l.contains("user_id") && !l.contains("day"))
+    assert(unpartitioned == 0,
+      s"every sweep window must partition on user_id or day:\n${windows.mkString("\n")}")
+  }
+
+  test("q_ann_refine: coarse rank caps per query; quantized dot stays codegen'd") {
+    val df = SimilarityQueries.qAnnRefine.run(spark, sf)
+    df.collect()
+    graft.ScratchCache.releaseAll()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "rn_c <= C must push a group limit below the per-query rank sort")
+    assert(p.contains("dot_product"), "coarse scores must use the codegen dot kernel")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_random_walk: transition choice is an aggregate, not a per-walk window") {
+    val df = GraphQueries.qRandomWalk.run(spark, sf)
+    df.collect()
+    graft.ScratchCache.releaseAll()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"),
+      "argmin per node must be min(struct) aggregation — no window over the edge list")
+    assert(p.contains("BroadcastHashJoin"), "walks chain broadcast joins on the current node")
+  }
 }
