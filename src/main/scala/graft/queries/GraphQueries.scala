@@ -292,6 +292,12 @@ object GraphQueries {
       var prev = m
       var r = 0
       var stable = false
+      // ONE peel round per checkpoint+count: unlike ConnectedComponents'
+      // two-rounds-per-probe cadence, batching rounds here LOSES — the
+      // second round's keep-set derives from the un-materialized first
+      // round, so the first peel evaluates twice (broadcast build + probe
+      // side); measured 6.1 s vs 5.0 s at sf0.1. The degree aggregate
+      // forces a materialization point per round.
       while (r < KcoreRounds && !stable) {
         val keep = g.select(col("a").as("node")).unionAll(g.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("kd"))
@@ -340,14 +346,15 @@ object GraphQueries {
     * so the gate hash-proves the whole distributed pipeline.
     *
     * Scale design: the hop-i choice depends only on (current node, step),
-    * so each step's transition table — argmin over each node's neighbors
-    * — is computed ONCE per step as a map-side-combined `min(struct(h,
-    * dst))` aggregation over the edge list (never a per-walk window,
-    * never a walk × edge shuffle of fanout degree). The walk table then
-    * chains [[WalkSteps]] equi-joins against these node-bounded
-    * transition tables, each shuffling walk rows on the current-node key
-    * (broadcast when the graph is small enough, as here). The oracle
-    * replays the same argmin with row_number windows. */
+    * so ALL [[WalkSteps]] transition tables — argmin over each node's
+    * neighbors, one per step — come out of a SINGLE map-side-combined
+    * aggregation over the edge list (`min(struct(h_i, dst))` per step in
+    * one groupBy: one edge shuffle total, never a per-walk window, never
+    * a walk × edge shuffle of fanout degree). The walk table then chains
+    * [[WalkSteps]] equi-joins against these node-bounded transition
+    * tables, each shuffling walk rows on the current-node key (broadcast
+    * when the graph is small enough, as here). The oracle replays the
+    * same argmin with row_number windows. */
   val qRandomWalk: Q = Q.sql(
     "q_random_walk", {
       val steps = (1 to WalkSteps).map { i =>
@@ -384,13 +391,20 @@ object GraphQueries {
       def h(step: Int) =
         (col("src").cast("long") * 1103515L + col("dst").cast("long") * 2654435L +
           lit(step * 97L)) % 1000003L
-      // per-step transition table: one aggregation over the edge list;
-      // min(struct) combines map-side, ties break on dst inside the struct
-      def best(step: Int) = sym
-        .groupBy(col("src"))
-        .agg(min(struct(h(step).as("h"), col("dst"))).as("m"))
-        .select(col("src"), col("m.dst").as(s"n$step"))
-      val nodes = sym.select(col("src").as("n0")).distinct()
+      // ALL per-step transition tables from one aggregation pass over the
+      // edge list (one shuffle; min(struct) combines map-side, ties break
+      // on dst inside the struct) — scratch-cached for its WalkSteps join
+      // consumers and materialized before the fan-out (NOTES lesson 11b)
+      val trans = graft.ScratchCache.tracked(
+        sym
+          .groupBy(col("src"))
+          .agg(
+            (1 to WalkSteps).map(i => min(struct(h(i).as("h"), col("dst"))).as(s"m$i")).head,
+            (2 to WalkSteps).map(i => min(struct(h(i).as("h"), col("dst"))).as(s"m$i")): _*))
+      trans.count()
+      def best(step: Int) =
+        trans.select(col("src"), col(s"m$step.dst").as(s"n$step"))
+      val nodes = trans.select(col("src").as("n0"))
       (1 to WalkSteps)
         .foldLeft(nodes) { (walk, i) =>
           val prev = if (i == 1) "n0" else s"n${i - 1}"

@@ -168,7 +168,39 @@ object StarQueries {
     "TPC-H Q18 shape: semi join against a HAVING aggregate + top-k",
     "customer", "orders", "lineitem")
 
+  /** TPC-H Q6 shape — the forecast-revenue-change scan: a pure
+    * filter-and-sum whose every predicate (date range, discount band,
+    * quantity cap) must reach the parquet scan as a pushed filter — at
+    * 100 TB this query is row-group pruning or it is nothing. No join,
+    * no shuffle beyond the single-row aggregate merge. */
+  val qRevenueScan: Q = sqlQ(
+    "q_revenue_scan",
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2)) * CAST(l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_discount >= 0.05 AND l.l_discount <= 0.07 AND l.l_quantity < 24""".stripMargin,
+    "TPC-H Q6 shape: pure pushed-predicate scan + single aggregate",
+    "lineitem")
+
+  /** TPC-H Q19 shape — disjunctive mixed-table predicates (OR of ANDs
+    * spanning both part and lineitem columns). The planner must still
+    * push the COMMON implied part of each disjunct: Catalyst extracts
+    * `p_brand IN (...)` / `p_size <= 35` / quantity bounds toward the
+    * scans while the full disjunction evaluates post-join — the filter
+    * shape naive pushdown gives up on. */
+  val qBrandRevenue: Q = sqlQ(
+    "q_brand_revenue",
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size <= 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size <= 35 AND l.l_quantity >= 20 AND l.l_quantity <= 40)""".stripMargin,
+    "TPC-H Q19 shape: disjunctive two-table predicate with common-factor pushdown",
+    "lineitem", "part")
+
   val all: Seq[Q] = Seq(
     qMarketShare, qReturnedCustomers, qImportantParts, qPromoShare,
-    qPartVariety, qBigOrders)
+    qPartVariety, qBigOrders, qRevenueScan, qBrandRevenue)
 }

@@ -48,7 +48,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bpe_train",       // iterative merge training, zero words
     "q_decontaminate",   // broadcast eval grams, empty corpus
     "q_zorder",          // layout clustering of nothing
-    "q_dq_audit")        // constraint battery over empty tables
+    "q_dq_audit",        // constraint battery over empty tables
+    "q_kcore",           // iterative peel with |V| = 0 (k derives 0/0)
+    "q_random_walk",     // walks from an empty transition table
+    "q_concurrency",     // two-level sweep with no boundaries
+    "q_ann_refine",      // coarse+refine with zero queries and corpus
+    "q_important_parts", // group-vs-global threshold with empty total
+    "q_survivorship")    // canonical election over zero blocks
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -452,6 +452,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // the default plan toString elides long PushedFilters lists; the
+  // formatted mode prints them in full
+  private def formattedPlan(q: Q): String =
+    q.run(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_revenue_scan: every predicate reaches the parquet scan; no shuffle join") {
+    val p = formattedPlan(StarQueries.qRevenueScan)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date lower bound must push")
+    assert(p.contains("LessThan(l_shipdate"), "date upper bound must push")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), "discount band must push")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity cap must push")
+    assert(!p.contains("Join"), "Q6 is a scan + aggregate — no join belongs in this plan")
+  }
+
+  test("q_brand_revenue: disjunction's common factors still push to the scans") {
+    val p = formattedPlan(StarQueries.qBrandRevenue)
+    // Catalyst must extract the implied per-table predicates from the OR
+    // of ANDs: the brand/size disjunction pushes whole to the part scan,
+    // the quantity disjunction whole to the lineitem scan — even though
+    // the cross-table disjunction re-evaluates at the join
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#1)"),
+      "per-part disjunction must push to the part scan")
+    assert(p.contains("And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,20.0))"),
+      "per-lineitem quantity disjunction must push to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q_random_walk: transition choice is an aggregate, not a per-walk window") {
     val df = GraphQueries.qRandomWalk.run(spark, sf)
     df.collect()
