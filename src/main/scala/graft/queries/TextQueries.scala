@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.Tables._
 import graft.text.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -1057,10 +1059,74 @@ object TextQueries {
         .orderBy("bucket")
   }
 
+  /** Zipf-fit corpus diagnostic — the slope of ln(freq) over ln(rank) on
+    * each language's top terms: natural text sits near −1 (Zipf 1949);
+    * a flat slope flags templated/synthetic text, a steep one a
+    * degenerate vocabulary. The standard one-number sanity check run
+    * before trusting a crawl slice.
+    *
+    * Determinism: ln values quantize to 1e-9 fixed point as int64 (the
+    * q_bigram_lm NLL pattern — integer addition associates, so the
+    * regression's ΣX/ΣY/ΣXY/ΣX² are exact DECIMAL sums in any partition
+    * order), and the slope is one division of two exactly-summed
+    * integers cast to double. Scale: term counts are one inverted-index
+    * shuffle; the rank window runs per language over the vocabulary-
+    * bounded count frame, capped at 100 rows each. */
+  val qZipfFit: Q = Q.sql(
+    "q_zipf_fit",
+    s"""WITH tok AS (SELECT lang, unnest($tokensSql) AS t FROM documents),
+       |tc AS (SELECT lang, t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY 1, 2),
+       |rk AS (SELECT lang, t, cnt,
+       |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS r FROM tc),
+       |q AS (SELECT lang, t, r,
+       |  CAST(round(ln(r) * 1000000000) AS BIGINT) AS x,
+       |  CAST(round(ln(cnt) * 1000000000) AS BIGINT) AS y
+       |  FROM rk WHERE r <= 100),
+       |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+       |  max(CASE WHEN r = 1 THEN t END) AS top_term,
+       |  sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |  sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy, sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+       |  FROM q GROUP BY lang)
+       |SELECT lang, n_terms, top_term,
+       |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+       |    / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0), 6) AS zipf_slope
+       |FROM s ORDER BY lang""".stripMargin,
+    doc = "Zipf slope per language: fixed-point ln regression over top-100 term ranks") {
+    (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t"))
+      val quant = (c: Column) => round(log(c) * 1e9).cast("long")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("lang"), col("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .select(
+          col("lang"), col("t"), col("r"),
+          quant(col("r")).as("x"), quant(col("cnt")).as("y"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_terms"),
+          max(when(col("r") === 1, col("t"))).as("top_term"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * col("y")).as("sxy"), sum(dec(col("x")) * col("x")).as("sxx"))
+        .select(
+          col("lang"), col("n_terms"), col("top_term"),
+          round(
+            (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              nullif((col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"), lit(0)),
+            6).as("zipf_slope"))
+        .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty)
+      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
+      qZipfFit)
 }
