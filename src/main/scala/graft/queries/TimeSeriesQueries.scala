@@ -1202,9 +1202,54 @@ object TimeSeriesQueries {
       .orderBy("day")
   }
 
+  /** Last-touch attribution — for every purchase, the user's most recent
+    * preceding non-purchase event claims the conversion (the marketing
+    * default; first-touch is the same window with `first`). One
+    * user-keyed window pass (`last IGNORE NULLS` over the strictly-
+    * preceding frame — the carry-forward idiom the status gate and
+    * q_gapfill already pin) + one aggregation; purchases with no prior
+    * touch report as 'none', and gaps accumulate as exact integer µs.
+    * The window partitions on the high-cardinality user key, so no task
+    * ever sorts more than one user's history. */
+  val qAttribution: Q = Q.sql(
+    "q_attribution",
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS prev_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT coalesce(prev_type, 'none') AS attributed,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN prev_ts IS NOT NULL
+      |    THEN epoch_us(ts) - epoch_us(prev_ts) ELSE 0 END) AS BIGINT) AS total_gap_us
+      |FROM ordered WHERE event_type = 'purchase'
+      |GROUP BY attributed ORDER BY attributed""".stripMargin,
+    doc = "last-touch conversion attribution: carry-forward window + one aggregation") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = (c: org.apache.spark.sql.Column) =>
+      when(col("event_type") =!= "purchase", c)
+    events(s, d)
+      .withColumn("prev_type", last(nonPurchase(col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("prev_ts", last(nonPurchase(col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("prev_type"), lit("none")).as("attributed"))
+      .agg(
+        count(lit(1)).cast("long").as("n_purchases"),
+        sum(when(col("prev_ts").isNotNull,
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))).otherwise(0L))
+          .cast("long").as("total_gap_us"))
+      .orderBy("attributed")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf)
+      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution)
 }
