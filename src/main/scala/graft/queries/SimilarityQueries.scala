@@ -1211,7 +1211,104 @@ object SimilarityQueries {
     }
   }
 
+  /** RRF parameters: query count, the standard k=60 damping, list
+    * truncation depth, and the output top-k. */
+  val RrfQ = 4
+  val RrfDepth = 100
+  val RrfTopK = 10
+
+  /** Reciprocal-rank fusion of a LEXICAL and a SEMANTIC ranking
+    * (Cormack, Clarke & Buettcher 2009) — the standard hybrid-retrieval
+    * combiner: for each query document, rank candidates by shared word
+    * 3-grams (inverted index) and by embedding cosine (brute force over
+    * the embedded corpus), truncate both lists at [[RrfDepth]], and fuse
+    * with Σ 1/(60 + rank). Candidates are documents that HAVE an
+    * embedding (ids align with `vec_id`; at sf0.1 only a prefix of the
+    * corpus is embedded, which is exactly the real-world shape).
+    *
+    * Determinism: contributions are 1/(60+r) in 1e-12 fixed point
+    * (BIGINT — the sum of two list contributions is exact, so the fused
+    * order cannot hinge on a float ulp); both input ranks tie-break on
+    * candidate id; cosine reuses the bit-identical position-ordered dot.
+    *
+    * Scale design: query grams and query vectors broadcast ([[RrfQ]]
+    * rows of each); the lexical side is one inverted-index equi-join;
+    * both rank windows carry a `rank <= depth` filter that plans as
+    * WindowGroupLimit (per-partition top-D, no full per-query sort
+    * materializes); the fusion full-outer join moves at most
+    * queries × 2·depth rows. */
+  val qRrfHybrid: Q = {
+    import graft.text.TextFunctions
+    Q.sql(
+      "q_rrf_hybrid",
+      s"""WITH g AS (SELECT doc_id, unnest(list_distinct(${TextFunctions.shinglesSql})) AS t FROM documents),
+         |ids AS (SELECT vec_id FROM embeddings),
+         |lex AS (
+         |  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS shared
+         |  FROM g q JOIN g c ON q.t = c.t AND c.doc_id <> q.doc_id
+         |  JOIN ids ON ids.vec_id = c.doc_id
+         |  WHERE q.doc_id < $RrfQ
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT q_id, c_id, rl FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY shared DESC, c_id) AS rl FROM lex) _l
+         |  WHERE rl <= $RrfDepth),
+         |vecs AS ($vecsSqlNested),
+         |sem AS (SELECT q_id, c_id, rs FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ($cosSql) DESC, c.vec_id) AS rs
+         |  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $RrfQ) _s WHERE rs <= $RrfDepth),
+         |fuse AS (
+         |  SELECT coalesce(lr.q_id, sem.q_id) AS q_id, coalesce(lr.c_id, sem.c_id) AS c_id,
+         |    coalesce(CAST(round(1000000000000 / (60.0 + lr.rl)) AS BIGINT), 0)
+         |      + coalesce(CAST(round(1000000000000 / (60.0 + sem.rs)) AS BIGINT), 0) AS score,
+         |    lr.rl AS rl, sem.rs AS rs
+         |  FROM lr FULL OUTER JOIN sem ON lr.q_id = sem.q_id AND lr.c_id = sem.c_id)
+         |SELECT q_id, c_id, rn, score, CAST(rl AS BIGINT) AS lex_rank, CAST(rs AS BIGINT) AS sem_rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS rn FROM fuse) _f
+         |WHERE rn <= $RrfTopK ORDER BY q_id, rn""".stripMargin,
+      doc = s"hybrid retrieval: RRF of 3-gram and cosine rankings, depth $RrfDepth, top $RrfTopK") {
+      (s, d) =>
+        val g = documents(s, d)
+          .transform(graft.Tables.spread(s, _))
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.shingles(col("text")))).as("t"))
+        val qg = g.filter(col("doc_id") < RrfQ).select(col("doc_id").as("q_id"), col("t"))
+        val ids = embeddings(s, d).select(col("vec_id").as("c_id"))
+        val wl = Window.partitionBy(col("q_id")).orderBy(col("shared").desc, col("c_id"))
+        val lr = broadcast(qg)
+          .join(g.select(col("doc_id").as("c_id"), col("t")), "t")
+          .filter(col("c_id") =!= col("q_id"))
+          .join(broadcast(ids), "c_id")
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("rl", row_number().over(wl))
+          .filter(col("rl") <= RrfDepth)
+          .select("q_id", "c_id", "rl")
+        val v = vecs(s, d)
+        val ws = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val sem = broadcast(v.filter(col("vec_id") < RrfQ).as("q"))
+          .join(v.as("c"), col("c.vec_id") =!= col("q.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("c_id"), cosCol.as("cos"))
+          .withColumn("rs", row_number().over(ws))
+          .filter(col("rs") <= RrfDepth)
+          .select("q_id", "c_id", "rs")
+        val contrib = (r: Column) =>
+          coalesce(round(lit(1000000000000L) / (lit(60.0) + r)).cast("long"), lit(0L))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+        lr.join(sem, Seq("q_id", "c_id"), "full_outer")
+          .select(
+            col("q_id"), col("c_id"),
+            (contrib(col("rl")) + contrib(col("rs"))).as("score"),
+            col("rl").cast("long").as("lex_rank"), col("rs").cast("long").as("sem_rank"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .filter(col("rn") <= RrfTopK)
+          .select("q_id", "c_id", "rn", "score", "lex_rank", "sem_rank")
+          .orderBy("q_id", "rn")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
-      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine)
+      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid)
 }
