@@ -200,7 +200,29 @@ object StarQueries {
     "TPC-H Q19 shape: disjunctive two-table predicate with common-factor pushdown",
     "lineitem", "part")
 
+  /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
+    * join with a predicate ON THE JOIN (not a WHERE — filtering after
+    * the join would silently drop the zero-order customers the query
+    * exists to count), aggregated twice (orders per customer, then
+    * customers per count). The second aggregate is domain-bounded
+    * (distinct counts), so the histogram shuffle is tiny regardless of
+    * customer cardinality. Completes the expressible TPC-H set: every
+    * shape from Q1–Q22 is now covered except Q12, whose l_shipmode /
+    * l_commitdate / l_receiptdate columns this testdata does not carry. */
+  val qOrderDistribution: Q = sqlQ(
+    "q_order_distribution",
+    """WITH co AS (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "TPC-H Q13 shape: outer join with ON-predicate + aggregate-of-aggregate histogram",
+    "customer", "orders")
+
   val all: Seq[Q] = Seq(
     qMarketShare, qReturnedCustomers, qImportantParts, qPromoShare,
-    qPartVariety, qBigOrders, qRevenueScan, qBrandRevenue)
+    qPartVariety, qBigOrders, qRevenueScan, qBrandRevenue, qOrderDistribution)
 }
