@@ -86,6 +86,53 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_zipf_fit ------------------------------------------------------
+
+  test("zipf fit: slope is negative for every language (freq falls with rank)") {
+    val rows = TextQueries.qZipfFit.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val slope = r.getDouble(r.fieldIndex("zipf_slope"))
+      assert(slope < 0.0, s"${r.getString(0)}: slope $slope must be negative")
+      assert(r.getLong(r.fieldIndex("n_terms")) >= 2)
+    }
+  }
+
+  // ---- q_attribution ---------------------------------------------------
+
+  test("attribution: every purchase claimed exactly once; gaps non-negative") {
+    val out = TimeSeriesQueries.qAttribution.run(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(total == purchases,
+      s"attributed purchases $total must equal corpus purchases $purchases")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L, "gap sums cannot be negative")
+      if (r.getString(0) == "none") assert(r.getLong(2) == 0L, "'none' has no gap")
+    }
+  }
+
+  // ---- q_rrf_hybrid ----------------------------------------------------
+
+  test("rrf: fused score equals the rank-derived contributions, top-k per query") {
+    val out = SimilarityQueries.qRrfHybrid.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    def contrib(r: Any): Long = r match {
+      case null => 0L
+      case x: java.lang.Long => math.round(1e12 / (60.0 + x.toDouble))
+    }
+    out.foreach { r =>
+      val score = r.getLong(r.fieldIndex("score"))
+      val want = contrib(r.get(r.fieldIndex("lex_rank"))) + contrib(r.get(r.fieldIndex("sem_rank")))
+      assert(score == want, s"score $score != recomputed $want")
+      assert(r.get(r.fieldIndex("lex_rank")) != null || r.get(r.fieldIndex("sem_rank")) != null,
+        "a fused row must appear in at least one list")
+    }
+    val perQ = out.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQ.forall(_ <= SimilarityQueries.RrfTopK))
+  }
+
   // ---- q_ann_refine ----------------------------------------------------
 
   test("ann refine: int8 coarse pass + exact rerank recovers exact top-k with high recall") {
