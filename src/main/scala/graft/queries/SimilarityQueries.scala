@@ -1308,7 +1308,75 @@ object SimilarityQueries {
     }
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every embedding-model pipeline runs; cf. DPR, Karpukhin
+    * 2020): for each anchor, the top-3 most similar vectors with a
+    * DIFFERENT label (the hard negatives — near the anchor yet wrong)
+    * plus its nearest same-label positive, i.e. ready-made (anchor,
+    * positive, negative…) triplets. First use of the embeddings table's
+    * `label` column.
+    *
+    * Scale design: anchors broadcast against one corpus scan; the
+    * negative and positive rankings are two label-predicated windows
+    * over the same scored frame (rank filters → WindowGroupLimit), and
+    * the positive joins back on the anchor key — queries × 1 rows. */
+  val qHardNegatives: Q = {
+    val vecsLblSql =
+      s"SELECT vec_id, label, v, $normSelfSql AS nrm FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) _i"
+    Q.sql(
+      "q_hard_negatives",
+      s"""WITH vecs AS ($vecsLblSql),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS c_id, c.label AS c_label,
+         |    $cosSql AS cos
+         |  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |neg AS (
+         |  SELECT q_id, c_id, c_label, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM scored WHERE c_label <> q_label),
+         |pos AS (
+         |  SELECT q_id, c_id AS pos_id, cos AS pos_cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rp
+         |  FROM scored WHERE c_label = q_label)
+         |SELECT n.q_id, CAST(n.rn AS BIGINT) AS rn, n.c_id AS neg_id,
+         |  CAST(n.c_label AS BIGINT) AS neg_label, n.cos AS neg_cos,
+         |  p.pos_id, p.pos_cos
+         |FROM neg n JOIN pos p ON p.q_id = n.q_id AND p.rp = 1
+         |WHERE n.rn <= 3
+         |ORDER BY n.q_id, n.rn""".stripMargin,
+      doc = "hard-negative mining: top-3 cross-label neighbors + nearest positive per anchor") {
+      (s, d) =>
+        val v = graft.ScratchCache.tracked(
+          embeddings(s, d)
+            .select(col("vec_id"), col("label"),
+              transform(col("embedding"), _.cast("double")).as("v"))
+            .withColumn("nrm", normSelfCol))
+        v.count() // two consumers of the scored frame's build side
+        val scored = broadcast(v.filter(col("vec_id") < NumQueries).as("q"))
+          .join(v.as("c"), col("c.vec_id") =!= col("q.vec_id"))
+          .select(
+            col("q.vec_id").as("q_id"), col("q.label").as("q_label"),
+            col("c.vec_id").as("c_id"), col("c.label").as("c_label"), cosCol.as("cos"))
+        val wn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val neg = scored.filter(col("c_label") =!= col("q_label"))
+          .withColumn("rn", row_number().over(wn))
+          .filter(col("rn") <= 3)
+        val pos = scored.filter(col("c_label") === col("q_label"))
+          .withColumn("rp", row_number().over(wn))
+          .filter(col("rp") === 1)
+          .select(col("q_id"), col("c_id").as("pos_id"), col("cos").as("pos_cos"))
+        neg
+          .join(broadcast(pos), "q_id")
+          .select(
+            col("q_id"), col("rn").cast("long").as("rn"), col("c_id").as("neg_id"),
+            col("c_label").cast("long").as("neg_label"), col("cos").as("neg_cos"),
+            col("pos_id"), col("pos_cos"))
+          .orderBy("q_id", "rn")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
-      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid)
+      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives)
 }
