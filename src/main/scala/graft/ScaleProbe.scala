@@ -98,7 +98,13 @@ object ScaleProbe {
       // int8 coarse scan is corpus xN against the same 16 queries; the
       // refine stage stays invariant (|queries| x pool)
       "q_ann_refine" -> (() => reg("q_ann_refine").run(spark, dir)))
-    pipelines.foreach { case (name, run) =>
+    // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
+    // pipelines (a suspicious single number is only attributable by an
+    // uncontended re-run — the full probe may share the host with other
+    // work)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(pipelines)(ns => pipelines.filter(p => ns(p._1)))
+    selected.foreach { case (name, run) =>
       spark.catalog.clearCache()
       ScratchCache.releaseAll()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

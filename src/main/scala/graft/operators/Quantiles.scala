@@ -54,8 +54,15 @@ object Quantiles {
       StructField("gidx", LongType)))
     // consumed three times (per-key extents + the lo/hi bracketing joins):
     // scratch-cached so the range sort + index map materializes once; the
-    // caller's ScratchCache.releaseAll() frees it after the result lands
+    // caller's ScratchCache.releaseAll() frees it after the result lands.
+    // MATERIALIZED with one cheap count() BEFORE the fan-out: persist()
+    // does not dedupe a cold frame's concurrent first computation (NOTES
+    // lesson 11b) — without it the three consumers re-ran the whole
+    // range sort concurrently, measured 21 s → 8 s at a 30× corpus
+    // (the 10×→30× wall had grown 5× for 3× data; after the fix it
+    // tracks data size).
     val ranked = graft.ScratchCache.tracked(spark.createDataFrame(indexed, schema))
+    ranked.count()
 
     // per-key extent: (start index, count) — one tiny aggregate
     val extents = ranked.groupBy("k").agg(
