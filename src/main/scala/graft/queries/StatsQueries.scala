@@ -395,6 +395,10 @@ object StatsQueries {
         .select(col("source"), tokens(col("text")).as("w"))
         .select(col("source"), explode(shinglesOf(col("w"))).as("g"))
         .distinct())
+    // materialize before the fan-out (NOTES lesson 11b): three consumers
+    // — the sizes aggregate and BOTH sides of the pair self-join — would
+    // otherwise race and recompute the distinct-shingle shuffle cold
+    sg.count()
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
     val it = sg.as("a")
       .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
