@@ -54,7 +54,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_concurrency",     // two-level sweep with no boundaries
     "q_ann_refine",      // coarse+refine with zero queries and corpus
     "q_important_parts", // group-vs-global threshold with empty total
-    "q_survivorship")    // canonical election over zero blocks
+    "q_survivorship",    // canonical election over zero blocks
+    "q_rrf_hybrid",      // fusion of two empty rankings
+    "q_hard_negatives",  // label-predicated mining with no labels
+    "q_zipf_fit",        // regression over an empty vocabulary
+    "q_attribution")     // attribution with no purchases
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
