@@ -632,7 +632,110 @@ object StatsQueries {
         .orderBy("rk")
   }
 
+  /** Winsorization — clip each group's values at its own P01/P99 before
+    * averaging (the outlier-robust preprocessing step that, unlike
+    * dropping rows, keeps n stable). Composes [[graft.operators.Quantiles]]
+    * into a TRANSFORM: cut points come from the distributed order
+    * statistics (never a per-group buffer), broadcast back, and the clip
+    * is a narrow conditional. Clipped values quantize to 1e-6 before the
+    * sum (exact longs — partial-aggregation order cannot matter); cuts
+    * round to 6 decimals on BOTH engines so the boundary comparisons use
+    * identical operands. */
+  val qWinsorize: Q = Q.sql(
+    "q_winsorize",
+    """WITH cuts AS (
+      |  SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+      |         round(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  CAST(sum(CAST(round(1000000 * CASE WHEN l_extendedprice < lo THEN lo
+      |    WHEN l_extendedprice > hi THEN hi ELSE l_extendedprice END) AS BIGINT)) AS DOUBLE)
+      |    / (1000000.0 * count(*)) AS mean_winsor
+      |FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    doc = "winsorized mean per group: distributed P01/P99 cuts broadcast into a clip") {
+    (s, d) =>
+      val cuts = graft.operators.Quantiles
+        .exact(lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq(0.01, 0.99), Seq("lo", "hi"))
+        .select(col("l_returnflag"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      val v = col("l_extendedprice")
+      val clipped = when(v < col("lo"), col("lo")).when(v > col("hi"), col("hi")).otherwise(v)
+      lineitem(s, d)
+        .join(broadcast(cuts), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(v < col("lo"), 1L).otherwise(0L)).cast("long").as("n_lo"),
+          sum(when(v > col("hi"), 1L).otherwise(0L)).cast("long").as("n_hi"),
+          (sum(round(lit(1000000) * clipped).cast("long")).cast("double") /
+            (lit(1000000.0) * count(lit(1)))).as("mean_winsor"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * distinct-counting viable at 100 TB: build a per-DAY KMV sketch of
+    * active users (64 smallest md5 hashes — one tiny deterministic state
+    * per day), then answer the per-WEEK distinct question from the DAILY
+    * sketches alone (k-smallest of the union of k-smallest IS the
+    * k-smallest of the union — KMV's merge law), never rescanning raw
+    * events. The weekly merge touches 64·days rows regardless of event
+    * volume. True weekly distincts ride along so the gate also exposes
+    * the estimator error; like [[qKmvDistinct]], determinism makes the
+    * whole sketch oracle-replayable bit-for-bit. */
+  val qKmvRollup: Q = Q.sql(
+    "q_kmv_rollup",
+    """WITH uh AS (SELECT DISTINCT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+      |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |ds AS (SELECT wk, day, h FROM (
+      |  SELECT wk, day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM uh) _d
+      |  WHERE rn <= 64),
+      |mg AS (SELECT wk, h FROM (
+      |  SELECT wk, h, row_number() OVER (PARTITION BY wk ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT wk, h FROM ds) _u) _m WHERE rn <= 64),
+      |sk AS (SELECT wk, CAST(count(*) AS BIGINT) AS in_sketch, max(h) AS kth FROM mg GROUP BY wk),
+      |tru AS (SELECT wk, CAST(count(DISTINCT h) AS BIGINT) AS true_distinct FROM uh GROUP BY wk),
+      |nd AS (SELECT wk, CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM uh GROUP BY wk)
+      |SELECT t.wk, nd.n_days, t.true_distinct, s.in_sketch,
+      |  CASE WHEN s.in_sketch < 64 THEN CAST(t.true_distinct AS DOUBLE)
+      |    ELSE 63.0 / (CAST(('0x' || substr(s.kth, 1, 12)) AS BIGINT) / 281474976710656.0)
+      |  END AS est_distinct
+      |FROM tru t JOIN sk s ON s.wk = t.wk JOIN nd ON nd.wk = t.wk
+      |ORDER BY t.wk""".stripMargin,
+    doc = "KMV sketch rollup: daily user sketches merged to weekly distinct estimates") {
+    (s, d) =>
+      val uh = graft.ScratchCache.tracked(
+        events(s, d)
+          .select(
+            date_trunc("week", col("ts")).as("wk"),
+            date_trunc("day", col("ts")).as("day"),
+            md5(col("user_id").cast("string")).as("h"))
+          .distinct())
+      uh.count() // three consumers (daily sketch, truth, day count)
+      val wd = Window.partitionBy(col("day")).orderBy(col("h"))
+      val ds = uh.withColumn("rn", row_number().over(wd)).filter(col("rn") <= 64)
+        .select("wk", "h").distinct()
+      val wm = Window.partitionBy(col("wk")).orderBy(col("h"))
+      val sk = ds.withColumn("rn", row_number().over(wm)).filter(col("rn") <= 64)
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).cast("long").as("in_sketch"), max(col("h")).as("kth"))
+      val tru = uh.groupBy(col("wk")).agg(
+        countDistinct(col("h")).cast("long").as("true_distinct"),
+        countDistinct(col("day")).cast("long").as("n_days"))
+      val uK = conv(substring(col("kth"), 1, 12), 16, 10).cast("double") / 281474976710656.0
+      tru.join(sk, "wk")
+        .select(
+          col("wk"), col("n_days"), col("true_distinct"), col("in_sketch"),
+          when(col("in_sketch") < 64, col("true_distinct").cast("double"))
+            .otherwise(lit(63.0) / uK)
+            .as("est_distinct"))
+        .orderBy("wk")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk)
+      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup)
 }
