@@ -301,7 +301,114 @@ object ExtraQueries {
       .orderBy("user_id", "version")
   }
 
+  /** 2D skyline (Pareto frontier): parts no other part dominates on
+    * (lower price, larger size) — the classic multi-criteria OLAP
+    * operator (Börzsönyi 2001) that plain GROUP BY cannot express.
+    *
+    * Scale design — two phases, no self-join anywhere:
+    *  1. BUCKET PRUNE: price is hashed into ≤1024 equi-width buckets
+    *     (extents from one broadcast min/max aggregate); per-bucket max
+    *     size is a map-side-combined aggregate, its strict-prefix max a
+    *     window over ≤1024 rows. A row survives only if no strictly
+    *     cheaper bucket holds an equal-or-larger size. Dominance is
+    *     transitive, so pruned rows can neither be skyline nor change it
+    *     (any dominator they'd provide is itself dominated by a
+    *     surviving row) — the filter is lossless and removes all but
+    *     O(frontier) rows with one scan + one broadcast.
+    *  2. EXACT: among survivors, per-price max size and its
+    *     strict-prefix running max (both tiny) decide dominance exactly;
+    *     same-price ties keep every max-size row.
+    * The oracle replays the exact phase over ALL rows, hash-proving the
+    * prune lossless. */
+  val qSkyline: Q = Q.sql(
+    "q_skyline",
+    """WITH pm AS (SELECT p_retailprice AS pr, max(p_size) AS ms FROM part GROUP BY 1),
+      |pf AS (SELECT pr, ms,
+      |  max(ms) OVER (ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+      |FROM pm)
+      |SELECT p.p_partkey, p.p_name, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+      |FROM part p JOIN pf ON pf.pr = p.p_retailprice
+      |WHERE p.p_size = pf.ms AND (pf.sm IS NULL OR pf.sm < p.p_size)
+      |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+    doc = "2D Pareto skyline: lossless bucket prune + exact frontier on survivors") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_retailprice").as("pr"), col("p_size"))
+    val ext = p.agg(min(col("pr")).as("mn"), max(col("pr")).as("mx"))
+    val withB = p.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("pr") - col("mn")) / ((col("mx") - col("mn")) / 1024.0)),
+            lit(1023L))))
+      .drop("mn", "mx")
+    val bm = withB.groupBy(col("bkt")).agg(max(col("p_size")).as("bms"))
+    val wb = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val bpf = bm.withColumn("bsm", max(col("bms")).over(wb)).select("bkt", "bsm")
+    val cand = withB.join(broadcast(bpf), "bkt")
+      .filter(col("bsm").isNull || col("bsm") < col("p_size"))
+    val pm = cand.groupBy(col("pr")).agg(max(col("p_size")).as("ms"))
+    val wp = Window.orderBy(col("pr")).rowsBetween(Window.unboundedPreceding, -1)
+    val pf = pm.withColumn("sm", max(col("ms")).over(wp))
+    cand.join(broadcast(pf), "pr")
+      .filter(col("p_size") === col("ms") && (col("sm").isNull || col("sm") < col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("pr").as("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** Incremental materialized-view maintenance: a per-customer
+    * (count, sum) aggregate state kept current by folding in a delta
+    * batch — the pattern that turns an O(base) nightly rebuild into an
+    * O(delta) merge. Orders before the cutoff stand in for the persisted
+    * MV state (in production it IS a stored table of partial states);
+    * orders after it are the arriving batch. Because count/sum are
+    * monoids, merged state = base state ⊕ delta partials — one equi-join
+    * on the affected keys, the base FACTS are never rescanned, and the
+    * output is exactly the touched groups (what an upsert into the MV
+    * would write). Sums accumulate in exact integer cents so the merged
+    * average is partial-aggregation-order invariant. */
+  val qMvIncremental: Q = Q.sql(
+    "q_mv_incremental",
+    """WITH base AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1),
+      |delta AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1)
+      |SELECT d.o_custkey, coalesce(b.n, 0) AS n_base, d.n AS n_delta,
+      |  coalesce(b.n, 0) + d.n AS n_total,
+      |  CAST(coalesce(b.c, 0) + d.c AS DOUBLE) / 100.0 AS sum_total,
+      |  CAST(coalesce(b.c, 0) + d.c AS DOUBLE) / (100.0 * (coalesce(b.n, 0) + d.n)) AS avg_total
+      |FROM delta d LEFT JOIN base b ON b.o_custkey = d.o_custkey
+      |ORDER BY d.o_custkey""".stripMargin,
+    doc = "incremental MV maintenance: delta partials merged into base state, O(delta) not O(base)") {
+    (s, d) =>
+      val cutoff = lit("2001-01-01").cast("timestamp")
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("c"))
+      val base = partials(orders(s, d).filter(col("o_orderdate") < cutoff))
+        .select(col("o_custkey"), col("n").as("bn"), col("c").as("bc"))
+      val delta = partials(orders(s, d).filter(col("o_orderdate") >= cutoff))
+      delta
+        .join(base, Seq("o_custkey"), "left")
+        .select(
+          col("o_custkey"),
+          coalesce(col("bn"), lit(0L)).as("n_base"),
+          col("n").as("n_delta"),
+          (coalesce(col("bn"), lit(0L)) + col("n")).as("n_total"),
+          ((coalesce(col("bc"), lit(0L)) + col("c")).cast("double") / 100.0).as("sum_total"),
+          ((coalesce(col("bc"), lit(0L)) + col("c")).cast("double") /
+            (lit(100.0) * (coalesce(col("bn"), lit(0L)) + col("n")))).as("avg_total"))
+        .orderBy("o_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin,
-      qJsonlRoundtrip, qScd2)
+      qJsonlRoundtrip, qScd2, qSkyline, qMvIncremental)
 }

@@ -735,7 +735,96 @@ object StatsQueries {
         .orderBy("wk")
   }
 
+  /** KMV sketch INTERSECTION — day-over-day returning users estimated
+    * from the daily sketches alone. Where [[qKmvRollup]] exercises the
+    * KMV merge law (unions), this exercises the other half of the sketch
+    * algebra: Jaccard from the merged sketch (fraction of the union
+    * sketch's hashes present in both sides) times the union estimate
+    * gives the intersection size (Beyer 2007) — the audience-overlap /
+    * retention question answered at fact scale from 64-row-per-day
+    * states, never rescanning events. The previous day's sketch is
+    * shifted forward one day so "today ∩ yesterday" is a plain per-day
+    * group; true intersections ride along to expose estimator error, and
+    * determinism makes the whole sketch oracle-replayable bit-for-bit
+    * (when the union sketch isn't full the estimate IS exact — pinned at
+    * sf0.001, where days hold 11-15 users). */
+  val qKmvRetention: Q = Q.sql(
+    "q_kmv_retention",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS dy,
+      |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |sk AS (SELECT dy, h FROM (
+      |  SELECT dy, h, row_number() OVER (PARTITION BY dy ORDER BY h) AS rn FROM du) t
+      |  WHERE rn <= 64),
+      |pu AS (SELECT dy, h, max(ia) AS ia, max(ib) AS ib FROM (
+      |  SELECT dy, h, 1 AS ia, 0 AS ib FROM sk
+      |  UNION ALL SELECT dy + INTERVAL 1 DAY AS dy, h, 0 AS ia, 1 AS ib FROM sk) u
+      |  GROUP BY dy, h),
+      |us AS (SELECT dy, h, ia, ib FROM (
+      |  SELECT dy, h, ia, ib, row_number() OVER (PARTITION BY dy ORDER BY h) AS rn FROM pu) t
+      |  WHERE rn <= 64),
+      |ag AS (SELECT dy, CAST(count(*) AS BIGINT) AS union_k, max(h) AS kth,
+      |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+      |  FROM us GROUP BY dy),
+      |tr AS (SELECT dy, CAST(count(*) AS BIGINT) AS true_inter FROM (
+      |  SELECT dy, h, max(ia) AS ia, max(ib) AS ib FROM (
+      |    SELECT dy, h, 1 AS ia, 0 AS ib FROM du
+      |    UNION ALL SELECT dy + INTERVAL 1 DAY AS dy, h, 0 AS ia, 1 AS ib FROM du) u
+      |    GROUP BY dy, h) m
+      |  WHERE ia = 1 AND ib = 1 GROUP BY dy),
+      |vd AS (SELECT dy FROM (SELECT DISTINCT dy FROM du) d
+      |  WHERE dy > (SELECT min(dy) FROM du))
+      |SELECT a.dy, coalesce(t.true_inter, 0) AS true_inter, a.union_k, a.inter_k,
+      |  CASE WHEN a.union_k < 64 THEN CAST(a.inter_k AS DOUBLE)
+      |    ELSE CAST(a.inter_k AS DOUBLE) / a.union_k *
+      |      (63.0 / (CAST(('0x' || substr(a.kth, 1, 12)) AS BIGINT) / 281474976710656.0))
+      |  END AS est_inter
+      |FROM ag a JOIN vd ON vd.dy = a.dy LEFT JOIN tr t ON t.dy = a.dy
+      |ORDER BY a.dy""".stripMargin,
+    doc = "KMV sketch intersection: day-over-day returning users from daily sketches") {
+    (s, d) =>
+      val du = graft.ScratchCache.tracked(
+        events(s, d)
+          .select(
+            date_trunc("day", col("ts")).as("dy"),
+            md5(col("user_id").cast("string")).as("h"))
+          .distinct())
+      du.count() // four consumers (sketch, truth, day domain, min day)
+      val oneDay = expr("INTERVAL 1 DAY")
+      val wd = Window.partitionBy(col("dy")).orderBy(col("h"))
+      val sk = du.withColumn("rn", row_number().over(wd)).filter(col("rn") <= 64)
+        .select("dy", "h")
+      def shifted(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("dy"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(src.select((col("dy") + oneDay).as("dy"), col("h"),
+          lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy(col("dy"), col("h"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      val us = shifted(sk).withColumn("rn", row_number().over(wd)).filter(col("rn") <= 64)
+      val ag = us.groupBy(col("dy")).agg(
+        count(lit(1)).cast("long").as("union_k"),
+        max(col("h")).as("kth"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L)).cast("long")
+          .as("inter_k"))
+      val tr = shifted(du).filter(col("ia") === 1 && col("ib") === 1)
+        .groupBy(col("dy")).agg(count(lit(1)).cast("long").as("true_inter"))
+      val minDay = du.agg(min(col("dy")).as("mn"))
+      val vd = du.select("dy").distinct().crossJoin(broadcast(minDay))
+        .filter(col("dy") > col("mn")).select("dy")
+      val uK = conv(substring(col("kth"), 1, 12), 16, 10).cast("double") / 281474976710656.0
+      ag.join(broadcast(vd), "dy")
+        .join(tr, Seq("dy"), "left")
+        .select(
+          col("dy"),
+          coalesce(col("true_inter"), lit(0L)).as("true_inter"),
+          col("union_k"), col("inter_k"),
+          when(col("union_k") < 64, col("inter_k").cast("double"))
+            .otherwise(col("inter_k").cast("double") / col("union_k") * (lit(63.0) / uK))
+            .as("est_inter"))
+        .orderBy("dy")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
-      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup)
+      qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
+      qKmvRetention)
 }

@@ -58,7 +58,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_rrf_hybrid",      // fusion of two empty rankings
     "q_hard_negatives",  // label-predicated mining with no labels
     "q_zipf_fit",        // regression over an empty vocabulary
-    "q_attribution")     // attribution with no purchases
+    "q_attribution",     // attribution with no purchases
+    "q_skyline",         // frontier of nothing (empty extents broadcast)
+    "q_mv_incremental",  // merge with empty base AND empty delta
+    "q_kmv_retention")   // sketch intersection over zero days
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -147,4 +147,55 @@ class Round7OpsSpec extends AnyFunSuite {
     // bound is a regression tripwire, not a tuned number.
     assert(recall >= 0.9, s"refine recall $recall < 0.9 — candidate pool too lossy")
   }
+
+  // ---- q_skyline ---------------------------------------------------------
+
+  test("skyline: returned set is exactly the non-dominated set (brute force)") {
+    val rows = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(x: (Long, Double, Int)) = rows.exists(y =>
+      y._2 <= x._2 && y._3 >= x._3 && (y._2 < x._2 || y._3 > x._3))
+    val want = rows.filterNot(dominated).map(_._1).toSet
+    val got = ExtraQueries.qSkyline.run(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"skyline ${got.size} rows != brute-force ${want.size}")
+  }
+
+  // ---- q_mv_incremental --------------------------------------------------
+
+  test("mv incremental: merged state equals a full recompute over all facts") {
+    val full = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_total"))
+    val merged = ExtraQueries.qMvIncremental.run(spark, sf)
+      .select("o_custkey", "n_total", "sum_total")
+    // every customer the delta touched must carry the full-recompute state
+    val joined = merged.as("m").join(full.as("f"), "o_custkey")
+      .filter(col("m.n_total") =!= col("f.n_total") ||
+        col("m.sum_total") =!= col("f.sum_total"))
+    assert(joined.isEmpty, "merged state diverged from full recompute")
+    // and the delta must be a real increment, not the whole table
+    val touched = merged.count()
+    val allCust = full.count()
+    assert(touched > 0 && touched < allCust,
+      s"cutoff degenerate: $touched touched of $allCust customers")
+  }
+
+  // ---- q_kmv_retention -----------------------------------------------------
+
+  test("kmv retention: estimate is EXACT whenever the union sketch is not full") {
+    val r = StatsQueries.qKmvRetention.run(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.filter(_.getLong(2) < 64).foreach { row =>
+      assert(row.getDouble(4) == row.getLong(1).toDouble,
+        s"day ${row.get(0)}: partial sketch must be exact " +
+          s"(est ${row.getDouble(4)} vs true ${row.getLong(1)})")
+    }
+    // at sf0.001 every day holds 11-15 users, so the exact branch is the
+    // one under test — assert it actually fired
+    assert(r.forall(_.getLong(2) < 64), "sf0.001 unexpectedly filled the sketch")
+  }
 }
