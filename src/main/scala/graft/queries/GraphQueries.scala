@@ -413,5 +413,91 @@ object GraphQueries {
         .orderBy("n0")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk)
+  /** Neighbors kept per node when building the kNN graph. */
+  val LpKnnK = 3
+
+  /** kNN-graph construction + common-neighbor link prediction. The
+    * thresholded co-supply graph is a clique at small scale (every
+    * supplier pair shares orders), so the graph here is the standard
+    * sparsifier instead: each supplier keeps its [[LpKnnK]] strongest
+    * partners by shared-order count (ties to the smaller id), and the
+    * union of those picks is the undirected kNN graph — the construction
+    * that precedes most graph clustering and ANN-graph serving. On it,
+    * every NON-adjacent pair sharing a neighbor is scored with the
+    * Jaccard of neighbor sets (Liben-Nowell & Kleinberg 2003) and the
+    * top 20 candidate edges come back — the open wedges [[qTriangles]]
+    * discards, ranked.
+    *
+    * Scale design: pair weights come from the same join-free in-row
+    * distillation as [[coSupplyEdges]] (per-order supplier sets, pairs
+    * generated in-row — no fact-scale self-join); the per-node top-k is
+    * a rank window Spark executes as WindowGroupLimit (bounded state, no
+    * full per-node sort); one symmetric adjacency feeds degrees and both
+    * wedge sides; existing edges leave via one anti-join; the global
+    * top-20 is TakeOrderedAndProject. Per-node degree is bounded by k
+    * out-picks plus in-picks, so wedge fan-out Σdeg² stays near-linear
+    * in nodes. Jaccard = cn/(da+db−cn) is one division on integer
+    * inputs, so the ranking is engine-exact. */
+  val qLinkPred: Q = Q.sql(
+    "q_link_pred",
+    s"""WITH pc AS (
+       |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+       |    CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS shared
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+       |  GROUP BY 1, 2),
+       |dir AS (SELECT a AS u, b AS v, shared FROM pc
+       |  UNION ALL SELECT b AS u, a AS v, shared FROM pc),
+       |knn AS (SELECT u, v FROM (
+       |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rn
+       |  FROM dir) t WHERE rn <= $LpKnnK),
+       |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn),
+       |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY u),
+       |cn AS (SELECT p.v AS a, q.v AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM und p JOIN und q ON q.u = p.u AND p.v < q.v GROUP BY p.v, q.v),
+       |nb AS (SELECT c.a, c.b, c.cn FROM cn c
+       |  LEFT JOIN e ON e.a = c.a AND e.b = c.b WHERE e.a IS NULL)
+       |SELECT nb.a, nb.b, nb.cn AS common_neighbors,
+       |  CAST(nb.cn AS DOUBLE) / (da.dg + db.dg - nb.cn) AS jacc
+       |FROM nb JOIN deg da ON da.u = nb.a JOIN deg db ON db.u = nb.b
+       |ORDER BY jacc DESC, nb.a, nb.b LIMIT 20""".stripMargin,
+    doc = "kNN graph build + common-neighbor Jaccard link prediction, top-20 open wedges") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // join-free pair weights: per-order supplier sets, in-row pairs
+      val pc = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("shared"))
+      val dir = pc.select(col("a").as("u"), col("b").as("v"), col("shared"))
+        .unionByName(pc.select(col("b").as("u"), col("a").as("v"), col("shared")))
+      val wk = Window.partitionBy(col("u")).orderBy(col("shared").desc, col("v"))
+      val knn = dir.withColumn("rn", row_number().over(wk)).filter(col("rn") <= LpKnnK)
+      val e = graft.ScratchCache.tracked(
+        knn.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+          .distinct())
+      e.count() // four consumers: symmetric adjacency (x2 wedge sides) + anti-join
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).cast("long").as("dg"))
+      val cn = und.as("p").join(und.as("q"),
+          col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+        .groupBy(col("p.v").as("a"), col("q.v").as("b"))
+        .agg(count(lit(1)).cast("long").as("cn"))
+      val nb = cn.join(e, Seq("a", "b"), "left_anti")
+      nb.join(deg.select(col("u").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("dg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn").as("common_neighbors"),
+          (col("cn").cast("double") / (col("da") + col("db") - col("cn"))).as("jacc"))
+        .orderBy(col("jacc").desc, col("a"), col("b"))
+        .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred)
 }

@@ -1122,11 +1122,97 @@ object TextQueries {
         .orderBy("lang")
   }
 
+  /** Activity segmentation over the per-frame RMS energies — the VAD
+    * (voice-activity-detection) step that turns [[qFrameEnergy]]'s frame
+    * stream into utterance segments: frames louder than the clip's own
+    * mean energy are "active", and maximal runs of consecutive active
+    * frames are the segments a speech pipeline would cut at. Per media:
+    * frame/active counts, segment count, longest run, first active
+    * frame.
+    *
+    * Scale design: the energy kernel and the adaptive threshold (an
+    * ordered in-row fold, so the scalar is bit-identical across engines
+    * and partitionings) are computed BEFORE the explode, so the wide
+    * per-frame stream carries only (media, pos, energy); the
+    * gaps-and-islands window partitions on media_id — the
+    * high-cardinality key — so no task ever holds more than one clip's
+    * frames. */
+  val qVadSegments: Q = Q.sql(
+    "q_vad_segments",
+    s"""WITH c AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(string_split(text, ''), ch -> ord(ch) - 128) AS s
+       |  FROM documents),
+       |e AS (
+       |  SELECT media_id,
+       |    list_transform(generate_series(0, len(s) // $RmsFrameLen - 1),
+       |      f -> sqrt(list_reduce(list_prepend(0.0,
+       |             list_transform(list_slice(s, f * $RmsFrameLen + 1, f * $RmsFrameLen + $RmsFrameLen),
+       |               x -> CAST(x * x AS DOUBLE))), (a, y) -> a + y) / $RmsFrameLen.0)) AS es
+       |  FROM c),
+       |t AS (SELECT media_id, es,
+       |    list_reduce(list_prepend(0.0, es), (a, y) -> a + y) / len(es) AS thr
+       |  FROM e WHERE len(es) > 0),
+       |x AS (SELECT media_id, thr,
+       |    unnest(list_transform(es, (v, i) -> {'pos': i, 'en': v})) AS u FROM t),
+       |a AS (SELECT media_id, u.pos AS pos FROM x WHERE u.en > thr),
+       |g AS (SELECT media_id, pos,
+       |    pos - row_number() OVER (PARTITION BY media_id ORDER BY pos) AS grp FROM a),
+       |rs AS (SELECT media_id, grp, CAST(count(*) AS BIGINT) AS seg_len,
+       |    min(pos) AS st FROM g GROUP BY media_id, grp),
+       |agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(max(seg_len) AS BIGINT) AS max_run, CAST(sum(seg_len) AS BIGINT) AS n_active,
+       |    CAST(min(st) AS BIGINT) AS first_active_pos FROM rs GROUP BY media_id)
+       |SELECT e.media_id, CAST(len(es) AS BIGINT) AS n_frames,
+       |  coalesce(agg.n_segments, 0) AS n_segments, coalesce(agg.max_run, 0) AS max_run,
+       |  coalesce(agg.n_active, 0) AS n_active,
+       |  coalesce(agg.first_active_pos, 0) AS first_active_pos
+       |FROM e LEFT JOIN agg ON agg.media_id = e.media_id
+       |ORDER BY e.media_id""".stripMargin,
+    doc = "VAD-style activity segmentation: adaptive threshold + gaps-and-islands runs") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = graft.ScratchCache.tracked(
+        documents(s, d)
+          .transform(graft.Tables.spread(s, _))
+          .select(
+            col("doc_id").as("media_id"),
+            graft.expressions.FrameRms
+              .frameRms(col("text").cast("binary"), RmsFrameLen).as("es"))
+          .withColumn("thr",
+            aggregate(col("es"), lit(0.0), (a, y) => a + y) / size(col("es"))))
+      fr.count() // two consumers: frame stream + per-media frame counts
+      val x = fr
+        .filter(size(col("es")) > 0)
+        .select(col("media_id"), col("thr"), posexplode(col("es")).as(Seq("pos0", "en")))
+        .select(col("media_id"), (col("pos0") + 1).cast("long").as("pos"), col("en"), col("thr"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+      val seg = x.filter(col("en") > col("thr"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+      val runs = seg.groupBy(col("media_id"), col("grp"))
+        .agg(count(lit(1)).cast("long").as("seg_len"), min(col("pos")).as("st"))
+      val agg = runs.groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_segments"),
+          max(col("seg_len")).cast("long").as("max_run"),
+          sum(col("seg_len")).cast("long").as("n_active"),
+          min(col("st")).cast("long").as("first_active_pos"))
+      fr.select(col("media_id"), size(col("es")).cast("long").as("n_frames"))
+        .join(agg, Seq("media_id"), "left")
+        .select(
+          col("media_id"), col("n_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("first_active_pos"), lit(0L)).as("first_active_pos"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
-      qZipfFit)
+      qZipfFit, qVadSegments)
 }

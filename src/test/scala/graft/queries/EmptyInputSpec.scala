@@ -61,7 +61,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_attribution",     // attribution with no purchases
     "q_skyline",         // frontier of nothing (empty extents broadcast)
     "q_mv_incremental",  // merge with empty base AND empty delta
-    "q_kmv_retention")   // sketch intersection over zero days
+    "q_kmv_retention",   // sketch intersection over zero days
+    "q_vad_segments",    // gaps-and-islands over zero frames
+    "q_link_pred")       // kNN graph from an empty fact table
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

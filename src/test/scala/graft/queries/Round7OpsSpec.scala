@@ -198,4 +198,67 @@ class Round7OpsSpec extends AnyFunSuite {
     // one under test — assert it actually fired
     assert(r.forall(_.getLong(2) < 64), "sf0.001 unexpectedly filled the sketch")
   }
+
+  // ---- q_vad_segments ------------------------------------------------------
+
+  test("vad segments: runs are maximal and reconstruct from raw energies") {
+    val got = TextQueries.qVadSegments.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // recompute segmentation driver-side from the same kernel
+    val es = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.expressions.FrameRms
+          .frameRms(col("text").cast("binary"), TextQueries.RmsFrameLen).as("es"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(es.nonEmpty && got.size == es.length)
+    es.foreach { case (id, e) =>
+      val (nf, nSeg, maxRun, nAct, firstPos) = got(id)
+      assert(nf == e.length)
+      if (e.nonEmpty) {
+        val thr = e.foldLeft(0.0)(_ + _) / e.length
+        val act = e.zipWithIndex.collect { case (v, i) if v > thr => i + 1 }
+        // maximal runs = splits at gaps
+        val runs = act.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        assert(nAct == act.length, s"doc $id active count")
+        assert(nSeg == runs.length, s"doc $id segment count")
+        assert(maxRun == (if (runs.isEmpty) 0 else runs.map(_.length).max), s"doc $id max run")
+        assert(firstPos == (if (act.isEmpty) 0 else act.min), s"doc $id first active")
+      }
+    }
+  }
+
+  // ---- q_link_pred ---------------------------------------------------------
+
+  test("link pred: candidates are non-adjacent, scores verified against the graph") {
+    val out = GraphQueries.qLinkPred.run(spark, sf).collect()
+    assert(out.nonEmpty, "kNN graph must yield open wedges even at sf0.001")
+    // rebuild the kNN graph exactly as the query defines it
+    val pc = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ss = g.map(_._2).distinct.sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+      }.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+    val dir = pc.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val knn = dir.groupBy(_._1).values.flatMap(
+      _.toSeq.sortBy(t => (-t._3, t._2)).take(GraphQueries.LpKnnK))
+    val edges = knn.map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.foreach { r =>
+      val (a, b, cn, jacc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(!edges.contains((a, b)), s"($a,$b) already an edge")
+      val common = (adj(a) & adj(b)).size
+      assert(common == cn, s"($a,$b) cn $cn != $common")
+      assert(jacc == cn.toDouble / (adj(a).size + adj(b).size - cn), s"($a,$b) jacc")
+    }
+    // ranking is descending
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
 }
