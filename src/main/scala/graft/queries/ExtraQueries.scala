@@ -408,7 +408,68 @@ object ExtraQueries {
         .orderBy("o_custkey")
   }
 
+  /** Association rules (market basket): for brand pairs co-occurring in
+    * at least 5 orders, the classic support / confidence / lift triple,
+    * top-20 rules by lift — the recommendation primitive GROUP BY alone
+    * doesn't give (a rule is DIRECTED: a→b and b→a share support but
+    * differ in confidence).
+    *
+    * Scale design: per-order brand sets come from one map-side-combined
+    * groupBy (the [[graft.queries.GraphQueries]] co-occurrence
+    * distillation — no fact self-join); ordered pairs generate in-row
+    * and both directions of a pair come from one canonical pair count
+    * union'd with its swap. Brand marginals and the order total are two
+    * more aggregates of the SAME distinct (order, brand) frame; the
+    * total joins in as a broadcast scalar. Lift/confidence are single
+    * divisions on integer counts, so the ranking is engine-exact. */
+  val qAssocRules: Q = Q.sql(
+    "q_assoc_rules",
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob),
+      |m AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY b),
+      |pr AS (SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS cab
+      |  FROM ob x JOIN ob y ON y.o = x.o AND x.b <> y.b GROUP BY x.b, y.b)
+      |SELECT pr.a, pr.b, pr.cab AS n_both,
+      |  CAST(pr.cab AS DOUBLE) / nn.n AS support,
+      |  CAST(pr.cab AS DOUBLE) / ma.cnt AS confidence,
+      |  CAST(pr.cab AS DOUBLE) * nn.n / ma.cnt / mb.cnt AS lift
+      |FROM pr JOIN m ma ON ma.b = pr.a JOIN m mb ON mb.b = pr.b, nn
+      |WHERE pr.cab >= 5
+      |ORDER BY lift DESC, pr.a, pr.b LIMIT 20""".stripMargin,
+    doc = "association rules: support/confidence/lift over order brand baskets, top-20 by lift") {
+    (s, d) =>
+      val ob = graft.ScratchCache.tracked(
+        lineitem(s, d)
+          .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+          .distinct())
+      ob.count() // three consumers: pair distillation, marginals, total
+      val canon = ob.groupBy(col("o")).agg(sort_array(collect_set(col("b"))).as("bs"))
+        .select(explode(flatten(transform(col("bs"), (x, i) =>
+          transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("cab"))
+      val pr = canon.unionByName(
+        canon.select(col("b").as("a"), col("a").as("b"), col("cab")))
+      val m = ob.groupBy(col("b")).agg(count(lit(1)).cast("long").as("cnt"))
+      val nn = ob.agg(countDistinct(col("o")).cast("long").as("n"))
+      pr.filter(col("cab") >= 5)
+        .join(broadcast(m.select(col("b").as("a"), col("cnt").as("ca"))), "a")
+        .join(broadcast(m.select(col("b"), col("cnt").as("cb"))), "b")
+        .crossJoin(broadcast(nn))
+        .select(col("a"), col("b"), col("cab").as("n_both"),
+          (col("cab").cast("double") / col("n")).as("support"),
+          (col("cab").cast("double") / col("ca")).as("confidence"),
+          (col("cab").cast("double") * col("n") / col("ca") / col("cb")).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin,
-      qJsonlRoundtrip, qScd2, qSkyline, qMvIncremental)
+      qJsonlRoundtrip, qScd2, qSkyline, qMvIncremental, qAssocRules)
 }

@@ -823,8 +823,94 @@ object StatsQueries {
         .orderBy("dy")
   }
 
+  /** Mergeable HISTOGRAM rollup — the quantile counterpart of
+    * [[qKmvRollup]]'s distinct-count rollup: per-day equi-width
+    * histograms of event values (64 fixed bins from one broadcast global
+    * extent) are merged into weekly histograms by plain count addition
+    * (fixed shared edges make the sketch a monoid), and weekly
+    * p50/p90 are read off the merged counts with in-bin linear
+    * interpolation — the pre-aggregation that answers quantile-over-time
+    * at fact scale from 64·days rows. Exact weekly medians ride along to
+    * expose the binning error. Integer counts + one shared extent make
+    * the whole sketch deterministic, so the oracle replays it
+    * bit-for-bit. */
+  val qHistRollup: Q = Q.sql(
+    "q_hist_rollup",
+    """WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      |b AS (SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS dy,
+      |    CAST(least(floor((value - mn) / ((mx - mn) / 64.0)), 63) AS BIGINT) AS bin
+      |  FROM events, ext),
+      |daily AS (SELECT wk, dy, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+      |weekly AS (SELECT wk, bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY 1, 2),
+      |cum AS (SELECT wk, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY wk ORDER BY bin) AS cum,
+      |    coalesce(sum(cnt) OVER (PARTITION BY wk ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM weekly),
+      |nn AS (SELECT wk, CAST(sum(cnt) AS BIGINT) AS n FROM weekly GROUP BY 1),
+      |qual AS (SELECT c.wk, pr.p, c.bin, c.cnt, c.cb, nn.n
+      |  FROM cum c JOIN nn ON nn.wk = c.wk
+      |  CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) pr
+      |  WHERE c.cum >= pr.p * nn.n),
+      |pick AS (SELECT wk, p, min(bin) AS bin FROM qual GROUP BY 1, 2),
+      |est AS (SELECT q.wk, q.p,
+      |    mn + ((mx - mn) / 64.0) * q.bin
+      |       + ((mx - mn) / 64.0) * ((q.p * q.n - q.cb) / q.cnt) AS e
+      |  FROM qual q JOIN pick k ON k.wk = q.wk AND k.p = q.p AND k.bin = q.bin, ext),
+      |wide AS (SELECT wk,
+      |    max(CASE WHEN p = 0.5 THEN e END) AS est_p50,
+      |    max(CASE WHEN p = 0.9 THEN e END) AS est_p90
+      |  FROM est GROUP BY 1),
+      |tru AS (SELECT date_trunc('week', ts) AS wk,
+      |    round(quantile_cont(value, 0.5), 6) AS true_p50 FROM events GROUP BY 1)
+      |SELECT w.wk, nn.n, w.est_p50, w.est_p90, t.true_p50
+      |FROM wide w JOIN nn ON nn.wk = w.wk JOIN tru t ON t.wk = w.wk
+      |ORDER BY w.wk""".stripMargin,
+    doc = "mergeable histogram rollup: daily 64-bin sketches merged to weekly p50/p90") {
+    (s, d) =>
+      val ev = events(s, d).select(
+        date_trunc("week", col("ts")).as("wk"),
+        date_trunc("day", col("ts")).as("dy"),
+        col("value"))
+      val ext = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      def w0 = (col("mx") - col("mn")) / 64.0
+      val daily = ev.crossJoin(broadcast(ext))
+        .withColumn("bin",
+          least(floor((col("value") - col("mn")) / w0), lit(63)).cast("long"))
+        .groupBy(col("wk"), col("dy"), col("bin"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val weekly = graft.ScratchCache.tracked(
+        daily.groupBy(col("wk"), col("bin")).agg(sum(col("cnt")).cast("long").as("cnt")))
+      weekly.count() // two consumers: cumulative scan + per-week totals
+      val wcum = Window.partitionBy(col("wk")).orderBy(col("bin"))
+      val cum = weekly
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("cb", coalesce(
+          sum(col("cnt")).over(wcum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val nn = weekly.groupBy(col("wk")).agg(sum(col("cnt")).cast("long").as("n"))
+      val qual = cum.join(nn, "wk")
+        .crossJoin(broadcast(s.range(1).select(
+          explode(array(lit(0.5), lit(0.9))).as("p"))))
+        .filter(col("cum") >= col("p") * col("n"))
+      val pick = qual.groupBy(col("wk"), col("p")).agg(min(col("bin")).as("bin"))
+      val est = qual.join(pick, Seq("wk", "p", "bin")).crossJoin(broadcast(ext))
+        .select(col("wk"), col("p"),
+          (col("mn") + w0 * col("bin") +
+            w0 * ((col("p") * col("n") - col("cb")) / col("cnt"))).as("e"))
+      val wide = est.groupBy(col("wk")).agg(
+        max(when(col("p") === 0.5, col("e"))).as("est_p50"),
+        max(when(col("p") === 0.9, col("e"))).as("est_p90"))
+      val tru = graft.operators.Quantiles
+        .exact(events(s, d).select(date_trunc("week", col("ts")).as("wk"), col("value")),
+          "wk", "value", Seq(0.5), Seq("true_p50"))
+        .select(col("wk"), round(col("true_p50"), 6).as("true_p50"))
+      wide.join(nn, "wk").join(tru, "wk")
+        .select(col("wk"), col("n"), col("est_p50"), col("est_p90"), col("true_p50"))
+        .orderBy("wk")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
       qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
-      qKmvRetention)
+      qKmvRetention, qHistRollup)
 }

@@ -1247,9 +1247,69 @@ object TimeSeriesQueries {
       .orderBy("attributed")
   }
 
+  /** Windowed conversion funnel (the ClickHouse-windowFunnel shape):
+    * per user, the deepest prefix of signup → view → click → purchase
+    * reachable with every step inside ONE DAY of the anchoring signup —
+    * unlike [[qFunnel]]'s global per-stage minima, the window constraint
+    * makes this a per-chain search. Greedy earliest-next-event is
+    * optimal here (the deadline is anchored at the chain start, so
+    * taking the earliest qualifying next event never closes a door),
+    * which turns the search into three chained min-aggregated range
+    * joins; the user level is the max over that user's anchors, and the
+    * output is the level histogram.
+    *
+    * Scale design: every join is an equi-join on user_id with a range
+    * residual — per-user event lists bound the fan-out, no window
+    * function ever sorts more than one user's chain anchors, and the
+    * level fold is a plain unioned max. */
+  val qWindowFunnel: Q = Q.sql(
+    "q_window_funnel",
+    """WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events),
+      |s1 AS (SELECT u, ts AS t1 FROM ev WHERE et = 'signup'),
+      |s2 AS (SELECT s1.u, s1.t1, min(v.ts) AS t2 FROM s1 JOIN ev v
+      |  ON v.u = s1.u AND v.et = 'view' AND v.ts > s1.t1
+      |    AND v.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY s1.u, s1.t1),
+      |s3 AS (SELECT s2.u, s2.t1, min(c.ts) AS t3 FROM s2 JOIN ev c
+      |  ON c.u = s2.u AND c.et = 'click' AND c.ts > s2.t2
+      |    AND c.ts <= s2.t1 + INTERVAL 1 DAY GROUP BY s2.u, s2.t1),
+      |s4 AS (SELECT s3.u, s3.t1, min(p.ts) AS t4 FROM s3 JOIN ev p
+      |  ON p.u = s3.u AND p.et = 'purchase' AND p.ts > s3.t3
+      |    AND p.ts <= s3.t1 + INTERVAL 1 DAY GROUP BY s3.u, s3.t1),
+      |lv AS (SELECT u, max(l) AS lvl FROM (
+      |  SELECT u, 1 AS l FROM s1 UNION ALL SELECT u, 2 AS l FROM s2
+      |  UNION ALL SELECT u, 3 AS l FROM s3 UNION ALL SELECT u, 4 AS l FROM s4) t
+      |  GROUP BY u)
+      |SELECT lvl, CAST(count(*) AS BIGINT) AS n_users
+      |FROM lv GROUP BY lvl ORDER BY lvl""".stripMargin,
+    doc = "windowed funnel: deepest stage chain within 1 day of the signup anchor") {
+    (s, d) =>
+      val ev = graft.ScratchCache.tracked(
+        events(s, d).select(col("user_id").as("u"), col("ts"), col("event_type").as("et")))
+      ev.count() // four consumers: the anchor stage + three chained probes
+      val oneDay = expr("INTERVAL 1 DAY")
+      val s1 = ev.filter(col("et") === "signup").select(col("u"), col("ts").as("t1"))
+      def step(prev: org.apache.spark.sql.DataFrame, fromCol: String, et: String,
+          out: String) = prev.as("s")
+        .join(ev.as("e"),
+          col("e.u") === col("s.u") && col("e.et") === et &&
+            col("e.ts") > col(s"s.$fromCol") && col("e.ts") <= col("s.t1") + oneDay)
+        .groupBy(col("s.u").as("u"), col("s.t1").as("t1"))
+        .agg(min(col("e.ts")).as(out))
+      val s2 = step(s1, "t1", "view", "t2")
+      val s3 = step(s2, "t2", "click", "t3")
+      val s4 = step(s3, "t3", "purchase", "t4")
+      val lv = s1.select(col("u"), lit(1).as("l"))
+        .unionByName(s2.select(col("u"), lit(2).as("l")))
+        .unionByName(s3.select(col("u"), lit(3).as("l")))
+        .unionByName(s4.select(col("u"), lit(4).as("l")))
+        .groupBy(col("u")).agg(max(col("l")).as("lvl"))
+      lv.groupBy(col("lvl")).agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy("lvl")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution)
+      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel)
 }

@@ -63,7 +63,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_mv_incremental",  // merge with empty base AND empty delta
     "q_kmv_retention",   // sketch intersection over zero days
     "q_vad_segments",    // gaps-and-islands over zero frames
-    "q_link_pred")       // kNN graph from an empty fact table
+    "q_link_pred",       // kNN graph from an empty fact table
+    "q_hist_rollup",     // histogram sketch with null extents
+    "q_window_funnel",   // chain search with no anchors
+    "q_assoc_rules")     // baskets from an empty fact table
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -261,4 +261,84 @@ class Round7OpsSpec extends AnyFunSuite {
     val scores = out.map(_.getDouble(3))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
+
+  // ---- q_hist_rollup -------------------------------------------------------
+
+  test("hist rollup: merge law holds and the estimate lands within one bin") {
+    val r = StatsQueries.qHistRollup.run(spark, sf).collect()
+    assert(r.nonEmpty)
+    // estimator error bound: in-bin interpolation can miss the true
+    // quantile by at most one bin width
+    val vals = graft.Tables.events(spark, sf).agg(min(col("value")), max(col("value")))
+      .collect().head
+    val binW = (vals.getDouble(1) - vals.getDouble(0)) / 64.0
+    r.foreach { row =>
+      val (est, tru) = (row.getDouble(2), row.getDouble(4))
+      assert(math.abs(est - tru) <= binW,
+        s"week ${row.get(0)}: p50 estimate $est off true $tru by more than a bin ($binW)")
+    }
+    // merge law: weekly n equals raw weekly row counts
+    val wn = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).as("wk")).count()
+      .collect().map(x => x.get(0).toString -> x.getLong(1)).toMap
+    r.foreach(row => assert(row.getLong(1) == wn(row.get(0).toString)))
+  }
+
+  // ---- q_window_funnel -----------------------------------------------------
+
+  test("window funnel: levels partition the signup users and deepen monotonically") {
+    val r = TimeSeriesQueries.qWindowFunnel.run(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val signupUsers = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(r.values.sum == signupUsers, "every signup user lands in exactly one level")
+    assert(r.keys.forall(l => l >= 1 && l <= 4))
+    // brute-force one user's level: greedy earliest-next within the window
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getString(2)))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.view.mapValues { es =>
+      val anchors = es.filter(_._3 == "signup").map(_._2)
+      if (anchors.isEmpty) 0
+      else anchors.map { t1 =>
+        var level = 1; var t = t1
+        var more = true
+        while (more && level < 4) {
+          val nxt = es.filter(e => e._3 == stages(level) && e._2 > t &&
+            e._2 <= t1 + 24L * 3600 * 1000).map(_._2)
+          if (nxt.isEmpty) more = false else { t = nxt.min; level += 1 }
+        }
+        level
+      }.max
+    }.toMap.filter(_._2 > 0)
+    val wantHist = want.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(wantHist == r.map { case (k, v) => (k, v) },
+      s"funnel histogram $r != brute force $wantHist")
+  }
+
+  // ---- q_assoc_rules -------------------------------------------------------
+
+  test("assoc rules: support/confidence/lift verified brute-force, directed") {
+    val out = ExtraQueries.qAssocRules.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ob = graft.Tables.lineitem(spark, sf).as("l")
+      .join(graft.Tables.part(spark, sf).as("p"), col("p.p_partkey") === col("l.l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val n = ob.map(_._1).distinct.length.toLong
+    val marg = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val both = ob.groupBy(_._1).values.flatMap { g =>
+      val bs = g.map(_._2).toSeq
+      for (a <- bs; b <- bs if a != b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { x =>
+      val (a, b, cab) = (x.getString(0), x.getString(1), x.getLong(2))
+      assert(both((a, b)) == cab)
+      assert(x.getDouble(3) == cab.toDouble / n)
+      assert(x.getDouble(4) == cab.toDouble / marg(a))
+      assert(x.getDouble(5) == cab.toDouble * n / marg(a) / marg(b))
+    }
+  }
 }
