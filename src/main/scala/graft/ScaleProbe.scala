@@ -48,6 +48,7 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/lineitem.parquet").exists()) build(spark, base, dir, factor)
     // events replication arrived after the corpus cache existed: top up
     if (!new java.io.File(s"$dir/events.parquet").exists()) buildEvents(spark, base, dir, factor)
+    if (!new java.io.File(s"$dir/orders.parquet").exists()) buildOrders(spark, base, dir, factor)
 
     // max-over-tasks peak execution memory (unsafe shuffle/agg/join
     // memory a task held at once), straight from task metrics
@@ -97,7 +98,30 @@ object ScaleProbe {
       "q_concurrency" -> (() => reg("q_concurrency").run(spark, dir)),
       // int8 coarse scan is corpus xN against the same 16 queries; the
       // refine stage stays invariant (|queries| x pool)
-      "q_ann_refine" -> (() => reg("q_ann_refine").run(spark, dir)))
+      "q_ann_refine" -> (() => reg("q_ann_refine").run(spark, dir)),
+      // kNN graph over N disjoint replica graphs: pair distillation and
+      // the per-node top-k window both scale xN; wedge fan-out stays
+      // k-bounded per node
+      "q_link_pred" -> (() => reg("q_link_pred").run(spark, dir)),
+      // xN days of daily 64-bin sketches: the merged weekly frame is
+      // 64 rows/week regardless of event volume — wall should track the
+      // one binning scan
+      "q_hist_rollup" -> (() => reg("q_hist_rollup").run(spark, dir)),
+      // xN daily KMV sketches (64 rows/day): the intersection algebra
+      // touches sketch rows only after the one distinct scan
+      "q_kmv_retention" -> (() => reg("q_kmv_retention").run(spark, dir)),
+      // xN disjoint user populations: per-user chain joins scale xN with
+      // per-user fan-out preserved exactly
+      "q_window_funnel" -> (() => reg("q_window_funnel").run(spark, dir)),
+      // xN baskets over the SAME brand dimension: pair counts scale xN,
+      // the rule table stays |brands|^2-bounded, lift is replica-invariant
+      "q_assoc_rules" -> (() => reg("q_assoc_rules").run(spark, dir)),
+      // xN order replicas, same cutoff: base state and delta partials
+      // both scale xN; the merge stays one equi-join on affected keys
+      "q_mv_incremental" -> (() => reg("q_mv_incremental").run(spark, dir)),
+      // xN clips: threshold + explode are per-row; the islands window
+      // partitions on media_id so no task holds more than one clip
+      "q_vad_segments" -> (() => reg("q_vad_segments").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
@@ -150,6 +174,25 @@ object ScaleProbe {
       .drop("i")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     println(s"SCALE built $dir at ${factor}x")
+  }
+
+  /** `orders` ×N (keys offset, dates kept so date-cutoff splits scale
+    * proportionally) plus a plain copy of the `part` dimension — dims
+    * don't grow with facts, which is exactly the broadcast assumption
+    * the probed plans rely on. */
+  private def buildOrders(spark: SparkSession, base: String, dir: String, factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("i"))
+    val off = lit(10000000L) * col("i")
+    spark.read.parquet(s"$base/orders.parquet")
+      .crossJoin(reps)
+      .select(
+        (col("o_orderkey") + off).as("o_orderkey"),
+        (col("o_custkey") + off).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$base/part.parquet")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    println(s"SCALE built $dir/orders.parquet (+part copy) at ${factor}x")
   }
 
   /** `events` ×N: users offset per replica AND the clock shifted 64 days
