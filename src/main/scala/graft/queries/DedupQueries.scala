@@ -1193,9 +1193,105 @@ object DedupQueries {
         .orderBy("block")
   }
 
+  /** Bloom-filter bits (2^20) and hash count for [[qBloomDedup]]. */
+  val BloomM = 1048576L
+  val BloomK = 3
+
+  /** Bloom-filter dedup at a shard boundary: an arriving batch is
+    * screened against the HISTORY's chunk membership using only a Bloom
+    * filter of the history — the O(bits) state that replaces rescanning
+    * (or even retaining) the historical corpus, the way long-running
+    * ingest pipelines actually gate near-boundary duplicates. History =
+    * docs outside the batch (doc_id % 10 ≠ 0); each 16-token chunk sets
+    * [[BloomK]] bit positions carved from disjoint md5 substrings
+    * (deterministic, so the ORACLE replays the filter bit-for-bit — no
+    * engine-private bloom layout involved); a batch chunk is flagged iff
+    * all k bits are set. Exact membership rides along, so the output
+    * exposes the realized false-positive rate per language; false
+    * NEGATIVES are structurally impossible (a member's bits are all
+    * set), which the spec pins.
+    *
+    * Scale design: the "filter" is a distinct-positions frame (≤ 2^20
+    * rows regardless of corpus size) joined on bit position — broadcast
+    * at real scale; the batch side touches each chunk k times. No
+    * history rescan appears anywhere downstream of the bits frame. */
+  val qBloomDedup: Q = Q.sql(
+    "q_bloom_dedup",
+    s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS w FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(0, (len(w) + 15) // 16 - 1),
+       |      i -> array_to_string(list_slice(w, i*16 + 1, i*16 + 16), ' '))) AS chunk
+       |  FROM t),
+       |base AS (SELECT DISTINCT chunk FROM c WHERE doc_id % 10 <> 0),
+       |js AS (SELECT unnest([0, 1, 2]) AS j),
+       |bits AS (SELECT DISTINCT
+       |    CAST(('0x' || substr(md5(chunk), 1 + 5*j, 5)) AS BIGINT) % $BloomM AS pos
+       |  FROM base, js),
+       |batch AS (SELECT DISTINCT lang, chunk FROM c WHERE doc_id % 10 = 0),
+       |bpos AS (SELECT lang, chunk,
+       |    CAST(('0x' || substr(md5(chunk), 1 + 5*j, 5)) AS BIGINT) % $BloomM AS pos
+       |  FROM batch, js),
+       |fl AS (SELECT b.lang, b.chunk, CAST(count(bits.pos) AS BIGINT) AS nhit
+       |  FROM bpos b LEFT JOIN bits ON bits.pos = b.pos GROUP BY b.lang, b.chunk),
+       |tm AS (SELECT bt.lang, bt.chunk,
+       |    CASE WHEN ba.chunk IS NOT NULL THEN 1 ELSE 0 END AS tru
+       |  FROM batch bt LEFT JOIN base ba ON ba.chunk = bt.chunk),
+       |j AS (SELECT f.lang, CASE WHEN f.nhit = $BloomK THEN 1 ELSE 0 END AS flag, t.tru
+       |  FROM fl f JOIN tm t ON t.lang = f.lang AND t.chunk = f.chunk)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(flag) AS BIGINT) AS flagged,
+       |  CAST(sum(tru) AS BIGINT) AS in_base,
+       |  CAST(sum(CASE WHEN flag = 1 AND tru = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       |  CAST(sum(CASE WHEN flag = 1 AND tru = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / nullif(count(*) - sum(tru), 0) AS fp_rate
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    doc = "Bloom-filter shard-boundary dedup: O(bits) history state, realized FP rate") {
+    (s, d) =>
+      val K = 16
+      val t = documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      val nc = floor((size(col("w")) + (K - 1)) / lit(K.toDouble)).cast("long")
+      val c = graft.ScratchCache.tracked(
+        t.select(
+          col("doc_id"), col("lang"),
+          explode(transform(
+            sequence(lit(0L), nc - 1),
+            i => array_join(slice(col("w"), (i * K + 1).cast("int"), lit(K)), " ")))
+            .as("chunk")))
+      c.count() // two consumers: history side + batch side
+      def posOf(j: org.apache.spark.sql.Column) =
+        conv(substring(md5(col("chunk")), lit(1) + lit(5) * j, lit(5)), 16, 10)
+          .cast("long") % BloomM
+      val js = broadcast(s.range(1).select(
+        explode(array(lit(0), lit(1), lit(2))).as("j")))
+      val base = c.filter(col("doc_id") % 10 =!= 0).select("chunk").distinct()
+      val bits = base.crossJoin(js).select(posOf(col("j")).as("pos")).distinct()
+      val batch = c.filter(col("doc_id") % 10 === 0).select("lang", "chunk").distinct()
+      val bpos = batch.crossJoin(js).select(col("lang"), col("chunk"), posOf(col("j")).as("pos"))
+      val fl = bpos.join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+        .groupBy(col("lang"), col("chunk"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("nhit"))
+      val tm = batch.join(base.withColumn("tru1", lit(1)), Seq("chunk"), "left")
+        .select(col("lang"), col("chunk"), coalesce(col("tru1"), lit(0)).as("tru"))
+      val flag = when(col("nhit") === BloomK, 1).otherwise(0)
+      fl.join(tm, Seq("lang", "chunk"))
+        .select(col("lang"), flag.as("flag"), col("tru"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(col("flag")).cast("long").as("flagged"),
+          sum(col("tru")).cast("long").as("in_base"),
+          sum(when(col("flag") === 1 && col("tru") === 0, 1).otherwise(0)).cast("long")
+            .as("false_pos"),
+          (sum(when(col("flag") === 1 && col("tru") === 0, 1).otherwise(0)).cast("double") /
+            nullif(count(lit(1)) - sum(col("tru")), lit(0))).as("fp_rate"))
+        .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
-      qDupSpans, qSortedNeighborhood, qSurvivorship)
+      qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup)
 }

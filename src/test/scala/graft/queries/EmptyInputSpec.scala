@@ -66,7 +66,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_link_pred",       // kNN graph from an empty fact table
     "q_hist_rollup",     // histogram sketch with null extents
     "q_window_funnel",   // chain search with no anchors
-    "q_assoc_rules")     // baskets from an empty fact table
+    "q_assoc_rules",     // baskets from an empty fact table
+    "q_bloom_dedup")     // screening against an empty history filter
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

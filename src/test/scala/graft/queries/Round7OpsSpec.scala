@@ -341,4 +341,20 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(x.getDouble(5) == cab.toDouble * n / marg(a) / marg(b))
     }
   }
+
+  // ---- q_bloom_dedup -------------------------------------------------------
+
+  test("bloom dedup: no false negatives, and the gate is non-vacuous") {
+    val r = DedupQueries.qBloomDedup.run(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (flagged, inBase, fp) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      // every true member sets all k bits, so flagged = members + FPs
+      // exactly — a single unflagged member would break this identity
+      assert(fp == flagged - inBase,
+        s"lang ${row.getString(0)}: false negative (flagged $flagged, members $inBase, fp $fp)")
+    }
+    // the membership screen actually has members to find
+    assert(r.map(_.getLong(3)).sum > 0, "no batch chunk appears in history — vacuous gate")
+  }
 }
