@@ -909,8 +909,72 @@ object StatsQueries {
         .orderBy("wk")
   }
 
+  /** A/B experiment readout: users hash into two arms (replayable md5
+    * assignment — the [[PrepQueries]] hash-split move applied to
+    * experimentation) and each event family gets the Welch z-statistic
+    * for the arm difference in event value. Everything reduces to SIX
+    * integer aggregates per (family, arm) — n, Σcents, Σcents² — so the
+    * statistic is one-pass, partial-aggregation-order exact, and
+    * bit-identical across engines (the only doubles appear after the
+    * integer sums are final; Σ² is squared in double to dodge BIGINT
+    * overflow at fact scale). The shape every metrics platform runs
+    * nightly over billions of exposure rows. */
+  val qAbTest: Q = Q.sql(
+    "q_ab_test",
+    """WITH a AS (SELECT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |g AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vc) AS BIGINT) AS s, CAST(sum(vc * vc) AS BIGINT) AS ss
+      |  FROM a GROUP BY event_type, arm),
+      |w AS (SELECT a0.event_type,
+      |    a0.n AS n_a, a1.n AS n_b,
+      |    CAST(a0.s AS DOUBLE) / 100.0 / a0.n AS mean_a,
+      |    CAST(a1.s AS DOUBLE) / 100.0 / a1.n AS mean_b,
+      |    (CAST(a0.ss AS DOUBLE) - CAST(a0.s AS DOUBLE) * a0.s / a0.n) / (a0.n - 1)
+      |      / 10000.0 AS v_a,
+      |    (CAST(a1.ss AS DOUBLE) - CAST(a1.s AS DOUBLE) * a1.s / a1.n) / (a1.n - 1)
+      |      / 10000.0 AS v_b
+      |  FROM g a0 JOIN g a1 ON a1.event_type = a0.event_type
+      |    AND a0.arm = 0 AND a1.arm = 1)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(v_a / n_a + v_b / n_b) AS welch_z
+      |FROM w ORDER BY event_type""".stripMargin,
+    doc = "A/B readout: hash-armed users, Welch z from one-pass integer aggregates") {
+    (s, d) =>
+      val a = events(s, d).select(
+        col("event_type"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2).as("arm"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val g = a.groupBy(col("event_type"), col("arm"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("vc")).cast("long").as("s"),
+          sum(col("vc") * col("vc")).cast("long").as("ss"))
+      def arm(i: Int, sfx: String) = g.filter(col("arm") === i).select(
+        col("event_type"),
+        col("n").as(s"n$sfx"), col("s").as(s"s$sfx"), col("ss").as(s"ss$sfx"))
+      def meanOf(sc: String, nc: String) =
+        col(sc).cast("double") / 100.0 / col(nc)
+      def varOf(ssc: String, sc: String, nc: String) =
+        (col(ssc).cast("double") - col(sc).cast("double") * col(sc) / col(nc)) /
+          (col(nc) - 1) / 10000.0
+      arm(0, "a").join(arm(1, "b"), "event_type")
+        .select(
+          col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+          meanOf("sa", "na").as("mean_a"), meanOf("sb", "nb").as("mean_b"),
+          varOf("ssa", "sa", "na").as("v_a"), varOf("ssb", "sb", "nb").as("v_b"))
+        .select(
+          col("event_type"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          ((col("mean_a") - col("mean_b")) /
+            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b"))).as("welch_z"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
       qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
-      qKmvRetention, qHistRollup)
+      qKmvRetention, qHistRollup, qAbTest)
 }

@@ -1307,9 +1307,87 @@ object TimeSeriesQueries {
         .orderBy("lvl")
   }
 
+  /** Sequential pattern mining (order-sensitive 2-event patterns): the
+    * support of "x happens, then y happens later in the SAME session" —
+    * the directed counterpart of co-occurrence and the generalization of
+    * [[qWindowFunnel]]'s fixed chain to all type pairs. Sessions come
+    * from the same 30-minute gap rule as [[qSessionize]]; a session
+    * supports (x→y) once no matter how often the pair repeats (DISTINCT
+    * per session, the standard support definition); support is the
+    * session fraction, top-20 by support.
+    *
+    * Scale design: the precedence test is a self-join on (user, session)
+    * — the session key bounds fan-out by session length², and sessions
+    * are short by construction (the 30-minute gap cuts them), so the
+    * join never goes quadratic in the stream. No window touches more
+    * than one user's events; the global top-20 is
+    * TakeOrderedAndProject. */
+  val qSeqMining: Q = Q.sql(
+    "q_seq_mining",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged
+      |), ns AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT DISTINCT user_id, sid FROM sess) t
+      |), pp AS (
+      |  SELECT DISTINCT a.user_id, a.sid, a.event_type AS x, b.event_type AS y
+      |  FROM sess a JOIN sess b ON b.user_id = a.user_id AND b.sid = a.sid
+      |    AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      |    AND a.event_type <> b.event_type
+      |), sup AS (
+      |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_sessions FROM pp GROUP BY x, y
+      |)
+      |SELECT x, y, n_sessions, CAST(n_sessions AS DOUBLE) / ns.n AS support
+      |FROM sup, ns ORDER BY support DESC, x, y LIMIT 20""".stripMargin,
+    doc = "sequential pattern mining: directed same-session 2-event support, top-20") {
+    (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lagTs = lag(col("ts"), 1).over(w)
+      val sess = graft.ScratchCache.tracked(
+        events(s, d)
+          .withColumn("new_session",
+            when(lagTs.isNull, 1)
+              .when(unix_micros(col("ts")) - unix_micros(lagTs) > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum(col("new_session"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("sid")))
+      sess.count() // three consumers: both join sides + the session total
+      val ns = sess.select("user_id", "sid").distinct()
+        .agg(count(lit(1)).cast("long").as("n"))
+      val pp = sess.as("a").join(sess.as("b"),
+          col("b.user_id") === col("a.user_id") && col("b.sid") === col("a.sid") &&
+            (col("a.ts") < col("b.ts") ||
+              (col("a.ts") === col("b.ts") && col("a.event_id") < col("b.event_id"))) &&
+            col("a.event_type") =!= col("b.event_type"))
+        .select(col("a.user_id").as("user_id"), col("a.sid").as("sid"),
+          col("a.event_type").as("x"), col("b.event_type").as("y"))
+        .distinct()
+      pp.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+        .crossJoin(broadcast(ns))
+        .select(col("x"), col("y"), col("n_sessions"),
+          (col("n_sessions").cast("double") / col("n")).as("support"))
+        .orderBy(col("support").desc, col("x"), col("y"))
+        .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
-      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel)
+      qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
+      qSeqMining)
 }

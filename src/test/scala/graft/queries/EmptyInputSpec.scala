@@ -67,7 +67,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_hist_rollup",     // histogram sketch with null extents
     "q_window_funnel",   // chain search with no anchors
     "q_assoc_rules",     // baskets from an empty fact table
-    "q_bloom_dedup")     // screening against an empty history filter
+    "q_bloom_dedup",     // screening against an empty history filter
+    "q_ab_test",         // arms with zero exposures
+    "q_seq_mining")      // patterns over zero sessions
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -357,4 +357,80 @@ class Round7OpsSpec extends AnyFunSuite {
     // the membership screen actually has members to find
     assert(r.map(_.getLong(3)).sum > 0, "no batch chunk appears in history — vacuous gate")
   }
+
+  // ---- q_ab_test -----------------------------------------------------------
+
+  test("ab test: welch z matches a brute-force recompute from raw values") {
+    val out = StatsQueries.qAbTest.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def armOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    out.foreach { row =>
+      val et = row.getString(0)
+      val vals = raw.filter(_._1 == et)
+        .map(t => (armOf(t._2), math.round(t._3 * 100)))
+      def stats(arm: Long) = {
+        val v = vals.filter(_._1 == arm).map(_._2)
+        val n = v.length.toLong
+        val s = v.sum
+        val ss = v.map(x => x * x).sum
+        (n, s, ss)
+      }
+      val (na, sa, ssa) = stats(0); val (nb, sb, ssb) = stats(1)
+      assert(row.getLong(1) == na && row.getLong(2) == nb, s"$et arm sizes")
+      val ma = sa.toDouble / 100.0 / na; val mb = sb.toDouble / 100.0 / nb
+      val va = (ssa.toDouble - sa.toDouble * sa / na) / (na - 1) / 10000.0
+      val vb = (ssb.toDouble - sb.toDouble * sb / nb) / (nb - 1) / 10000.0
+      val z = (ma - mb) / math.sqrt(va / na + vb / nb)
+      assert(row.getDouble(3) == ma && row.getDouble(4) == mb, s"$et means")
+      assert(row.getDouble(5) == z, s"$et welch z ${row.getDouble(5)} != $z")
+    }
+  }
+
+  // ---- q_seq_mining --------------------------------------------------------
+
+  test("seq mining: directed pattern support matches brute-force sessions") {
+    val out = TimeSeriesQueries.qSeqMining.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    // brute-force sessionize (30-min gap) and directed pair support
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val buf = scala.collection.mutable.ListBuffer.empty[List[(Long, Long, String)]]
+      var cur = List.empty[(Long, Long, String)]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._2 - prev > 30L * 60 * 1000) { buf += cur.reverse; cur = Nil }
+        cur = (e._2, e._3, e._4) :: cur
+        prev = e._2
+      }
+      if (cur.nonEmpty) buf += cur.reverse
+      buf.toList
+    }.toList
+    val nSessions = sessions.length.toLong
+    val supports = sessions.flatMap { sess =>
+      (for {
+        i <- sess.indices; j <- (i + 1) until sess.length
+        if sess(i)._3 != sess(j)._3
+      } yield (sess(i)._3, sess(j)._3)).distinct
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val (x, y, n, sup) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(supports((x, y)) == n, s"($x,$y) support count $n != ${supports((x, y))}")
+      assert(sup == n.toDouble / nSessions)
+    }
+    // top-20 really is the top: no unreturned pattern beats the last row
+    val minReturned = out.map(_.getLong(2)).min
+    val returned = out.map(r => (r.getString(0), r.getString(1))).toSet
+    supports.filterNot(kv => returned(kv._1)).values.foreach(v =>
+      assert(v <= minReturned, "a pattern outside the top-20 outranks a returned one"))
+  }
 }
