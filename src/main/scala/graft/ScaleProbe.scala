@@ -121,7 +121,16 @@ object ScaleProbe {
       "q_mv_incremental" -> (() => reg("q_mv_incremental").run(spark, dir)),
       // xN clips: threshold + explode are per-row; the islands window
       // partitions on media_id so no task holds more than one clip
-      "q_vad_segments" -> (() => reg("q_vad_segments").run(spark, dir)))
+      "q_vad_segments" -> (() => reg("q_vad_segments").run(spark, dir)),
+      // xN history chunks: the filter stays <= 2^20 DISTINCT positions no
+      // matter the corpus — bits saturate, wall must track the two scans
+      "q_bloom_dedup" -> (() => reg("q_bloom_dedup").run(spark, dir)),
+      // xN sessions of preserved shape: the precedence self-join stays
+      // session-length-bounded per key
+      "q_seq_mining" -> (() => reg("q_seq_mining").run(spark, dir)),
+      // xN exposures: six integer aggregates per (family, arm), nothing
+      // else grows
+      "q_ab_test" -> (() => reg("q_ab_test").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

@@ -1384,10 +1384,69 @@ object TimeSeriesQueries {
         .limit(20)
   }
 
+  /** Offline changepoint detection (CUSUM, Page 1954): per series the
+    * cumulative sum of daily-mean deviations from the series mean peaks
+    * at the most likely mean-shift day — the standard "when did this
+    * metric change" estimator, complementing [[qAnomaly]]'s pointwise
+    * outliers with a structural-break answer.
+    *
+    * Determinism: daily means quantize to 1e-6 longs, so the series
+    * mean comes from an INTEGER sum (safe under any partial-aggregation
+    * order); the running CUSUM is an ordered window fold over the tiny
+    * per-(series, day) frame — both engines fold the identical IEEE
+    * sequence, so argmax ties cannot flip. Scale: the raw stream
+    * collapses to (series, day) aggregates FIRST; every window after
+    * that runs over ≤ days rows per series. */
+  val qChangepoint: Q = Q.sql(
+    "q_changepoint",
+    """WITH dm AS (
+      |  SELECT event_type, date_trunc('day', ts) AS dy,
+      |    CAST((20000 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+      |      // (2 * count(*)) AS BIGINT) AS xq
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(xq) AS DOUBLE) / 1000000.0 / count(*) AS mean_daily
+      |  FROM dm GROUP BY event_type),
+      |cs AS (SELECT dm.event_type, dm.dy, mu.n_days, mu.mean_daily,
+      |    sum(CAST(dm.xq AS DOUBLE) / 1000000.0 - mu.mean_daily)
+      |      OVER (PARTITION BY dm.event_type ORDER BY dm.dy
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM dm JOIN mu ON mu.event_type = dm.event_type),
+      |rk AS (SELECT event_type, dy, n_days, mean_daily, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, dy) AS rn
+      |  FROM cs)
+      |SELECT event_type, n_days, mean_daily, dy AS cp_day, abs(s) AS max_abs_cusum
+      |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    doc = "CUSUM changepoint per series: argmax cumulative deviation of daily means") {
+    (s, d) =>
+      val dm = graft.ScratchCache.tracked(
+        events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+          // half-up 1e-6 quantization in PURE integer math (x DIV y) —
+          // a double quotient through round() would hit the cross-engine
+          // round(double) tie divergence (NOTES lesson 11)
+          .agg(expr("CAST((20000 * sum(CAST(round(value * 100) AS BIGINT)) + count(*)) " +
+            "DIV (2 * count(*)) AS BIGINT)").as("xq")))
+      dm.count() // two consumers: per-series mean + the CUSUM frame
+      val mu = dm.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("long").as("n_days"),
+        (sum(col("xq")).cast("double") / 1000000.0 / count(lit(1))).as("mean_daily"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("dy"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = dm.join(mu, "event_type")
+        .withColumn("s",
+          sum(col("xq").cast("double") / 1000000.0 - col("mean_daily")).over(wc))
+      val wr = Window.partitionBy(col("event_type")).orderBy(abs(col("s")).desc, col("dy"))
+      cs.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"), col("mean_daily"),
+          col("dy").as("cp_day"), abs(col("s")).as("max_abs_cusum"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
-      qSeqMining)
+      qSeqMining, qChangepoint)
 }

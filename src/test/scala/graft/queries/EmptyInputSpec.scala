@@ -69,7 +69,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_assoc_rules",     // baskets from an empty fact table
     "q_bloom_dedup",     // screening against an empty history filter
     "q_ab_test",         // arms with zero exposures
-    "q_seq_mining")      // patterns over zero sessions
+    "q_seq_mining",      // patterns over zero sessions
+    "q_changepoint")     // CUSUM walk over zero days
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -433,4 +433,30 @@ class Round7OpsSpec extends AnyFunSuite {
     supports.filterNot(kv => returned(kv._1)).values.foreach(v =>
       assert(v <= minReturned, "a pattern outside the top-20 outranks a returned one"))
   }
+
+  // ---- q_changepoint -------------------------------------------------------
+
+  test("changepoint: cp_day is the argmax of the recomputed CUSUM walk") {
+    val out = TimeSeriesQueries.qChangepoint.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("dy"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    out.foreach { row =>
+      val et = row.getString(0)
+      val daily = raw.filter(_._1 == et).groupBy(_._2).toSeq.sortBy(_._1).map { case (dy, g) =>
+        val cents = g.map(t => math.round(t._3 * 100)).sum
+        val n = g.length
+        // same half-up integer quantization as the query
+        dy -> (20000L * cents + n) / (2L * n)
+      }
+      assert(row.getLong(1) == daily.length, s"$et day count")
+      val mu = daily.map(_._2).sum.toDouble / 1e6 / daily.length
+      var s = 0.0
+      val walk = daily.map { case (dy, xq) => s += xq.toDouble / 1e6 - mu; (dy, math.abs(s)) }
+      val (cpDay, maxAbs) = walk.maxBy(w => (w._2, -w._1))
+      assert(row.getTimestamp(3).getTime == cpDay, s"$et cp day")
+      assert(math.abs(row.getDouble(4) - maxAbs) < 1e-9, s"$et cusum magnitude")
+    }
+  }
 }
