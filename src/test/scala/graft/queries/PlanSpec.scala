@@ -489,4 +489,46 @@ class PlanSpec extends AnyFunSuite {
       "argmin per node must be min(struct) aggregation — no window over the edge list")
     assert(p.contains("BroadcastHashJoin"), "walks chain broadcast joins on the current node")
   }
+
+  test("q_skyline: no sort-merge join and no cartesian — prune is broadcast-only") {
+    val p = plan(ExtraQueries.qSkyline)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "bucket/price threshold joins must broadcast")
+  }
+
+  test("q_link_pred: per-node top-k caps as a group limit; final top-20 avoids a global sort") {
+    val df = GraphQueries.qLinkPred.run(spark, sf)
+    df.collect()
+    graft.ScratchCache.releaseAll()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "kNN rank filter must plan as WindowGroupLimit, not a full per-node sort")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_seq_mining: precedence self-join is keyed on (user, session), not a theta join") {
+    val df = TimeSeriesQueries.qSeqMining.run(spark, sf)
+    df.collect()
+    graft.ScratchCache.releaseAll()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the range/type predicates ride the equi-join as a residual condition
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_hist_rollup: daily binning is a partial aggregate; extents broadcast") {
+    val df = StatsQueries.qHistRollup.run(spark, sf)
+    df.collect()
+    graft.ScratchCache.releaseAll()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "daily histogram must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single-row extent frame must broadcast")
+  }
+
+  test("q_ab_test: one pass — no window, no shuffle beyond the (family, arm) aggregate") {
+    val p = plan(StatsQueries.qAbTest)
+    assert(!p.contains("windowspecdefinition"), "welch z must come from plain aggregates")
+    assert(p.contains("partial_"), "the six sums must map-side combine")
+  }
 }
