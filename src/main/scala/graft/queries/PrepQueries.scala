@@ -537,7 +537,123 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  /** Sample budget for [[qNeymanAlloc]]. */
+  val NeymanBudget = 1000L
+
+  /** Neyman-optimal sample allocation (Neyman 1934): split a
+    * [[NeymanBudget]]-doc annotation/eval budget across languages
+    * proportional to stratum-size × stratum-stddev — the
+    * variance-minimizing design every labeling campaign should use
+    * instead of proportional allocation. Stddevs come from one pass of
+    * integer aggregates (n, Σchars, Σchars²); weights quantize to 1e-6
+    * fixed point so the weight TOTAL is an exact integer sum; seats are
+    * apportioned by LARGEST REMAINDER (floor quota + top-remainder
+    * bonus, ties to the earlier language) entirely in integer math, so
+    * the allocation sums to the budget exactly and both engines agree
+    * bit-for-bit. One tiny per-stratum frame after the single corpus
+    * pass — nothing here grows with corpus size except that pass. */
+  val qNeymanAlloc: Q = Q.sql(
+    "q_neyman_alloc",
+    s"""WITH st AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(n_chars) AS BIGINT) AS s, CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+       |  FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n,
+       |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sigma,
+       |    CAST(round(1000000.0 * n *
+       |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))) AS BIGINT) AS wq
+       |  FROM st),
+       |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
+       |qt AS (SELECT w.lang, w.n, w.sigma, w.wq, tot.tw,
+       |    CAST(($NeymanBudget * w.wq) // tot.tw AS BIGINT) AS base,
+       |    CAST($NeymanBudget * w.wq - (($NeymanBudget * w.wq) // tot.tw) * tot.tw AS BIGINT)
+       |      AS rem
+       |  FROM w, tot),
+       |lo AS (SELECT CAST($NeymanBudget - sum(base) AS BIGINT) AS left_over FROM qt),
+       |rk AS (SELECT qt.*, lo.left_over,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |  FROM qt, lo)
+       |SELECT lang, n AS n_docs, round(sigma, 6) AS sigma,
+       |  CAST(base + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM rk ORDER BY lang""".stripMargin,
+    doc = "Neyman sample allocation: size×stddev weights, exact largest-remainder seats") {
+    (s, d) =>
+      val st = documents(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("n_chars")).cast("long").as("s"),
+        sum(col("n_chars") * col("n_chars")).cast("long").as("ss"))
+      val sigma = sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") /
+        col("n")) / (col("n") - 1))
+      val w = st.select(col("lang"), col("n"), sigma.as("sigma"),
+        round(lit(1000000.0) * col("n") * sigma).cast("long").as("wq"))
+      val tot = w.agg(sum(col("wq")).cast("long").as("tw"))
+      val qt = w.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"CAST(($NeymanBudget * wq) DIV tw AS BIGINT)"))
+        .withColumn("rem", lit(NeymanBudget) * col("wq") - col("base") * col("tw"))
+      val lo = qt.agg((lit(NeymanBudget) - sum(col("base"))).cast("long").as("left_over"))
+      val wr = Window.orderBy(col("rem").desc, col("lang"))
+      qt.crossJoin(broadcast(lo))
+        .withColumn("rk", row_number().over(wr))
+        .select(col("lang"), col("n").as("n_docs"), round(col("sigma"), 6).as("sigma"),
+          (col("base") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy("lang")
+  }
+
+  /** Snapshot diff — recover the CHANGE SET between two table versions
+    * by content comparison: the inverse of [[qMergeUpsert]] (which
+    * applies a changelog, where this derives one). Version 2 is a
+    * deterministic transform of the corpus (drops, edits, inserts keyed
+    * on doc_id residues) standing in for "yesterday's vs today's
+    * snapshot"; the diff itself — the operator under test — is ONE full
+    * outer join on the key comparing content hashes, classifying
+    * added / removed / modified / unchanged, then a per-status rollup
+    * with an order-independent signature. At 100 TB the join is the
+    * only fact-scale work and both sides prune to (key, hash). */
+  val qSnapshotDiff: Q = Q.sql(
+    "q_snapshot_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS doc_id, md5('new:' || text) AS h
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN v1.h <> v2.h THEN 'modified'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT)
+      |    AS key_sig
+      |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    doc = "snapshot diff: change set between two table versions via one full outer join") {
+    (s, d) =>
+      val v1 = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = documents(s, d).filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text"))).as("h"))
+        .unionByName(documents(s, d).filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            md5(concat(lit("new:"), col("text"))).as("h")))
+      v1.as("a").join(v2.as("b"), col("b.doc_id") === col("a.doc_id"), "full_outer")
+        .select(
+          coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+            .cast("long").as("key_sig"))
+        .orderBy("status")
+  }
+
   val all: Seq[Q] =
     Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply,
-      qDsirWeight, qShuffleShard, qWeightedSample)
+      qDsirWeight, qShuffleShard, qWeightedSample, qNeymanAlloc, qSnapshotDiff)
 }

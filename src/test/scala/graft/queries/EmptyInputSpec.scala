@@ -70,7 +70,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bloom_dedup",     // screening against an empty history filter
     "q_ab_test",         // arms with zero exposures
     "q_seq_mining",      // patterns over zero sessions
-    "q_changepoint")     // CUSUM walk over zero days
+    "q_changepoint",     // CUSUM walk over zero days
+    "q_neyman_alloc",    // apportionment with zero strata
+    "q_snapshot_diff")   // diff of two empty versions
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -459,4 +459,49 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(4) - maxAbs) < 1e-9, s"$et cusum magnitude")
     }
   }
+
+  // ---- q_neyman_alloc ------------------------------------------------------
+
+  test("neyman allocation: seats sum to the budget and follow the weights exactly") {
+    val r = PrepQueries.qNeymanAlloc.run(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(3)).sum == PrepQueries.NeymanBudget,
+      "largest-remainder apportionment must hand out the budget exactly")
+    // recompute the apportionment from raw integer moments
+    val docs = graft.Tables.documents(spark, sf).select(col("lang"), col("n_chars"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val wq = docs.groupBy(_._1).view.mapValues { g =>
+      val n = g.length.toLong
+      val s = g.map(_._2).sum
+      val ss = g.map(t => t._2 * t._2).sum
+      val sigma = math.sqrt((ss.toDouble - s.toDouble * s / n) / (n - 1))
+      math.round(1e6 * n * sigma)
+    }.toMap
+    val tw = wq.values.sum
+    val base = wq.view.mapValues(w => PrepQueries.NeymanBudget * w / tw).toMap
+    val rem = wq.map { case (l, w) =>
+      l -> (PrepQueries.NeymanBudget * w - base(l) * tw) }
+    val leftOver = PrepQueries.NeymanBudget - base.values.sum
+    val bonus = rem.toSeq.sortBy(t => (-t._2, t._1)).take(leftOver.toInt).map(_._1).toSet
+    r.foreach { row =>
+      val l = row.getString(0)
+      val want = base(l) + (if (bonus(l)) 1L else 0L)
+      assert(row.getLong(3) == want, s"$l alloc ${row.getLong(3)} != $want")
+    }
+  }
+
+  // ---- q_snapshot_diff -----------------------------------------------------
+
+  test("snapshot diff: statuses partition both versions and counts reconcile") {
+    val r = PrepQueries.qSnapshotDiff.run(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val ids = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val removed = ids.count(_ % 17 == 3).toLong
+    val added = ids.count(_ % 11 == 0).toLong
+    val modified = ids.count(i => i % 17 != 3 && i % 5 == 0).toLong
+    assert(r("removed") == removed && r("added") == added && r("modified") == modified,
+      s"diff $r vs expected removed=$removed added=$added modified=$modified")
+    assert(r.values.sum == ids.length + added, "statuses must partition v1 ∪ v2 keys")
+  }
 }
