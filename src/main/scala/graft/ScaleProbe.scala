@@ -130,7 +130,12 @@ object ScaleProbe {
       "q_seq_mining" -> (() => reg("q_seq_mining").run(spark, dir)),
       // xN exposures: six integer aggregates per (family, arm), nothing
       // else grows
-      "q_ab_test" -> (() => reg("q_ab_test").run(spark, dir)))
+      "q_ab_test" -> (() => reg("q_ab_test").run(spark, dir)),
+      // xN days per series: the CUSUM frame is (series, day)-bounded
+      "q_changepoint" -> (() => reg("q_changepoint").run(spark, dir)),
+      // xN keys through one full-outer hash compare — the only
+      // fact-scale work is the join itself
+      "q_snapshot_diff" -> (() => reg("q_snapshot_diff").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
