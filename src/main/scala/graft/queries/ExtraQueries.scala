@@ -469,7 +469,99 @@ object ExtraQueries {
         .limit(20)
   }
 
+  /** RFM customer segmentation — the classic warehouse scoring of every
+    * customer by Recency / Frequency / Monetary quintiles, rolled up to
+    * named segments. Scores come from GLOBAL quintile cut points
+    * computed by the distributed order-statistics operator and broadcast
+    * into comparison-only binning (the [[graft.queries.TimeSeriesQueries]]
+    * equi-depth pattern applied three times) — NEVER an ntile window
+    * over all customers, which would sort the whole dimension in one
+    * task. Money sums are exact cents, day gaps exact integers, so every
+    * score and rollup is engine-identical. */
+  val qRfm: Q = Q.sql(
+    "q_rfm",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders))
+      |      AS rec,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (SELECT
+      |    quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2,
+      |    quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4,
+      |    quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+      |    quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+      |    quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2,
+      |    quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4
+      |  FROM cust),
+      |s AS (SELECT cust.rec, cust.freq, cust.mon,
+      |    6 - (1 + CAST(rec > c.r1 AS INT) + CAST(rec > c.r2 AS INT)
+      |           + CAST(rec > c.r3 AS INT) + CAST(rec > c.r4 AS INT)) AS r_score,
+      |    1 + CAST(freq > c.f1 AS INT) + CAST(freq > c.f2 AS INT)
+      |      + CAST(freq > c.f3 AS INT) + CAST(freq > c.f4 AS INT) AS f_score,
+      |    1 + CAST(mon > c.m1 AS INT) + CAST(mon > c.m2 AS INT)
+      |      + CAST(mon > c.m3 AS INT) + CAST(mon > c.m4 AS INT) AS m_score
+      |  FROM cust, c),
+      |seg AS (SELECT rec, freq, mon,
+      |    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |         WHEN r_score >= 4 THEN 'recent'
+      |         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |         WHEN m_score = 5 THEN 'big_spender'
+      |         ELSE 'regular' END AS segment
+      |  FROM s)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(mon) AS DOUBLE) / 100.0 / count(*) AS avg_monetary,
+      |  CAST(sum(rec) AS DOUBLE) / count(*) AS avg_recency_days,
+      |  CAST(sum(freq) AS DOUBLE) / count(*) AS avg_orders
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    doc = "RFM segmentation: global quintile cuts broadcast into comparison-only scoring") {
+    (s, d) =>
+      val mx = orders(s, d).agg(max(col("o_orderdate")).as("mxd"))
+      val cust = graft.ScratchCache.tracked(
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(col("o_orderdate")).as("lastd"),
+            count(lit(1)).cast("long").as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("mon"))
+          .crossJoin(broadcast(mx))
+          .select(
+            datediff(col("mxd"), col("lastd")).cast("long").as("rec"),
+            col("freq"), col("mon"))
+          // constant-VALUED but non-foldable group key for the global
+          // order statistics (a literal would constant-fold away)
+          .withColumn("g", col("freq") * 0L))
+      cust.count() // four consumers: three quantile runs + the scoring pass
+      def cuts(dim: String, names: Seq[String]) = broadcast(
+        graft.operators.Quantiles
+          .exact(cust, "g", dim, Seq(0.2, 0.4, 0.6, 0.8), names)
+          .select(names.map(col): _*))
+      val r = cuts("rec", Seq("r1", "r2", "r3", "r4"))
+      val f = cuts("freq", Seq("f1", "f2", "f3", "f4"))
+      val m = cuts("mon", Seq("m1", "m2", "m3", "m4"))
+      def score(dim: String, cs: Seq[String]) = cs.map(c =>
+        (col(dim) > col(c)).cast("int")).reduce(_ + _) + 1
+      val seg = cust.crossJoin(r).crossJoin(f).crossJoin(m)
+        .withColumn("r_score", lit(6) - score("rec", Seq("r1", "r2", "r3", "r4")))
+        .withColumn("f_score", score("freq", Seq("f1", "f2", "f3", "f4")))
+        .withColumn("m_score", score("mon", Seq("m1", "m2", "m3", "m4")))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") >= 4, "recent")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .when(col("m_score") === 5, "big_spender")
+            .otherwise("regular"))
+      seg.groupBy(col("segment"))
+        .agg(
+          count(lit(1)).cast("long").as("n_customers"),
+          (sum(col("mon")).cast("double") / 100.0 / count(lit(1))).as("avg_monetary"),
+          (sum(col("rec")).cast("double") / count(lit(1))).as("avg_recency_days"),
+          (sum(col("freq")).cast("double") / count(lit(1))).as("avg_orders"))
+        .orderBy("segment")
+  }
+
   val all: Seq[Q] =
     Seq(qAsofJoin, qRollup, qGroupingSets, qCube, qApprox, qCountDistinct, qRangeJoin,
-      qJsonlRoundtrip, qScd2, qSkyline, qMvIncremental, qAssocRules)
+      qJsonlRoundtrip, qScd2, qSkyline, qMvIncremental, qAssocRules, qRfm)
 }

@@ -72,7 +72,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_seq_mining",      // patterns over zero sessions
     "q_changepoint",     // CUSUM walk over zero days
     "q_neyman_alloc",    // apportionment with zero strata
-    "q_snapshot_diff")   // diff of two empty versions
+    "q_snapshot_diff",   // diff of two empty versions
+    "q_rfm")             // quintile cuts over zero customers
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

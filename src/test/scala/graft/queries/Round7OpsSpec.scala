@@ -504,4 +504,42 @@ class Round7OpsSpec extends AnyFunSuite {
       s"diff $r vs expected removed=$removed added=$added modified=$modified")
     assert(r.values.sum == ids.length + added, "statuses must partition v1 ∪ v2 keys")
   }
+
+  // ---- q_rfm ---------------------------------------------------------------
+
+  test("rfm: segments partition the customers and match brute-force quintile scoring") {
+    val out = ExtraQueries.qRfm.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), millis(r.get(1)), r.getDouble(2)))
+    val maxD = rows.map(_._2).max
+    val cust = rows.groupBy(_._1).values.map { g =>
+      val rec = (maxD - g.map(_._2).max) / 86400000L
+      (rec, g.length.toLong, g.map(t => math.round(t._3 * 100)).sum)
+    }.toSeq
+    assert(out.values.sum == cust.length, "segments must partition the customer set")
+    def quints(vs: Seq[Long]): Seq[Double] = {
+      val s = vs.sorted.map(_.toDouble)
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val pos = p * (s.length - 1); val lo = pos.toInt
+        if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * (pos - lo) else s(lo)
+      }
+    }
+    val (rq, fq, mq) = (quints(cust.map(_._1)), quints(cust.map(_._2)), quints(cust.map(_._3)))
+    def sc(v: Long, cs: Seq[Double]) = 1 + cs.count(v > _)
+    val want = cust.map { case (rec, fr, mon) =>
+      val (r, f, m) = (6 - sc(rec, rq), sc(fr, fq), sc(mon, mq))
+      if (r >= 4 && f >= 4) "champion"
+      else if (r >= 4) "recent"
+      else if (r <= 2 && f >= 4) "at_risk"
+      else if (m == 5) "big_spender"
+      else "regular"
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == want, s"segment histogram $out != brute force $want")
+  }
 }
