@@ -529,17 +529,25 @@ object ExtraQueries {
           .select(
             datediff(col("mxd"), col("lastd")).cast("long").as("rec"),
             col("freq"), col("mon"))
-          // constant-VALUED but non-foldable group key for the global
-          // order statistics (a literal would constant-fold away)
-          .withColumn("g", col("freq") * 0L))
-      cust.count() // four consumers: three quantile runs + the scoring pass
-      def cuts(dim: String, names: Seq[String]) = broadcast(
-        graft.operators.Quantiles
-          .exact(cust, "g", dim, Seq(0.2, 0.4, 0.6, 0.8), names)
-          .select(names.map(col): _*))
-      val r = cuts("rec", Seq("r1", "r2", "r3", "r4"))
-      val f = cuts("freq", Seq("f1", "f2", "f3", "f4"))
-      val m = cuts("mon", Seq("m1", "m2", "m3", "m4"))
+          .select(col("rec"), col("freq"), col("mon")))
+      cust.count() // two consumers: the melted quantile pass + scoring
+      // ONE order-statistics pass for all three dimensions: melt to
+      // (dim, value) and let the operator's group key separate them —
+      // one range sort instead of three
+      val melted = cust.select(explode(array(
+        struct(lit("rec").as("dim"), col("rec").as("v")),
+        struct(lit("freq").as("dim"), col("freq").as("v")),
+        struct(lit("mon").as("dim"), col("mon").as("v")))).as("x"))
+        .select(col("x.dim").as("dim"), col("x.v").as("v"))
+      val q = graft.ScratchCache.tracked(graft.operators.Quantiles
+        .exact(melted, "dim", "v", Seq(0.2, 0.4, 0.6, 0.8), Seq("c1", "c2", "c3", "c4")))
+      q.count() // three consumers (one filtered single-row frame per dimension)
+      def row(dim: String, names: Seq[String]) = broadcast(
+        q.filter(col("dim") === dim)
+          .select((1 to 4).map(i => col(s"c$i").as(names(i - 1))): _*))
+      val r = row("rec", Seq("r1", "r2", "r3", "r4"))
+      val f = row("freq", Seq("f1", "f2", "f3", "f4"))
+      val m = row("mon", Seq("m1", "m2", "m3", "m4"))
       def score(dim: String, cs: Seq[String]) = cs.map(c =>
         (col(dim) > col(c)).cast("int")).reduce(_ + _) + 1
       val seg = cust.crossJoin(r).crossJoin(f).crossJoin(m)
