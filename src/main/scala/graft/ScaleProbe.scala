@@ -135,7 +135,10 @@ object ScaleProbe {
       "q_changepoint" -> (() => reg("q_changepoint").run(spark, dir)),
       // xN keys through one full-outer hash compare — the only
       // fact-scale work is the join itself
-      "q_snapshot_diff" -> (() => reg("q_snapshot_diff").run(spark, dir)))
+      "q_snapshot_diff" -> (() => reg("q_snapshot_diff").run(spark, dir)),
+      // xN customers through one melted order-statistics pass + a
+      // broadcast comparison scoring
+      "q_rfm" -> (() => reg("q_rfm").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
