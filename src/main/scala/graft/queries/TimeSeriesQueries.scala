@@ -1443,10 +1443,101 @@ object TimeSeriesQueries {
         .orderBy("event_type")
   }
 
+  /** First-order Markov transition matrix over the user journey: for
+    * every (from → to) pair of IMMEDIATELY consecutive events of the
+    * same user, the transition count and conditional probability — the
+    * user-journey model behind next-action prediction and funnel
+    * simulation, and the immediate-successor counterpart of
+    * [[qSeqMining]]'s any-precedence patterns. One per-user lead window
+    * (ties broken by event_id) + one |types|²-bounded aggregate; row
+    * probabilities are a single integer division, so the matrix is
+    * engine-exact and rows sum to 1 by construction (spec-pinned). */
+  val qMarkovTransition: Q = Q.sql(
+    "q_markov_transition",
+    """WITH o AS (
+      |  SELECT event_type AS from_state,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      |  FROM events),
+      |t AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      |  FROM o WHERE to_state IS NOT NULL GROUP BY from_state, to_state),
+      |m AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY from_state)
+      |SELECT t.from_state, t.to_state, t.n,
+      |  CAST(t.n AS DOUBLE) / m.tot AS prob
+      |FROM t JOIN m ON m.from_state = t.from_state
+      |ORDER BY t.from_state, t.to_state""".stripMargin,
+    doc = "first-order Markov transition matrix of the user journey (lead window + one agg)") {
+    (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = events(s, d)
+        .select(col("event_type").as("from_state"),
+          lead(col("event_type"), 1).over(w).as("to_state"))
+        .filter(col("to_state").isNotNull)
+        .groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val m = t.groupBy(col("from_state")).agg(sum(col("n")).cast("long").as("tot"))
+      t.join(broadcast(m), "from_state")
+        .select(col("from_state"), col("to_state"), col("n"),
+          (col("n").cast("double") / col("tot")).as("prob"))
+        .orderBy("from_state", "to_state")
+  }
+
+  /** Cohort LTV curves: cumulative per-user purchase revenue by signup
+    * cohort (first-seen week) and age (weeks since cohort) — the
+    * triangular matrix every growth team reads next to
+    * [[qCohortRetention]]'s activity version. Revenue accumulates in
+    * exact cents; cohort/age derive from week-truncated timestamps whose
+    * microsecond difference is an exact multiple of a week, divided in
+    * INTEGER math; the cumulative sum is an ordered window over the tiny
+    * (cohort, age) frame, never over raw events. */
+  val qCohortLtv: Q = Q.sql(
+    "q_cohort_ltv",
+    """WITH fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cwk
+      |  FROM events GROUP BY user_id),
+      |rv AS (SELECT e.user_id, date_trunc('week', e.ts) AS wk,
+      |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events e WHERE e.event_type = 'purchase'
+      |  GROUP BY e.user_id, date_trunc('week', e.ts)),
+      |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_users, f.cwk FROM fs f GROUP BY f.cwk),
+      |ag AS (SELECT f.cwk,
+      |    CAST((epoch_us(r.wk) - epoch_us(f.cwk)) // 604800000000 AS BIGINT) AS age_weeks,
+      |    CAST(sum(r.cents) AS BIGINT) AS cents
+      |  FROM rv r JOIN fs f ON f.user_id = r.user_id GROUP BY 1, 2),
+      |cu AS (SELECT cwk, age_weeks, cents,
+      |    sum(cents) OVER (PARTITION BY cwk ORDER BY age_weeks
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM ag)
+      |SELECT cu.cwk AS cohort_week, cu.age_weeks, cs.n_users,
+      |  CAST(cu.cum_cents AS DOUBLE) / 100.0 / cs.n_users AS ltv_per_user
+      |FROM cu JOIN cs ON cs.cwk = cu.cwk
+      |ORDER BY cohort_week, age_weeks""".stripMargin,
+    doc = "cohort LTV: cumulative revenue per signup cohort by age in weeks, exact cents") {
+    (s, d) =>
+      val fs = graft.ScratchCache.tracked(
+        events(s, d).groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cwk")))
+      fs.count() // two consumers: cohort sizes + the revenue join
+      val rv = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      val cs = fs.groupBy(col("cwk")).agg(count(lit(1)).cast("long").as("n_users"))
+      val ag = rv.join(fs, "user_id")
+        .groupBy(col("cwk"),
+          expr("CAST((unix_micros(wk) - unix_micros(cwk)) DIV 604800000000 AS BIGINT)")
+            .as("age_weeks"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+      val wc = Window.partitionBy(col("cwk")).orderBy(col("age_weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ag.withColumn("cum_cents", sum(col("cents")).over(wc))
+        .join(broadcast(cs), "cwk")
+        .select(col("cwk").as("cohort_week"), col("age_weeks"), col("n_users"),
+          (col("cum_cents").cast("double") / 100.0 / col("n_users")).as("ltv_per_user"))
+        .orderBy("cohort_week", "age_weeks")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
-      qSeqMining, qChangepoint)
+      qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv)
 }

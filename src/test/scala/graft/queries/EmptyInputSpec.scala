@@ -73,7 +73,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_changepoint",     // CUSUM walk over zero days
     "q_neyman_alloc",    // apportionment with zero strata
     "q_snapshot_diff",   // diff of two empty versions
-    "q_rfm")             // quintile cuts over zero customers
+    "q_rfm",             // quintile cuts over zero customers
+    "q_markov_transition", // transitions over zero events
+    "q_cohort_ltv")      // cohorts with no purchases
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -542,4 +542,64 @@ class Round7OpsSpec extends AnyFunSuite {
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(out == want, s"segment histogram $out != brute force $want")
   }
+
+  // ---- q_markov_transition -------------------------------------------------
+
+  test("markov: rows are distributions and counts match brute-force successors") {
+    val out = TimeSeriesQueries.qMarkovTransition.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byFrom = out.groupBy(_.getString(0))
+    byFrom.values.foreach { rows =>
+      val sum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(sum - 1.0) < 1e-9, s"row ${rows.head.getString(0)} sums to $sum")
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(want((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"(${r.getString(0)}→${r.getString(1)}) count")
+    }
+    assert(want.size == out.length, "every observed transition must be reported")
+  }
+
+  // ---- q_cohort_ltv --------------------------------------------------------
+
+  test("cohort ltv: curves are non-decreasing and end at total revenue per user") {
+    val out = TimeSeriesQueries.qCohortLtv.run(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      val curve = rows.sortBy(_._2).map(_._4)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        "LTV must be cumulative (non-decreasing)")
+    }
+    // the terminal value of each cohort's curve equals that cohort's
+    // total purchase revenue divided by its size
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2), r.getDouble(3)))
+    val wk = 7L * 86400000L
+    def weekOf(t: Long) = {
+      // epoch day 0 (1970-01-01) was a Thursday; date_trunc('week') cuts
+      // on Mondays, 4 days later
+      val shifted = t - 4L * 86400000L
+      shifted - java.lang.Math.floorMod(shifted, wk) + 4L * 86400000L
+    }
+    val cohortOf = ev.groupBy(_._1).view.mapValues(g => weekOf(g.map(_._2).min)).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val revenue = ev.filter(_._3 == "purchase")
+      .groupBy(e => cohortOf(e._1)).view
+      .mapValues(_.map(e => math.round(e._4 * 100)).sum).toMap
+    out.groupBy(_._1).foreach { case (cw, rows) =>
+      val terminal = rows.maxBy(_._2)._4
+      val want = revenue(cw.getTime).toDouble / 100.0 / sizes(cw.getTime)
+      assert(math.abs(terminal - want) < 1e-9,
+        s"cohort $cw terminal LTV $terminal != $want")
+    }
+  }
 }
