@@ -49,6 +49,7 @@ object ScaleProbe {
     // events replication arrived after the corpus cache existed: top up
     if (!new java.io.File(s"$dir/events.parquet").exists()) buildEvents(spark, base, dir, factor)
     if (!new java.io.File(s"$dir/orders.parquet").exists()) buildOrders(spark, base, dir, factor)
+    if (!new java.io.File(s"$dir/customer.parquet").exists()) buildCustomer(spark, base, dir, factor)
 
     // max-over-tasks peak execution memory (unsafe shuffle/agg/join
     // memory a task held at once), straight from task metrics
@@ -138,7 +139,17 @@ object ScaleProbe {
       "q_snapshot_diff" -> (() => reg("q_snapshot_diff").run(spark, dir)),
       // xN customers through one melted order-statistics pass + a
       // broadcast comparison scoring
-      "q_rfm" -> (() => reg("q_rfm").run(spark, dir)))
+      "q_rfm" -> (() => reg("q_rfm").run(spark, dir)),
+      // xN customers per nation: the per-nation row_number window is the
+      // scale question — the ranked frame is customer-grain (facts
+      // collapse first), so each nation partition grows xN but stays a
+      // dimension sort, never a fact-table sort
+      "q_gini" -> (() => reg("q_gini").run(spark, dir)),
+      // xN docs but the rank window runs over DISTINCT (lang, n_chars)
+      // values: replica token-prefixing keeps n_chars distributions
+      // similar, so the window frame must grow ~sublinearly while the
+      // one fact-scale groupBy absorbs the xN rows
+      "q_mann_whitney" -> (() => reg("q_mann_whitney").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
@@ -210,6 +221,23 @@ object ScaleProbe {
     spark.read.parquet(s"$base/part.parquet")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     println(s"SCALE built $dir/orders.parquet (+part copy) at ${factor}x")
+  }
+
+  /** `customer` ×N with c_custkey offset by the SAME stride as orders'
+    * o_custkey, so each replica's orders join their own replica's
+    * customers — per-nation customer counts scale ×N (the Gini rank
+    * window's partition size), while nations stay a broadcast dim. */
+  private def buildCustomer(spark: SparkSession, base: String, dir: String, factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("i"))
+    val off = lit(10000000L) * col("i")
+    spark.read.parquet(s"$base/customer.parquet")
+      .crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + off)
+      .drop("i")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.read.parquet(s"$base/nation.parquet")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    println(s"SCALE built $dir/customer.parquet (+nation copy) at ${factor}x")
   }
 
   /** `events` ×N: users offset per replica AND the clock shifted 64 days

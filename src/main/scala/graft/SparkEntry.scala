@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.all ++ StarQueries.all ++ TimeSeriesQueries.all ++ SolarQueries.all ++
       TextQueries.all ++ RankQueries.all ++ StatsQueries.all ++
       PrepQueries.all ++ LayoutQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ ExtraQueries.all ++ GraphQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ ExtraQueries.all ++ GraphQueries.all ++
+      InferenceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
