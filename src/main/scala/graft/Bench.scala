@@ -100,13 +100,22 @@ object Bench {
     // map doubled the line) and arrived as parsed:null — so the stdout line
     // stays compact (adaptive decimal precision, no passes), and the full
     // per-pass detail goes to a repo file instead.
-    def line(prec: Int): String = {
-      val qs = results
+    def line(prec: Int, top: Option[Int]): String = {
+      val picked = top.fold(results)(k =>
+        results.sortBy(-_._2.map(_.sec).min).take(k).sortBy(_._1))
+      val qs = picked
         .map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v.map(_.sec).min) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},""" +
+        f""""queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = (3 to 1 by -1).map(line).find(_.length <= 1900).getOrElse(line(1))
+    // at 190+ queries even 1-decimal precision overflows the tail budget:
+    // degrade to the SLOWEST queries that fit (the informative subset —
+    // the fast tail is noise at 1 decimal anyway); BENCH_PASSES.json
+    // always carries the complete battery.
+    val out = ((3 to 1 by -1).map(line(_, None)) ++
+      Seq(96, 64, 48, 32, 16).map(k => line(2, Some(k))))
+      .find(_.length <= 1900).getOrElse(line(2, Some(8)))
     // every pass, not just the min: a plan-cost problem is slow in ALL
     // passes; a host-contention spike is one outlier — written to a file so
     // the stdout line stays within the driver's tail budget. gc/cpu arrays

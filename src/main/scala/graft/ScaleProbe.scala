@@ -149,7 +149,19 @@ object ScaleProbe {
       // values: replica token-prefixing keeps n_chars distributions
       // similar, so the window frame must grow ~sublinearly while the
       // one fact-scale groupBy absorbs the xN rows
-      "q_mann_whitney" -> (() => reg("q_mann_whitney").run(spark, dir)))
+      "q_mann_whitney" -> (() => reg("q_mann_whitney").run(spark, dir)),
+      // xN vectors through the one 4096-cell outer-product fold — wall
+      // must track the embedding scan, peak memory stays 4096-bounded
+      "q_gram_matrix" -> (() => reg("q_gram_matrix").run(spark, dir)),
+      // xN docs of narrow per-row chunking + one chunk-hash groupBy
+      "q_cdc_dedup" -> (() => reg("q_cdc_dedup").run(spark, dir)),
+      // xN days (events clock-shifted per replica): the lag fan-out and
+      // moment aggregates run on the day-grain frame, which grows xN
+      "q_xcorr_leadlag" -> (() => reg("q_xcorr_leadlag").run(spark, dir)),
+      // day pairs grow xN^2 per series but stay day-grain (300 days ->
+      // 45k pairs/series at 10x); the documented sampled variant is the
+      // escape hatch for multi-year horizons
+      "q_theilsen" -> (() => reg("q_theilsen").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

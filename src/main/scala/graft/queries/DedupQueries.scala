@@ -1289,9 +1289,99 @@ object DedupQueries {
         .orderBy("lang")
   }
 
+  /** Content-defined chunking (CDC) dedup audit — the rsync/FastCDC/
+    * data-lake trick: chunk boundaries are declared wherever a rolling
+    * hash of the last 8 characters hits a mask (h % 64 == 0, expected
+    * ~64-char chunks), so an insertion early in a document shifts ONLY
+    * the chunk containing it — every later chunk re-aligns and
+    * re-deduplicates, which fixed-width shingles never do. Per source:
+    * chunk count, distinct chunk count (by md5), duplicate occurrences,
+    * and mean chunk length.
+    *
+    * The rolling hash is position-wise h(p) = Σₖ code(p−k)·31ᵏ
+    * (k = 0..7) over exact integer character codes — engine-identical,
+    * replayed by the oracle from substr/ascii. No greedy min-chunk
+    * constraint: that's a sequential fold a declarative plan (and the
+    * SQL oracle) can't express; the mask alone bounds expected chunk
+    * size, which is the dedup-relevant property.
+    *
+    * Scale: everything is per-row narrow work (one codes array staged
+    * per document — referenced 8× so CollapseProject keeps it, lesson
+    * 3 — then one O(len) filter) until the single chunk-hash groupBy;
+    * no joins, no windows over the corpus. */
+  val qCdcDedup: Q = {
+    val terms31 = (0 to 7)
+      .map(k => s"element_at(codes, CAST(p - $k AS INT)) * ${math.pow(31.0, k).toLong}L")
+      .mkString(" + ")
+    val sqlTerms = (0 to 7)
+      .map(k =>
+        s"CAST(ascii(substr(text, CAST(p AS INT) - $k, 1)) AS BIGINT) * ${math.pow(31.0, k).toLong}")
+      .mkString(" + ")
+    Q.sql(
+      "q_cdc_dedup",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS n FROM documents),
+         |pp AS (
+         |  SELECT doc_id, text, u.p AS p FROM d, unnest(range(8, n + 1)) u(p)),
+         |b AS (
+         |  SELECT doc_id, p FROM pp WHERE ($sqlTerms) % 64 = 0),
+         |bb AS (
+         |  SELECT doc_id, p FROM b UNION SELECT doc_id, n AS p FROM d),
+         |c AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS lo, p AS hi
+         |  FROM bb),
+         |ch AS (
+         |  SELECT d.source,
+         |    md5(substr(d.text, CAST(c.lo AS INT) + 1, CAST(c.hi - c.lo AS INT))) AS h,
+         |    c.hi - c.lo AS ln
+         |  FROM c JOIN d USING (doc_id)),
+         |g AS (
+         |  SELECT source, h, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(ln) AS BIGINT) AS lsum
+         |  FROM ch GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunks,
+         |  CAST(sum(lsum) AS DOUBLE) / sum(cnt) AS mean_chunk_len
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      doc = "content-defined chunking dedup audit per source (rolling-hash mask boundaries)") {
+      (s, d) =>
+        val staged = documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            col("n_chars").cast("long").as("n"),
+            expr("transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))")
+              .as("codes"))
+        val withBounds = staged
+          .select(col("source"), col("text"),
+            // sequence(8, n) REVERSES when n < 8 — guard tiny docs to []
+            array_sort(array_distinct(concat(
+              when(col("n") >= 8,
+                expr(s"filter(sequence(8L, n), p -> ($terms31) % 64 = 0)"))
+                .otherwise(expr("array()").cast("array<long>")),
+              array(col("n"))))).as("bs"))
+        val chunks = withBounds
+          .select(col("source"), col("text"), col("bs"),
+            posexplode(col("bs")).as(Seq("k", "hi")))
+          .select(col("source"), col("hi"),
+            when(col("k") === 0, lit(0L)).otherwise(element_at(col("bs"), col("k"))).as("lo"),
+            col("text"))
+          .select(col("source"), (col("hi") - col("lo")).as("ln"),
+            md5(expr("substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))")).as("h"))
+        chunks.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).cast("long").as("cnt"), sum(col("ln")).cast("long").as("lsum"))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).cast("long").as("n_chunks"),
+            count(lit(1)).cast("long").as("n_distinct_chunks"),
+            (sum(col("cnt")) - count(lit(1))).cast("long").as("dup_chunks"),
+            (sum(col("lsum")).cast("double") / sum(col("cnt"))).as("mean_chunk_len"))
+          .orderBy("source")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
-      qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup)
+      qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup, qCdcDedup)
 }

@@ -653,7 +653,66 @@ object PrepQueries {
         .orderBy("status")
   }
 
+  /** Embargoed temporal train/test split with a leakage audit — the ML
+    * hygiene step for any model trained on events: train is everything
+    * before the cutoff, test starts after an embargo gap (so
+    * label-window overlap can't leak across the boundary), and the
+    * audit counts users present on BOTH sides — the population whose
+    * test rows are NOT i.i.d. of training (fine for per-user
+    * personalization, fatal for cold-start evaluation; the number a
+    * split report must carry either way).
+    *
+    * Scale: one pass to (split, user) grain (map-side combined), then
+    * per-split totals and one user-grain conditional aggregate for the
+    * intersection — the user∩user check is an aggregate, not a join,
+    * so it's a single shuffle on user_id at any volume. */
+  val qTemporalSplit: Q = Q.sql(
+    "q_temporal_split",
+    """WITH e AS (
+      |  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-22' THEN 'train'
+      |              WHEN CAST(ts AS DATE) >= DATE '2024-01-24' THEN 'test'
+      |              ELSE 'embargo' END AS split,
+      |    user_id
+      |  FROM events),
+      |g AS (
+      |  SELECT split, user_id, CAST(count(*) AS BIGINT) AS ne
+      |  FROM e GROUP BY 1, 2),
+      |s AS (
+      |  SELECT split, CAST(sum(ne) AS BIGINT) AS n_events,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM g GROUP BY 1),
+      |l AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS leak_users FROM (
+      |    SELECT user_id FROM g GROUP BY user_id
+      |    HAVING max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+      |       AND max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) = 1))
+      |SELECT s.split, s.n_events, s.n_users, l.leak_users
+      |FROM s CROSS JOIN l ORDER BY s.split""".stripMargin,
+    doc = "embargoed temporal split (train < 01-22, test >= 01-24) + cross-split user leakage") {
+    (s, d) =>
+      val split = when(col("ts").cast("date") < lit("2024-01-22").cast("date"), "train")
+        .when(col("ts").cast("date") >= lit("2024-01-24").cast("date"), "test")
+        .otherwise("embargo")
+      val g = graft.ScratchCache.tracked(
+        events(s, d).select(split.as("split"), col("user_id"))
+          .groupBy(col("split"), col("user_id"))
+          .agg(count(lit(1)).cast("long").as("ne")))
+      g.count() // two consumers: per-split totals + the leakage aggregate
+      val totals = g.groupBy(col("split"))
+        .agg(sum(col("ne")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_users"))
+      val leak = g.groupBy(col("user_id"))
+        .agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("in_tr"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_te"))
+        .filter(col("in_tr") === 1 && col("in_te") === 1)
+        .agg(count(lit(1)).cast("long").as("leak_users"))
+      totals.crossJoin(broadcast(leak))
+        .select(col("split"), col("n_events"), col("n_users"), col("leak_users"))
+        .orderBy("split")
+  }
+
   val all: Seq[Q] =
     Seq(qChunk, qPack, qDecontaminate, qMergeUpsert, qTopicMix, qSampleK, qMixApply,
-      qDsirWeight, qShuffleShard, qWeightedSample, qNeymanAlloc, qSnapshotDiff)
+      qDsirWeight, qShuffleShard, qWeightedSample, qNeymanAlloc, qSnapshotDiff, qTemporalSplit)
 }

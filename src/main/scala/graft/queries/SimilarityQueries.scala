@@ -1376,7 +1376,112 @@ object SimilarityQueries {
     }
   }
 
+  // ---- distributed Gram / second-moment matrix -------------------------
+
+  /** Shared builder: the 64×64 second-moment (uncentered Gram) matrix
+    * X^T X of the corpus at fixed-point quantization 10^`q` — each
+    * vector's outer product flattens to ONE 4096-long integer array per
+    * row (the two lambda references keep the quantized array staged —
+    * lesson 3), then a single map-side-combined groupBy over 4096 keys
+    * folds the corpus. Exact DECIMAL sums in any partition order; no
+    * 64-column aggregate (which would blow the codegen method limit —
+    * lesson 1/8). */
+  private def gramFrame(s: org.apache.spark.sql.SparkSession, d: String, q: Int): DataFrame = {
+    val scale = math.pow(10, q)
+    val e = embeddings(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * scale).cast("long")).as("qa"))
+      .select(posexplode(flatten(
+        transform(col("qa"), x => transform(col("qa"), y => x * y)))).as(Seq("pos", "prod")))
+    e.groupBy((col("pos") / Dim).cast("long").as("i"),
+        pmod(col("pos"), lit(Dim)).cast("long").as("j"))
+      .agg(sum(col("prod").cast("decimal(38,0)")).as("sq"))
+  }
+
+  /** Shared DuckDB twin of [[gramFrame]] (self-join form — different
+    * plan, identical exact-integer values). */
+  private def gramSql(q: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+       |    CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) * ${"1" + "0" * q}) AS BIGINT) AS xq
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i) t),
+       |g AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(CAST(a.xq AS DECIMAL(18,0)) * CAST(b.xq AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sq
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** The corpus second-moment matrix E[x_i·x_j] — the input to PCA
+    * whitening, covariance shrinkage, and embedding-drift monitoring.
+    * At 100 TB this is THE distributed-linear-algebra primitive: the
+    * only fact-scale work is one narrow projection + one aggregation
+    * into 4096 cells (map-side combined), and everything downstream
+    * (eigen-decomposition, whitening transform) runs on the 64×64
+    * result.
+    *
+    * Determinism: inputs quantize to 1e-6 fixed point (the
+    * [[qEmbedQuantize]] round() convention), products stay exact longs
+    * (≤ 2.8e11), sums fold as DECIMAL(38,0); the final normalization is
+    * a fixed double expression over exact values. */
+  val qGramMatrix: Q = Q.sql(
+    "q_gram_matrix",
+    s"""WITH ${gramSql(6)},
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT g.i, g.j, n.n, CAST(g.sq AS DOUBLE) / n.n / 1000000000000.0 AS gram
+       |FROM g CROSS JOIN n ORDER BY i, j""".stripMargin,
+    doc = "distributed 64x64 second-moment matrix of embeddings (exact fixed-point fold)") {
+    (s, d) =>
+      val n = embeddings(s, d).agg(count(lit(1)).cast("long").as("n"))
+      gramFrame(s, d, 6)
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"), col("n"),
+          (col("sq").cast("double") / col("n") / 1e12).as("gram"))
+        .orderBy("i", "j")
+  }
+
+  /** Effective rank (participation ratio) of the embedding space:
+    * PR = trace(G)² / ||G||_F² — how many dimensions the corpus
+    * actually uses (64 = isotropic, →1 = collapsed to a line). The
+    * standard representation-collapse diagnostic for an embedding
+    * pipeline, computed from the same one-pass Gram fold.
+    *
+    * Quantization is 1e-3 here (coarser than [[qGramMatrix]]) so the
+    * entry SQUARES stay inside DECIMAL(38,0) in BOTH engines — DuckDB
+    * rejects a multiply whose operand precisions sum past 38, and a
+    * double-space Frobenius sum would reintroduce partial-order ulps.
+    * Entries ≤ 1e12 even at 1000× the bench corpus, squares ≤ 1e24,
+    * and the final ratio is one double division of exact images. */
+  val qEffectiveRank: Q = Q.sql(
+    "q_effective_rank",
+    s"""WITH ${gramSql(3)},
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN i = j THEN sq ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS tr,
+       |    CAST(sum(CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS fro2
+       |  FROM g)
+       |SELECT CAST($Dim AS BIGINT) AS dims, n.n,
+       |  CAST(a.tr AS DOUBLE) / n.n / 1000000.0 AS trace_moment,
+       |  CAST(a.tr AS DOUBLE) * CAST(a.tr AS DOUBLE) / CAST(a.fro2 AS DOUBLE) AS effective_rank
+       |FROM a CROSS JOIN n""".stripMargin,
+    doc = "embedding effective rank (participation ratio trace^2/frobenius^2, one Gram fold)") {
+    (s, d) =>
+      val n = embeddings(s, d).agg(count(lit(1)).cast("long").as("n"))
+      val sqd = col("sq").cast("decimal(19,0)")
+      gramFrame(s, d, 3)
+        .agg(
+          sum(when(col("i") === col("j"), col("sq"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).cast("decimal(38,0)").as("tr"),
+          sum(sqd * sqd).cast("decimal(38,0)").as("fro2"))
+        .crossJoin(broadcast(n))
+        .select(lit(Dim.toLong).as("dims"), col("n"),
+          (col("tr").cast("double") / col("n") / 1e6).as("trace_moment"),
+          (col("tr").cast("double") * col("tr").cast("double") /
+            col("fro2").cast("double")).as("effective_rank"))
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
-      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives)
+      qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
+      qGramMatrix, qEffectiveRank)
 }

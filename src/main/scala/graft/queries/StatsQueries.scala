@@ -973,8 +973,58 @@ object StatsQueries {
         .orderBy("event_type")
   }
 
+  /** Weighted quantiles of document length per language, weighted by
+    * character mass: "the median CHARACTER lives in a document of length
+    * p50_w" — the token-centric view a training-data budget needs (a
+    * plain doc-count median over-weights tiny documents; what a trainer
+    * consumes is mass, not documents). p90_w is the length below which
+    * 90% of all character mass sits.
+    *
+    * PURE integer arithmetic end to end: the cumulative weight runs over
+    * the DISTINCT (lang, length) value frame (value-domain-bounded, like
+    * [[graft.queries.InferenceQueries.qMannWhitney]]'s rank frame), the
+    * quantile picks are integer comparisons (2·cumw ≥ W, 10·cumw ≥ 9·W)
+    * — no doubles anywhere, so no cross-engine float discipline needed.
+    *
+    * Scale: one map-side-combined fact groupBy to the value frame; the
+    * window and the conditional-min aggregate run over ≤ |distinct
+    * lengths| rows per language. */
+  val qWeightedQuantile: Q = Q.sql(
+    "q_weighted_quantile",
+    """WITH v AS (
+      |  SELECT lang, n_chars AS v,
+      |    CAST(sum(n_chars) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, v, w,
+      |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+      |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+      |  FROM v)
+      |SELECT lang, max(tw) AS w_total,
+      |  min(CASE WHEN 2 * cumw >= tw THEN v END) AS p50_w,
+      |  min(CASE WHEN 10 * cumw >= 9 * tw THEN v END) AS p90_w
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    doc = "char-mass-weighted p50/p90 doc length per language (pure integer order statistics)") {
+    (s, d) =>
+      val v = documents(s, d)
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(sum(col("n_chars")).cast("long").as("w"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("lang"))
+      v.withColumn("cumw", sum(col("w")).over(wc).cast("long"))
+        .withColumn("tw", sum(col("w")).over(wt).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("tw")).as("w_total"),
+          min(when(lit(2) * col("cumw") >= col("tw"), col("v"))).as("p50_w"),
+          min(when(lit(10) * col("cumw") >= lit(9) * col("tw"), col("v"))).as("p90_w"))
+        .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
       qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
-      qKmvRetention, qHistRollup, qAbTest)
+      qKmvRetention, qHistRollup, qAbTest, qWeightedQuantile)
 }

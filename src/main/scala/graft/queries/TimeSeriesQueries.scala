@@ -1534,10 +1534,148 @@ object TimeSeriesQueries {
         .orderBy("cohort_week", "age_weeks")
   }
 
+  /** Lead-lag cross-correlation matrix between event-type series: for
+    * every ORDERED pair of distinct event types and every lag in
+    * [-5, +5] days, the Pearson correlation of (A's daily total at day
+    * t, B's daily total at day t+lag) — the "does signups' curve lead
+    * purchases' curve, and by how many days" diagnostic behind metric
+    * causality dashboards.
+    *
+    * Determinism: daily totals are exact cent sums (BIGINT); all five
+    * Pearson moments accumulate as exact integers (products as
+    * DECIMAL(38,0)), and the correlation is one fixed double expression
+    * over their exact images — the qGini precedent: DECIMAL→DOUBLE is
+    * correctly rounded in both engines.
+    *
+    * Scale: the fact stream collapses to (type, day) grain FIRST
+    * (map-side combined); the 11-lag fan-out and the self-join run on
+    * that day-grain frame (|types|·|days| rows), so a year of 10^12
+    * events is still a ~2k-row join after the one real shuffle. */
+  val qXcorrLeadlag: Q = Q.sql(
+    "q_xcorr_leadlag",
+    """WITH dm AS (
+      |  SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT unnest(range(-5, 6)) AS lag),
+      |p AS (
+      |  SELECT a.event_type AS from_type, b.event_type AS to_type, lg.lag,
+      |    a.sq AS x, b.sq AS y
+      |  FROM dm a CROSS JOIN lg JOIN dm b
+      |    ON b.di = a.di + lg.lag AND b.event_type <> a.event_type),
+      |m AS (
+      |  SELECT from_type, to_type, lag,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM p GROUP BY 1, 2, 3
+      |  HAVING count(*) >= 3
+      |    AND count(*) * sum(x * x) > sum(x) * sum(x)
+      |    AND count(*) * sum(y * y) > sum(y) * sum(y))
+      |SELECT from_type, to_type, lag, n_days,
+      |  (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+      |FROM m ORDER BY from_type, to_type, lag""".stripMargin,
+    doc = "lead-lag daily cross-correlation for every ordered event-type pair, lags -5..5") {
+    (s, d) =>
+      val dm = graft.ScratchCache.tracked(
+        events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+          .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("sq")))
+      dm.count() // materialize before the self-join fan-out (lesson 11b)
+      val a = dm.select(col("event_type").as("from_type"), col("di"), col("sq").as("x"))
+        .withColumn("lag", explode(sequence(lit(-5), lit(5))))
+      val b = dm.select(col("event_type").as("to_type"), col("di").as("dj"), col("sq").as("y"))
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
+      val m = a.join(b, col("dj") === col("di") + col("lag") &&
+          col("to_type") =!= col("from_type"))
+        .groupBy(col("from_type"), col("to_type"), col("lag"))
+        .agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+          sum(xd * yd).cast("decimal(38,0)").as("sxy"),
+          sum(xd * xd).cast("decimal(38,0)").as("sxx"),
+          sum(yd * yd).cast("decimal(38,0)").as("syy"))
+        .filter(col("n_days") >= 3 &&
+          col("n_days") * col("sxx") > col("sx").cast("decimal(38,0)") * col("sx") &&
+          col("n_days") * col("syy") > col("sy").cast("decimal(38,0)") * col("sy"))
+      val nD = col("n_days").cast("double")
+      val (sxD, syD) = (col("sx").cast("double"), col("sy").cast("double"))
+      m.select(col("from_type"), col("to_type"), col("lag").cast("long").as("lag"),
+          col("n_days"),
+          ((nD * col("sxy").cast("double") - sxD * syD) /
+            (sqrt(nD * col("sxx").cast("double") - sxD * sxD) *
+             sqrt(nD * col("syy").cast("double") - syD * syD))).as("corr"))
+        .orderBy("from_type", "to_type", "lag")
+  }
+
+  /** Theil-Sen robust trend per event-type series: the MEDIAN of all
+    * pairwise day-to-day slopes of the daily total — the
+    * outlier-resistant alternative to [[qRegrTrend]]'s least squares (a
+    * single corrupted day moves OLS arbitrarily but shifts a median of
+    * O(days²) slopes by one rank).
+    *
+    * Determinism: each slope is ONE IEEE division of exact integers
+    * (cent delta / day delta), so every engine computes bit-identical
+    * slopes; the median picks rank ⌈m/2⌉ and ⌈(m+1)/2⌉ under a total
+    * order (slope, day_i, day_j) and averages two doubles — all exact.
+    *
+    * Scale: pairs are generated on the (type, day) AGGREGATE frame —
+    * O(|days|²) per series, day-grain, never fact-grain. For
+    * multi-year histories the standard fix is pairing each day with a
+    * bounded hash-sample of partners (same shape, O(|days|·k)); at
+    * dashboard horizons (≤ a few hundred points) exact pairs win. */
+  val qTheilSen: Q = Q.sql(
+    "q_theilsen",
+    """WITH dm AS (
+      |  SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, a.di AS d1, b.di AS d2,
+      |    CAST(b.sq - a.sq AS DOUBLE) / (b.di - a.di) AS slope
+      |  FROM dm a JOIN dm b ON b.event_type = a.event_type AND b.di > a.di),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      |  FROM p)
+      |SELECT event_type, max(m) AS n_pairs,
+      |  avg(slope) AS slope_cents_per_day
+      |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    doc = "Theil-Sen median-of-slopes robust daily trend per event-type series") { (s, d) =>
+    val dm = graft.ScratchCache.tracked(
+      events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("sq")))
+    dm.count() // materialize before the self-join fan-out (lesson 11b)
+    val a = dm.select(col("event_type"), col("di").as("d1"), col("sq").as("s1"))
+    val b = dm.select(col("event_type").as("et2"), col("di").as("d2"), col("sq").as("s2"))
+    val p = a.join(b, col("et2") === col("event_type") && col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("s2") - col("s1")).cast("double") / (col("d2") - col("d1"))).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("d1"), col("d2"))
+    val wm = Window.partitionBy(col("event_type"))
+    p.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wm).cast("long"))
+      .filter(col("rn") === expr("(m + 1) DIV 2") || col("rn") === expr("(m + 2) DIV 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("n_pairs"), avg(col("slope")).as("slope_cents_per_day"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
-      qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv)
+      qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv, qXcorrLeadlag, qTheilSen)
 }

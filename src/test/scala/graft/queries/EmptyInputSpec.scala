@@ -75,7 +75,18 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_snapshot_diff",   // diff of two empty versions
     "q_rfm",             // quintile cuts over zero customers
     "q_markov_transition", // transitions over zero events
-    "q_cohort_ltv")      // cohorts with no purchases
+    "q_cohort_ltv",      // cohorts with no purchases
+    "q_benford",         // digit audit over zero orders
+    "q_gini",            // rank-weighted concentration of zero customers
+    "q_jackknife_ci",    // replicates with n == nb everywhere (guard row)
+    "q_mann_whitney",    // rank-sum with empty groups (HAVING filter)
+    "q_xcorr_leadlag",   // lagged self-join over an empty daily frame
+    "q_theilsen",        // median of zero pairwise slopes
+    "q_weighted_quantile", // cumulative mass over zero values
+    "q_temporal_split",  // split totals + leakage with zero events
+    "q_gram_matrix",     // 4096-cell fold of an empty corpus
+    "q_effective_rank",  // trace/frobenius ratio with null sums
+    "q_cdc_dedup")       // rolling-hash chunking of zero documents
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -531,4 +531,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), "welch z must come from plain aggregates")
     assert(p.contains("partial_"), "the six sums must map-side combine")
   }
+
+  test("q_gram_matrix: one map-side-combined fold into 4096 cells, no join on the corpus") {
+    val p = plan(SimilarityQueries.qGramMatrix)
+    assert(p.contains("partial_"), "the outer-product fold must map-side combine")
+    assert(!p.contains("SortMergeJoin"), "the only join is the broadcast count")
+    assert(!p.contains("windowspecdefinition"))
+  }
+
+  test("q_cdc_dedup: per-row chunking — no joins, no windows, chunk fold map-side combined") {
+    val p = plan(DedupQueries.qCdcDedup)
+    assert(!p.contains("Join"), "chunking is narrow per-row work")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("partial_"))
+  }
+
+  test("q_weighted_quantile: windows run on the distinct-value frame, fact agg map-side") {
+    val p = plan(StatsQueries.qWeightedQuantile)
+    assert(p.contains("partial_"), "the fact groupBy must map-side combine")
+    assert(p.contains("windowspecdefinition"), "cumulative mass is a value-frame window")
+  }
+
+  test("q_gini: the rank window partitions by nation on the customer-grain frame") {
+    val p = plan(InferenceQueries.qGini)
+    assert(p.contains("windowspecdefinition(nk"), "row_number must partition by nation key")
+    assert(p.contains("BroadcastHashJoin"), "customer and nation stay broadcast dims")
+  }
+
+  test("q_xcorr_leadlag: moments are plain aggregates over the day-grain join") {
+    val p = plan(TimeSeriesQueries.qXcorrLeadlag)
+    assert(p.contains("partial_"), "the daily cent sums must map-side combine")
+    assert(!p.contains("CartesianProduct"), "the lag fan-out joins on day index")
+  }
 }
