@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 200-query battery JIT-compiles ~170 MB of nmethods (measured: the
+  // full registry climbs monotonically to 172 MB by battery end) — within
+  // 30% of the JVM's 240 MB default ReservedCodeCacheSize. Crossing it
+  // turns on code-cache flushing: hot compiled methods are discarded and
+  // endlessly re-JIT'd, a high-cpu/zero-gc churn that lands exactly on
+  // the codegen-heaviest queries and worsens as the battery proceeds.
+  // Reserve is virtual address space, not RSS — 512m costs nothing idle.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -62,8 +62,33 @@ object Bench {
     }
     def heapUsedMb: Long =
       ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    // Attribution instrumentation for the r7 driver-battery regressions
+    // (q_sparse_cosine 5.9× with cpu_ratio ~20, ~0 GC): the two candidate
+    // causes are janino re-compilation (codegen cache misses) and HotSpot
+    // C2 re-JIT. Both are now measured per pass: `jc` = number of janino
+    // compilations (CodegenMetrics histogram count — each one is a codegen
+    // cache MISS), `jitSec` = delta of the JVM's total JIT compiler time.
+    // A pass that is slow with jc≈0 and flat jitSec is real plan work; a
+    // slow pass with jc>0 on a WARM query is cache eviction caught red-
+    // handed; flat jc but climbing jitSec is C2 churn (deopt/re-JIT).
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def janinoCount: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val jitBean = ManagementFactory.getCompilationMXBean
+    def jitMillis: Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime
+      else -1L
+    // JIT code-cache occupancy: 200 queries × ~15 generated classes can
+    // overflow the default 240 MB ReservedCodeCacheSize, at which point
+    // UseCodeCacheFlushing evicts hot nmethods and the JVM endlessly
+    // re-JITs / runs interpreted — exactly the high-cpu zero-gc battery
+    // signature. Track used MB across the CodeHeap segments per pass.
+    def codeCacheMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum >> 20
 
-    case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double)
+    case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double,
+        jc: Long, jitSec: Double, ccMb: Long)
     // local-iteration subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b benches just
     // those queries (unset = full battery, what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -73,12 +98,15 @@ object Bench {
         // drop caches a query persisted internally (LSH signature tables):
         // every pass must recompute, not read the previous pass's cache
         spark.catalog.clearCache()
-        val (gc0, cpu0, t0) = (gcMillis, processCpuNanos, System.nanoTime())
+        val (gc0, cpu0, jc0, jit0, t0) =
+          (gcMillis, processCpuNanos, janinoCount, jitMillis, System.nanoTime())
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
         PassStats(sec, (gcMillis - gc0) / 1e3,
-          if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9))
+          if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9),
+          janinoCount - jc0, if (jit0 < 0) -1 else (jitMillis - jit0) / 1e3,
+          codeCacheMb)
       }.drop(1) // pass 0 = warmup, untimed
       // JVM hygiene between queries: clearCache() only drops SQL-cached
       // relations — RDDs persisted by localCheckpoint (connected
@@ -126,11 +154,15 @@ object Bench {
     val ps = obj(s => f"${s.sec}%.3f")
     val gcs = obj(s => f"${s.gcSec}%.3f")
     val cpuRatios = obj(s => f"${s.cpuRatio}%.2f")
+    val jcs = obj(s => s.jc.toString)
+    val jits = obj(s => f"${s.jitSec}%.2f")
+    val ccs = obj(s => s.ccMb.toString)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_PASSES.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(
         f"""{"total":$total%.3f,"passes":$ps,"gc_sec":$gcs,"cpu_ratio":$cpuRatios,""" +
+          f""""janino_compiles":$jcs,"jit_sec":$jits,"code_cache_mb":$ccs,""" +
           f""""heap_after_mb":$heapAfterMb,"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }

@@ -48,8 +48,11 @@ object GraftSession {
       // not query work; cold-JVM profile of the same query decays
       // 13.5 → 7.4 → 3.0 s as compilation drains). A long-lived
       // production session serving many queries wants this high for the
-      // same reason; entries are soft-referenced so memory pressure can
-      // still reclaim them.
+      // same reason. (Spark 4's cache is capacity-evicted only — entries
+      // are keyed on (weakref(classloader), source), NOT soft-referenced,
+      // so heap pressure cannot silently shrink it; the other compiled-
+      // code budget that DOES silently degrade is the JVM code cache —
+      // see ReservedCodeCacheSize in build.sbt.)
       .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       // Catalyst extensions: the edit-distance prefilter rewrite (a sound

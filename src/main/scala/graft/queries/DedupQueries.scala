@@ -1346,7 +1346,11 @@ object DedupQueries {
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
       doc = "content-defined chunking dedup audit per source (rolling-hash mask boundaries)") {
       (s, d) =>
+        // the per-character codes array + O(len) boundary filter is pure
+        // CPU per row — spread the single-file scan across cores first
+        // (no-op once the input has real partition counts at scale)
         val staged = documents(s, d)
+          .transform(graft.Tables.spread(s, _))
           .select(col("doc_id"), col("source"), col("text"),
             col("n_chars").cast("long").as("n"),
             expr("transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))")

@@ -161,7 +161,9 @@ object InferenceQueries {
     *
     * Docs hash into [[JkBuckets]] replayable md5 buckets; each replicate
     * mean m_b = (S − s_b)/(N − n_b) is a single division of exact BIGINT
-    * sums, micro-quantized to 0.001 chars (m_q = round(m_b·1000)) so the
+    * sums, micro-quantized to 0.001 chars in pure integer half-up
+    * arithmetic (m_q = (2000·(S−s_b) + (N−n_b)) DIV (2·(N−n_b)) — never
+    * a round() of a double quotient, whose ties diverge cross-engine) so the
     * across-replicate moments fold as exact integers: dev_b = B·m_q_b −
     * Σm_q is integer, Σdev² accumulates as DECIMAL(38,0), and
     * SE = sqrt((B−1)/B · Σdev²/B²)/1000 is a fixed expression over exact
@@ -185,7 +187,7 @@ object InferenceQueries {
        |  FROM g GROUP BY 1),
        |m AS (
        |  SELECT g.lang,
-       |    CAST(round((CAST(t.s - g.sb AS DOUBLE) / (t.n - g.nb)) * 1000.0) AS BIGINT) AS mq
+       |    CAST((2000 * (t.s - g.sb) + (t.n - g.nb)) // (2 * (t.n - g.nb)) AS BIGINT) AS mq
        |  FROM g JOIN t ON g.lang = t.lang WHERE t.n > g.nb),
        |a AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS bc, CAST(sum(mq) AS BIGINT) AS sq
@@ -220,7 +222,10 @@ object InferenceQueries {
         .filter(col("n") > col("nb"))
         .select(
           col("lang"),
-          round((col("s") - col("sb")).cast("double") / (col("n") - col("nb")) * 1000.0)
+          // half-up in PURE integer space (the q_changepoint convention):
+          // round() on a double quotient is one tie away from the
+          // cross-engine HALF_UP-vs-binary divergence of NOTES lesson 11
+          expr("(2000 * (s - sb) + (n - nb)) DIV (2 * (n - nb))")
             .cast("long").as("mq"))
       val a = m.groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("bc"), sum(col("mq")).cast("long").as("sq"))

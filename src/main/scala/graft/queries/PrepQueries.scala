@@ -626,7 +626,7 @@ object PrepQueries {
       |         ELSE 'unchanged' END AS status
       |  FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id)
       |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT)
+      |  CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT)
       |    AS key_sig
       |FROM d GROUP BY status ORDER BY status""".stripMargin,
     doc = "snapshot diff: change set between two table versions via one full outer join") {
@@ -648,8 +648,12 @@ object PrepQueries {
         .groupBy(col("status"))
         .agg(
           count(lit(1)).cast("long").as("n_docs"),
-          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
-            .cast("long").as("key_sig"))
+          // XOR-fold, not sum: order-independent like sum, but closed in
+          // 48 bits — a BIGINT sum of 48-bit prefixes overflows at ~65k
+          // docs/status (Spark would wrap silently, DuckDB would error —
+          // a latent cross-engine divergence and a meaningless signature)
+          expr("bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)" +
+            " AS BIGINT))").cast("long").as("key_sig"))
         .orderBy("status")
   }
 

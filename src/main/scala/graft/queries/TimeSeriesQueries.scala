@@ -1572,8 +1572,8 @@ object TimeSeriesQueries {
       |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
       |  FROM p GROUP BY 1, 2, 3
       |  HAVING count(*) >= 3
-      |    AND count(*) * sum(x * x) > sum(x) * sum(x)
-      |    AND count(*) * sum(y * y) > sum(y) * sum(y))
+      |    AND n_days * sxx > CAST(sx AS DECIMAL(38,0)) * sx
+      |    AND n_days * syy > CAST(sy AS DECIMAL(38,0)) * sy)
       |SELECT from_type, to_type, lag, n_days,
       |  (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))

@@ -83,7 +83,10 @@ class InferenceOpsSpec extends AnyFunSuite {
       // replicate means with the SAME micro-quantization the operator uses
       val byB = mine.groupBy(t => bucket(t._2))
       val mqs = byB.toSeq.map { case (_, g) =>
-        math.round((s - g.map(_._3).sum).toDouble / (n - g.length) * 1000.0)
+        // integer half-up, the operator's (and q_changepoint's) convention
+        val d = s - g.map(_._3).sum
+        val e = n - g.length
+        (2000L * d + e) / (2L * e)
       }
       val bc = mqs.length.toDouble
       val sq = mqs.sum
