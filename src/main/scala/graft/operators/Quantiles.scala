@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Exact distributed order statistics.
   *
@@ -15,14 +14,23 @@ import org.apache.spark.sql.types._
   *
   * This operator computes the same exact interpolated quantiles with a
   * distributed sort instead: range-repartition by (key, value) +
-  * within-partition sort gives a total order across partitions,
-  * `zipWithIndex` turns it into a global rank (the one RDD hop — it is
-  * per-partition offset bookkeeping, exactly what the RDD API is for),
-  * per-key rank = global index − min index of the key, and the requested
-  * quantiles select the two bracketing ranks per key and interpolate
-  * `lo + (hi − lo)·frac` — the same definition DuckDB's `quantile_cont`
-  * and Spark's `percentile` use (rank p·(n−1), linear interpolation).
-  * Every stage is shuffle-bounded; no task ever holds a group. */
+  * within-partition sort gives a total order across partitions. The global
+  * rank is derived WITHOUT an RDD `zipWithIndex` hop (which costs an extra
+  * pass just to learn partition sizes, and whose `.rdd` boundary boxes
+  * every row out of Tungsten — measured cpu_ratio ≈ 2.5 on 32 cores):
+  * each row is stamped inside the sorted stage with its partition id and
+  * `monotonically_increasing_id` (= pid·2³³ + within-partition counter,
+  * assigned in sorted order — nondeterministic expressions are never
+  * pushed below a sort), the stamped frame is cached ONCE, and ranks are
+  * recovered from one tiny `(pid, k)`-grain aggregate: partition offsets
+  * are its prefix sums, per-key extents its min-stamp/total rows. The
+  * requested quantiles then select the two bracketing ranks per key in a
+  * SINGLE join against the cache (lo and hi exploded together) and
+  * interpolate `lo + (hi − lo)·frac` — the same definition DuckDB's
+  * `quantile_cont` and Spark's `percentile` use (rank p·(n−1), linear
+  * interpolation). Per big-data pass: 1 sort+cache build, 1 `(pid, k)`
+  * aggregate, 1 bracketing join — every stage shuffle-bounded, no task
+  * ever holds a group, everything whole-stage codegen. */
 object Quantiles {
 
   /** @param df    input frame
@@ -42,31 +50,45 @@ object Quantiles {
     import org.apache.spark.sql.expressions.Window
 
     val base = df.select(col(key).as("k"), col(value).cast("double").as("v"))
-    // total order across partitions: range partitioner on (k, v), then
-    // local sort — each partition holds a contiguous (k, v) slice
-    val sorted = base.repartitionByRange(col("k"), col("v")).sortWithinPartitions("k", "v")
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row(r.getAs[Any](0), r.getDouble(1), i)
-    }
-    val schema = StructType(Seq(
-      StructField("k", base.schema("k").dataType),
-      StructField("v", DoubleType),
-      StructField("gidx", LongType)))
-    // consumed three times (per-key extents + the lo/hi bracketing joins):
-    // scratch-cached so the range sort + index map materializes once; the
-    // caller's ScratchCache.releaseAll() frees it after the result lands.
+    // EXPLICIT partition count: a user-pinned count is exempt from AQE
+    // partition coalescing, so a cache-miss recompute of any partition
+    // reproduces identical (pid, mid) stamps (range boundaries come from
+    // fixed-seed sampling — deterministic). Under the default, AQE was
+    // free to coalesce separate executions differently and desync the
+    // pids the offsets are keyed on (observed: 7 of 8 keys lost their
+    // bracketing rows).
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val stamped = graft.ScratchCache.tracked(
+      base
+        .repartitionByRange(numParts, col("k"), col("v"))
+        .sortWithinPartitions("k", "v")
+        .select(col("k"), col("v"),
+          spark_partition_id().cast("long").as("pid"),
+          monotonically_increasing_id().as("mid")))
     // MATERIALIZED with one cheap count() BEFORE the fan-out: persist()
     // does not dedupe a cold frame's concurrent first computation (NOTES
-    // lesson 11b) — without it the three consumers re-ran the whole
-    // range sort concurrently, measured 21 s → 8 s at a 30× corpus
-    // (the 10×→30× wall had grown 5× for 3× data; after the fix it
-    // tracks data size).
-    val ranked = graft.ScratchCache.tracked(spark.createDataFrame(indexed, schema))
-    ranked.count()
+    // lesson 11b) — without it the consumers re-ran the whole range sort
+    // concurrently, measured 21 s → 8 s at a 30× corpus. The caller's
+    // ScratchCache.releaseAll() frees it after the result lands.
+    stamped.count()
+    // within-partition sequence number of a stamp
+    def seq(mid: Column2, pid: Column2): Column2 = mid - shiftleft(pid, 33)
 
-    // per-key extent: (start index, count) — one tiny aggregate
-    val extents = ranked.groupBy("k").agg(
-      min(col("gidx")).as("start"), count(lit(1)).as("n"))
+    // ONE tiny (pid, key)-grain aggregate carries all the bookkeeping:
+    // per-partition totals → exclusive-prefix-sum offsets, and per-key
+    // first-stamp/count → global start rank and n. Everything below is
+    // ~(partitions × keys-per-partition) rows — driver-free small-frame
+    // math, no second pass over the data.
+    val cnts = stamped.groupBy("pid", "k")
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("mmin"))
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    // one row per partition (32ish) — the single-partition window is fine
+    val offsets = cnts.groupBy("pid").agg(sum(col("c")).as("pn"))
+      .select(col("pid"), coalesce(sum(col("pn")).over(wOff), lit(0L)).as("off"))
+    val extents = cnts.join(broadcast(offsets), "pid")
+      .select(col("k"), col("c"),
+        (col("off") + seq(col("mmin"), col("pid"))).as("kstart"))
+      .groupBy("k").agg(min(col("kstart")).as("start"), sum(col("c")).as("n"))
 
     // target ranks per key per quantile: rank p·(n−1) → floor + ceil rows
     val targets = extents.select(
@@ -81,11 +103,28 @@ object Quantiles {
         (col("start") + floor(col("q.p") * (col("n") - 1)).cast("long")).as("lo_idx"),
         (col("start") + ceil(col("q.p") * (col("n") - 1)).cast("long")).as("hi_idx"))
 
-    val loJ = targets.join(ranked.select(col("gidx").as("lo_idx"), col("v").as("lo_v")), "lo_idx")
-    val bothJ = loJ.join(ranked.select(col("gidx").as("hi_idx"), col("v").as("hi_v")), "hi_idx")
+    // SINGLE bracketing pass: explode each target into its lo and hi rank
+    // row, join the cache once on the global rank, fold back with a
+    // conditional max (each (k, qname, side) matches exactly one row).
+    // The old shape joined the cache twice (lo then hi) — one full scan
+    // more than necessary.
+    val need = targets.select(col("k"), col("n"), col("qname"), col("t"),
+      explode(array(
+        struct(lit("lo").as("side"), col("lo_idx").as("idx")),
+        struct(lit("hi").as("side"), col("hi_idx").as("idx")))).as("e"))
+      .select(col("k"), col("n"), col("qname"), col("t"),
+        col("e.side").as("side"), col("e.idx").as("idx"))
+    val ranked = stamped
+      .join(broadcast(offsets), "pid")
+      .select((col("off") + seq(col("mid"), col("pid"))).as("idx"), col("v"))
     val frac = col("t") - floor(col("t"))
-    val qv = col("lo_v") + (col("hi_v") - col("lo_v")) * frac
-    val perQ = bothJ.select(col("k"), col("n"), col("qname"), qv.as("qv"))
+    val perQ = need.join(ranked, "idx")
+      .groupBy(col("k"), col("n"), col("qname"), col("t"))
+      .agg(
+        max(when(col("side") === "lo", col("v"))).as("lo_v"),
+        max(when(col("side") === "hi", col("v"))).as("hi_v"))
+      .select(col("k"), col("n"), col("qname"),
+        (col("lo_v") + (col("hi_v") - col("lo_v")) * frac).as("qv"))
 
     // pivot the (key, qname, qv) triples wide, in the caller's order
     val wide = perQ.groupBy(col("k"), col("n"))
@@ -94,4 +133,7 @@ object Quantiles {
     wide.select(
       (col("k").as(key) +: col("n") +: names.map(nm => col(nm))): _*)
   }
+
+  // local alias so the helper reads naturally without importing Column
+  private type Column2 = org.apache.spark.sql.Column
 }
