@@ -634,6 +634,13 @@ object DedupQueries {
     best
       .join(n.as("x"), col("id1") === col("x.doc_id"))
       .join(n.as("y"), col("id2") === col("y.doc_id"))
+      // AQE coalesces the join output by BYTES (~tens of MB → 1-2
+      // partitions), blind to the O(band·len) edit-distance DP each row
+      // is about to pay — the whole verify ran on ~2 cores (cpu_ratio
+      // 1.8, 4.4 s). A pinned fan-out shuffle of the pair frame is
+      // microseconds next to the DP it parallelizes; same fix shape at
+      // 100 TB, where the candidate frame is still tiny next to its CPU.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("id1"), col("id2"), col("hamming"),
         lev.cast("long").as("edit_dist"), sim.as("sim0"))
       .filter(col("edit_dist") >= 0 && col("sim0") >= FuzzySimBar)

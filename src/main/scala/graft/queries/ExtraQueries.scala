@@ -81,7 +81,11 @@ object ExtraQueries {
     // beside regular ones makes Catalyst plan an Expand (row duplication)
     // that drags every sketch buffer through 2x the rows — measured 111 s
     // vs ~2 s at sf0.1. ApproxSpec checks the error bound separately.
+    // spread first: two sketch updates per row is CPU the single-file
+    // scan would otherwise run on one core (cpu_ratio was 1.15); no-op
+    // once the input has real partition counts at scale
     lineitem(s, d)
+      .transform(graft.Tables.spread(s, _))
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),

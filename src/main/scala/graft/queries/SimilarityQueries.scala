@@ -115,10 +115,15 @@ object SimilarityQueries {
     * tables of P(all planes agree) and rises steeply with pair similarity.
     */
   def nearDupLsh(
-      vecsDf: DataFrame,
+      vecsDf0: DataFrame,
       threshold: Double,
       planes: Int = NdPlanes,
       tables: Int = NdTables): DataFrame = {
+    // tables×planes 128-dim dot products per row is pure CPU — spread the
+    // single-file scan across cores first (cpu_ratio was pinned at ~2.0;
+    // no-op once the input has real partition counts at scale). The same
+    // spread parallelizes the exact-cosine re-rank scans below.
+    val vecsDf = graft.Tables.spread(vecsDf0.sparkSession, vecsDf0)
     val signs = ndSigns(planes, tables)
     // bucket key = table * 2^planes + sign bits — ONE int per (vector,
     // table), so the candidate self-join shuffles/compares ints, not
