@@ -85,6 +85,12 @@ object ScaleProbe {
       // pair fanout stays linear in corpus size at 10x — the purely
       // relative n/20 cap measured a 28x pair blowup
       "q_sparse_cosine" -> (() => reg("q_sparse_cosine").run(spark, dir)),
+      // the gate query pins 4×8-bit simhash bands for oracle parity,
+      // which goes quadratic in-bucket as the corpus grows (measured 80×
+      // wall at 10×) — probe the documented scale path: log₂(n)-scaled
+      // 64-bit banding (still exact recall) + the linear banded-DP verify
+      "fuzzy_verify_auto" -> (() =>
+        graft.queries.DedupQueries.fuzzyVerifyAuto(spark, dir)),
       // 3 GD iterations: per-iteration cost is one broadcast + one
       // 9-column aggregation — wall time should track the corpus scan
       "q_linear_probe" -> (() => reg("q_linear_probe").run(spark, dir)),

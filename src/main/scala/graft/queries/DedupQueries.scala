@@ -595,7 +595,15 @@ object DedupQueries {
     *     bit-identical to the oracle's full-DP + sim filter for ANY
     *     document length, not just the current fixtures'.
     * ~3.3 s warm at sf0.1 (vs 222 s naive — 67×), same exact
-    * semantics on the kept rows. */
+    * semantics on the kept rows.
+    *
+    * Growth caveat: the VERIFY stage is linear in docs, but the gate's
+    * candidate stage inherits [[qDedupSimhash]]'s fixed 4×8-bit bands
+    * (256 buckets/band), whose in-bucket pairs grow n²/256 — measured
+    * 80× wall at a 10× corpus. The corpus-size path is
+    * [[fuzzyVerifyAuto]] over [[simhashPairsAuto]] (bands widen with
+    * log₂ n, recall still exact by pigeonhole), probed by ScaleProbe;
+    * the fixed width stays here for oracle parity. */
   val qFuzzyVerify: Q = Q.sql(
     "q_fuzzy_verify",
     s"""WITH pairs AS (
@@ -981,6 +989,91 @@ object DedupQueries {
       .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("n2")), col("id2") === col("d2"))
       .filter(cos >= tau)
       .select(col("id1"), col("id2"), round(cos, 6).as("cos"))
+  }
+
+  /** SCALE PATH for SimHash near-dup as the corpus grows (the simhash
+    * sibling of [[graft.queries.SimilarityQueries.nearDupLshAuto]]):
+    * [[qDedupSimhash]]'s gate form pins a 32-bit signature in 4×8-bit
+    * bands — 256 buckets per band, so in-bucket candidate pairs grow as
+    * n²/256 (measured: the fuzzy-verify pipeline went 80× wall at a 10×
+    * corpus). Here signatures are 64-bit
+    * ([[graft.expressions.SimHash64]]) and the 4 DISJOINT top-bit bands
+    * widen with log₂(n/targetBucket) (clamped to [8, 16] bits), holding
+    * expected bucket occupancy — and therefore candidates per doc —
+    * constant as n grows.
+    *
+    * Banding stays EXACT for maxHamming ≤ 3: the bands are disjoint bit
+    * subsets, so by pigeonhole any pair differing in ≤ 3 of the 64 bits
+    * agrees on at least one whole band and is GUARANTEED to surface as a
+    * candidate. Widening bands only shrinks buckets, never recall
+    * (`Round8OpsSpec` pins pairs == brute-force 64-bit hamming pairs).
+    * One count() job probes n — the cheap-probe-then-choose shape of
+    * [[jaccardAdaptive]]. Not oracle-gated: the band width depends on
+    * the data, which statically-generated oracle SQL cannot; the
+    * fixed-width [[qDedupSimhash]] stays the parity gate and this is the
+    * documented 100 TB path (`ScaleProbe` drives it). */
+  def simhashPairsAuto(
+      docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 3,
+      targetBucket: Int = 64): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val n = docs.count()
+    val w = math.min(16, math.max(8,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+    val sigs = docs
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"),
+        graft.expressions.SimHash64
+          .simhash64(graft.text.TextFunctions.tokens(col("text"))).as("si"))
+    // bucket key = band · 2^w + band bits — ONE long per (doc, band), so
+    // the candidate self-join shuffles ints and the band id rides inside
+    // the key (the nearDupLsh convention)
+    val bands = sigs
+      .select(col("doc_id"), col("si"),
+        explode(array((0 until 4).map { b =>
+          shiftrightunsigned(col("si"), 64 - (b + 1) * w)
+            .bitwiseAND(lit((1L << w) - 1)) + lit(b.toLong * (1L << w))
+        }: _*)).as("bucket"))
+      .transform(graft.ScratchCache.tracked)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.si").as("i1"), col("b.si").as("i2"))
+      .distinct()
+    cand
+      .select(col("id1"), col("id2"),
+        bit_count(col("i1").bitwiseXOR(col("i2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[qFuzzyVerify]]'s full pipeline on the [[simhashPairsAuto]] scale
+    * path: log-scaled banding proposes, the same canonical-assignment
+    * banded-DP verify disposes. The verify stage is linear in docs (one
+    * best candidate per doc); with the auto banding the PROPOSE stage is
+    * too, so the end-to-end pipeline tracks corpus size. */
+  def fuzzyVerifyAuto(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = simhashPairsAuto(documents(s, d))
+    val w = Window.partitionBy(col("id1")).orderBy(col("hamming"), col("id2"))
+    val best = pairs
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+    val n = documents(s, d).select(
+      col("doc_id"), trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    val maxLen = greatest(length(col("x.norm")), length(col("y.norm")))
+    val lev = when(maxLen <= FuzzyBandSafeLen, levenshtein(col("x.norm"), col("y.norm"), FuzzyBand))
+      .otherwise(levenshtein(col("x.norm"), col("y.norm")))
+    val sim = lit(1.0) - lev.cast("double") / maxLen
+    best
+      .join(n.as("x"), col("id1") === col("x.doc_id"))
+      .join(n.as("y"), col("id2") === col("y.doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // DP is per-row CPU
+      .select(col("id1"), col("id2"), col("hamming"),
+        lev.cast("long").as("edit_dist"), sim.as("sim0"))
+      .filter(col("edit_dist") >= 0 && col("sim0") >= FuzzySimBar)
+      .select(col("id1"), col("id2"), col("hamming"), col("edit_dist"),
+        round(col("sim0"), 6).as("sim"))
   }
 
   /** Duplicated-span window length (tokens). Any cross-document duplicate

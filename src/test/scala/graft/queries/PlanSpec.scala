@@ -135,11 +135,17 @@ class PlanSpec extends AnyFunSuite {
       "rank<=k filter must push a group limit below the window")
   }
 
-  test("q_bin_equidepth: no Window operator, no per-flag sort — cut points broadcast") {
+  test("q_bin_equidepth: no fact-grain window, no per-flag sort — cut points broadcast") {
     val p = plan(TimeSeriesQueries.qBinEquidepth)
     assert(!p.contains("ntile"), "scale-safe binning must not plan an NTILE window")
-    assert(!p.contains("Window"),
-      "bin assignment must be comparison arithmetic, never a window over the fact table")
+    // Quantiles.exact legitimately plans ONE window: the exclusive
+    // prefix-sum over the per-PARTITION row counts (≤ shuffle.partitions
+    // rows, scale-invariant). Any other window — over the fact rows or
+    // the per-key frame — is the anti-pattern this pin guards against:
+    // every Window in the plan must order by the partition id only.
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("pid")),
+      s"unexpected fact- or key-grain window:\n${windowLines.mkString("\n")}")
     assert(p.contains("BroadcastHashJoin"),
       "cut-point table must broadcast — the fact side never shuffles for the join")
   }
