@@ -260,5 +260,120 @@ object SolarQueries {
       .build()
   }
 
-  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill)
+  /** Shared base for the Flux-transformation gates: the
+    * [[qQueryBuilder]] aggregation (1d mean per series over decoded
+    * packets) with the UNROUNDED mean, as a CTE `m` the window-function
+    * transformations read. Both engines derive `value` with the same
+    * decimal-sum/count division, so the doubles the transformations see
+    * are bit-identical. */
+  private val qbNowTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+  private val qbNowS = 1706745600L
+  private val qbStartS = qbNowS - 20L * 86400
+  private def qbBaseSql: String =
+    s"""WITH pts AS (
+       |  SELECT floor(epoch(ts)) AS t_s, 'fx-1' AS measurement, 'battery_voltage' AS field,
+       |    CAST((CAST(floor(value*10) AS BIGINT) % 5000) AS DOUBLE) / 10.0 AS value
+       |  FROM events WHERE user_id % 3 = 1
+       |  UNION ALL
+       |  SELECT floor(epoch(ts)), 'mx-1', 'bat_voltage',
+       |    CAST((CAST(floor(value*10) AS BIGINT) * 3 % 5000) AS DOUBLE) / 10.0
+       |  FROM events WHERE user_id % 3 = 2
+       |), m AS (
+       |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+       |    field, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS value
+       |  FROM pts
+       |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  private def qbBase(
+      s: org.apache.spark.sql.SparkSession, d: String): graft.query.QueryBuilder = {
+    val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
+      SolarSynth.topicCol(col("user_id")).as("topic"),
+      SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value"))
+        .as("payload"),
+      col("ts").as("arrival"))
+    val points = SolarIngest.points(raw)
+    graft.query.QueryBuilder
+      .fromDataFrame(s, () => points)
+      .withNow(qbNowTs)
+      .range("-20d")
+      .appendFilter("_measurement", "fx-1", joiner = "or")
+      .appendFilter("_measurement", "mx-1")
+      .appendFilter("_field", "battery_voltage", joiner = "or", newBand = true)
+      .appendFilter("_field", "bat_voltage")
+      .appendAggregate("1d", "mean")
+      .appendSort("_time")
+  }
+  private def qbProject(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(
+        col("measurement"),
+        unix_timestamp(col("time")).as("window_end_s"),
+        col("field"),
+        col("value"))
+      .orderBy("measurement", "window_end_s", "field")
+
+  /** Flux `derivative(unit: 1h)` — per-series rate of change over the
+    * daily means, using the ACTUAL gap between emitted windows (an
+    * omitted empty window widens the denominator, as InfluxDB computes
+    * it). Determinism: one subtraction and one division of the
+    * bit-identical base doubles per row — no reordered float folds. */
+  val qQbDerivative: Q = Q.sql(
+    "q_qb_derivative",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field,
+       |  (value - lag(value) OVER w) * 3600.0
+       |    / CAST(window_end_s - lag(window_end_s) OVER w AS DOUBLE) AS value
+       |FROM m
+       |WINDOW w AS (PARTITION BY measurement, field ORDER BY window_end_s)
+       |QUALIFY lag(value) OVER w IS NOT NULL
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux derivative(unit: 1h) over aggregateWindow(1d, mean) series") { (s, d) =>
+    qbProject(qbBase(s, d).derivative("1h").build())
+  }
+
+  /** Flux `movingAverage(n: 3)` — trailing 3-window mean per series,
+    * emitted from the third point on (no partial windows, Flux
+    * semantics). The 3-row frame folds left-to-right in both engines. */
+  val qQbMovingAvg: Q = Q.sql(
+    "q_qb_moving_avg",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field, value FROM (
+       |  SELECT measurement, window_end_s, field,
+       |    avg(value) OVER (PARTITION BY measurement, field ORDER BY window_end_s
+       |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value,
+       |    row_number() OVER (PARTITION BY measurement, field ORDER BY window_end_s) AS rn
+       |  FROM m) _x
+       |WHERE rn >= 3
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux movingAverage(n: 3) over aggregateWindow(1d, mean) series") { (s, d) =>
+    qbProject(qbBase(s, d).movingAverage(3).build())
+  }
+
+  /** Flux `increase()` — monotonized cumulative total per series
+    * (cumulative sum of non-negative day-over-day differences; counter
+    * resets contribute zero). The running frame accumulates in ORDER in
+    * both engines, so the float fold is reproducible. */
+  val qQbIncrease: Q = Q.sql(
+    "q_qb_increase",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field, value FROM (
+       |  SELECT measurement, window_end_s, field, first_row,
+       |    sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER (
+       |      PARTITION BY measurement, field ORDER BY window_end_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       |  FROM (
+       |    SELECT measurement, window_end_s, field,
+       |      value - lag(value) OVER w AS d,
+       |      (lag(value) OVER w IS NULL) AS first_row
+       |    FROM m
+       |    WINDOW w AS (PARTITION BY measurement, field ORDER BY window_end_s)) _d) _x
+       |WHERE NOT first_row
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux increase() (monotonized counter total) over aggregateWindow(1d, mean) series") {
+    (s, d) => qbProject(qbBase(s, d).increase().build())
+  }
+
+  val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
+    qQbDerivative, qQbMovingAvg, qQbIncrease)
 }

@@ -42,7 +42,8 @@ final class QueryBuilder private (
     aggregate: Option[(String, String, Boolean)], // (every, fn, createEmpty)
     fillMode: Option[String], // "previous" | literal double
     sortSpec: Option[(String, Boolean)],
-    nowOverride: Option[java.sql.Timestamp]) {
+    nowOverride: Option[java.sql.Timestamp],
+    postOps: Vector[QueryBuilder.PostOp] = Vector.empty) {
 
   import QueryBuilder._
 
@@ -53,10 +54,11 @@ final class QueryBuilder private (
       aggregate: Option[(String, String, Boolean)] = aggregate,
       fillMode: Option[String] = fillMode,
       sortSpec: Option[(String, Boolean)] = sortSpec,
-      nowOverride: Option[java.sql.Timestamp] = nowOverride): QueryBuilder =
+      nowOverride: Option[java.sql.Timestamp] = nowOverride,
+      postOps: Vector[QueryBuilder.PostOp] = postOps): QueryBuilder =
     new QueryBuilder(
       spark, from, sourceName, startRange, endRange, bands, aggregate, fillMode, sortSpec,
-      nowOverride)
+      nowOverride, postOps)
 
   /** `range(start, stop)` — start/stop accept relative durations ("-5m",
     * "-2h", "-1d") or absolute ISO timestamps; stop defaults to now. */
@@ -93,6 +95,29 @@ final class QueryBuilder private (
     * values take the previous non-null value of the same series
     * (last-observation-carried-forward). Leading NULLs stay NULL. */
   def fillPrevious(): QueryBuilder = copyWith(fillMode = Some("previous"))
+
+  /** Flux `derivative(unit, nonNegative)`: per-series rate of change,
+    * (v − v_prev) / (t − t_prev) scaled to `unit` ("1s", "5m", "1h", …).
+    * The first point of each series is dropped (no predecessor), and the
+    * actual time gap is used — windows omitted as empty make the gap
+    * wider, exactly as InfluxDB computes it. `nonNegative` drops negative
+    * rates (counter-reset convention). Batch only. */
+  def derivative(unit: String = "1s", nonNegative: Boolean = false): QueryBuilder =
+    copyWith(postOps = postOps :+ Derivative(unit, nonNegative))
+
+  /** Flux `movingAverage(n)`: per-series mean of the current and previous
+    * n−1 values; emitted from the n-th point of each series onward (Flux
+    * emits no partial windows). Batch only. */
+  def movingAverage(n: Int): QueryBuilder = {
+    require(n >= 2, s"movingAverage needs n >= 2, got $n")
+    copyWith(postOps = postOps :+ MovingAverage(n))
+  }
+
+  /** Flux `increase()`: per-series cumulative sum of non-negative
+    * differences — the monotonized total of a counter that may reset.
+    * First point of each series is dropped (no difference yet). Batch
+    * only. */
+  def increase(): QueryBuilder = copyWith(postOps = postOps :+ Increase)
 
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
@@ -164,6 +189,48 @@ final class QueryBuilder private (
       }
     }
 
+    // Flux transformations (derivative / movingAverage / increase), in
+    // append order. Each is ONE analytic window per series — the shuffle
+    // key (measurement, field) is the same one the aggregation just
+    // produced, so at scale these add no extra fact-table shuffle beyond
+    // the per-series sort. They need ordered history, which an unbounded
+    // stream cannot provide — fail loudly rather than silently skip.
+    if (postOps.nonEmpty) {
+      require(!df.isStreaming,
+        "derivative/movingAverage/increase need ordered per-series history — batch builds only")
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("measurement"), col("field")).orderBy(col("time"))
+      postOps.foreach {
+        case Derivative(unit, nonNeg) =>
+          val gapSec = unix_timestamp(col("time")) - unix_timestamp(lag(col("time"), 1).over(wS))
+          val d = (col("value") - lag(col("value"), 1).over(wS)) *
+            unitSeconds(unit) / gapSec.cast("double")
+          df = df.withColumn("value", d)
+            .filter(col("value").isNotNull)
+            .filter(if (nonNeg) col("value") >= 0 else lit(true))
+        case MovingAverage(n) =>
+          val frame = wS.rowsBetween(-(n - 1).toLong, 0)
+          df = df
+            .withColumn("rn__", row_number().over(wS))
+            .withColumn("value", avg(col("value")).over(frame))
+            .filter(col("rn__") >= n)
+            .drop("rn__")
+        case Increase =>
+          val diff = col("value") - lag(col("value"), 1).over(wS)
+          val run = wS.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          // cumulative left-to-right fold in both engines — the running
+          // frame is accumulated in ORDER, so the float sum is
+          // bit-reproducible cross-engine (unlike an unordered SUM)
+          df = df
+            .withColumn("d__", when(diff > 0, diff).otherwise(lit(0.0)))
+            .withColumn("first__", lag(col("value"), 1).over(wS).isNull)
+            .withColumn("value", sum(col("d__")).over(run))
+            .filter(!col("first__"))
+            .drop("d__", "first__")
+      }
+    }
+
     // sort — bounded results only; a streaming build yields windows in
     // append order (global sort is undefined over an unbounded stream)
     if (!df.isStreaming) {
@@ -204,6 +271,11 @@ final class QueryBuilder private (
       else sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn)")
     }
     fillMode.foreach { case "previous" => sb.append("\n\t|> fill(usePrevious: true)") }
+    postOps.foreach {
+      case Derivative(u, nn) => sb.append(s"\n\t|> derivative(unit: $u, nonNegative: $nn)")
+      case MovingAverage(n) => sb.append(s"\n\t|> movingAverage(n: $n)")
+      case Increase => sb.append("\n\t|> increase()")
+    }
     sortSpec.foreach { case (f, desc) =>
       sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
     }
@@ -248,6 +320,25 @@ final class QueryBuilder private (
 }
 
 object QueryBuilder {
+
+  /** Post-aggregation Flux transformations, applied in append order. */
+  sealed trait PostOp
+  final case class Derivative(unit: String, nonNegative: Boolean) extends PostOp
+  final case class MovingAverage(n: Int) extends PostOp
+  case object Increase extends PostOp
+
+  /** "1s"/"5m"/"1h"/"1d"/"1w" → seconds. */
+  private[query] def unitSeconds(unit: String): Long = {
+    val U = """(\d+)(s|m|h|d|w)""".r
+    unit match {
+      case U(n, u) =>
+        n.toLong * (u match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L
+          case "d" => 86400L; case "w" => 604800L
+        })
+      case _ => throw new IllegalArgumentException(s"bad duration unit: $unit")
+    }
+  }
 
   /** `from(bucket: path)` over a stored parquet bucket (S5). */
   def apply(spark: SparkSession, bucketPath: String): QueryBuilder =

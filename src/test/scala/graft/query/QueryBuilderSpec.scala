@@ -185,4 +185,83 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(qb.appendAggregate("1m", "mean", createEmpty = true).fillPrevious().fluxString
       .endsWith("|> aggregateWindow(every: 1m, fn: mean, createEmpty: true)\n\t|> fill(usePrevious: true)"))
   }
+
+  // ---- Flux transformations: derivative / movingAverage / increase ----
+
+  test("derivative: rate over the ACTUAL gap, first point dropped, unit scaling") {
+    // mx-1 pv_current: minute-window maxes at 10:01 (5.0) and 10:04 (7.0)
+    // → one derivative row: (7-5) / 180s × 60s = 2/3 per minute
+    val got = qb
+      .range("-1h")
+      .appendFilter("_measurement", "mx-1")
+      .appendAggregate("1m", "max")
+      .derivative(unit = "1m")
+      .appendSort("_time")
+      .build()
+      .collect()
+    assert(got.length === 1)
+    assert(math.abs(got(0).getDouble(3) - 2.0 / 3.0) < 1e-12)
+    // nonNegative drops a falling series entirely
+    val falling = qb
+      .range("-1h")
+      .appendFilter("_field", "battery_voltage")
+      .appendAggregate("10m", "count")
+      .derivative(unit = "1s", nonNegative = true)
+      .build()
+      .collect()
+    assert(falling.forall(_.getDouble(3) >= 0))
+  }
+
+  test("movingAverage: trailing n-mean, emitted from the n-th point on") {
+    // fx-1 battery_voltage raw points (no aggregate): 27.4, 27.6, 27.8 →
+    // movingAverage(2) emits (27.5, 27.7); the first point is withheld
+    val got = qb
+      .range("-1h")
+      .appendFilter("_measurement", "fx-1")
+      .appendAggregate("1m", "mean")
+      .movingAverage(2)
+      .appendSort("_time")
+      .build()
+      .collect()
+    assert(got.length === 1) // two 1m windows → one trailing pair
+    assert(math.abs(got(0).getDouble(3) - (27.4 + 27.7) / 2) < 1e-12)
+    intercept[IllegalArgumentException](qb.movingAverage(1))
+  }
+
+  test("increase: cumulative non-negative differences, resets contribute zero") {
+    import spark.implicits._
+    val counter = Seq(
+      ("m", ts("2024-01-01 10:00:00"), "c", 10.0),
+      ("m", ts("2024-01-01 10:01:00"), "c", 25.0), // +15
+      ("m", ts("2024-01-01 10:02:00"), "c", 5.0),  // reset → +0
+      ("m", ts("2024-01-01 10:03:00"), "c", 9.0)   // +4
+    ).toDF("measurement", "time", "field", "value")
+    val got = QueryBuilder.fromDataFrame(spark, () => counter)
+      .increase()
+      .appendSort("_time")
+      .build()
+      .collect()
+    assert(got.map(_.getDouble(3)).toSeq === Seq(15.0, 15.0, 19.0))
+  }
+
+  test("transformations render Flux text and refuse streaming builds") {
+    val flux = qb
+      .range("-1h")
+      .appendAggregate("1m", "mean")
+      .derivative("1h", nonNegative = true)
+      .movingAverage(5)
+      .increase()
+      .fluxString
+    assert(flux.endsWith(
+      "|> aggregateWindow(every: 1m, fn: mean)" +
+        "\n\t|> derivative(unit: 1h, nonNegative: true)" +
+        "\n\t|> movingAverage(n: 5)" +
+        "\n\t|> increase()"))
+    val dir = java.nio.file.Files.createTempDirectory("qbpost").toString
+    graft.solar.PointStore.write(points, dir + "/b")
+    intercept[IllegalArgumentException] {
+      QueryBuilder.streaming(spark, dir + "/b").appendAggregate("1m", "mean")
+        .derivative().build()
+    }
+  }
 }
