@@ -767,7 +767,123 @@ object RankQueries {
         .orderBy("doc_id")
   }
 
+  /** Truth-label bound for the classifier-eval gates: documents of at
+    * least this many chars are the "positive" class the classifier score
+    * is evaluated against — a deterministic, engine-replayable proxy
+    * label (real pipelines join human/model labels; the EVAL operators
+    * are what is under test here, not the model). */
+  val EvalPosChars = 300L
+
+  /** Shared eval base: per-distinct-SCORE class counts. Grouping to the
+    * score grain FIRST is the scale move (same trick as
+    * [[graft.queries.InferenceQueries]]' Mann-Whitney): every cumulative
+    * statistic below runs over |distinct scores| rows, never |docs|, so
+    * the only doc-scale work is the classifier aggregate itself. */
+  private val evalBaseSql =
+    s"""WITH tok AS (SELECT doc_id, n_chars, unnest($tokensSql) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |    (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % $ClsBuckets) % $ClsMod - 48 AS w
+       |  FROM tok
+       |), sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS s,
+       |    CASE WHEN max(n_chars) >= $EvalPosChars THEN 1 ELSE 0 END AS y
+       |  FROM f GROUP BY doc_id
+       |), g AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS neg, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM sc GROUP BY s
+       |), tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS nn FROM g)""".stripMargin
+
+  private def evalBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val w = conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % ClsBuckets % ClsMod - 48
+    val sc = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("n_chars"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).cast("long").as("s"),
+        when(max(col("n_chars")) >= EvalPosChars, 1L).otherwise(0L).as("y"))
+    val g = sc.groupBy("s").agg(
+      sum(col("y")).cast("long").as("pos"),
+      (count(lit(1)) - sum(col("y"))).cast("long").as("neg"),
+      count(lit(1)).cast("long").as("cnt"))
+    val tot = g.agg(sum(col("pos")).cast("long").as("p"), sum(col("neg")).cast("long").as("nn"))
+    (g, tot)
+  }
+
+  /** Precision/recall curve of the hashed classifier against the length
+    * proxy label — one point per DISTINCT score threshold ("predict
+    * positive at score ≥ t"), precision/recall as EXACT parts-per-million
+    * integers (half-up in pure integer space, NOTES lesson 11). The
+    * curve frame is |distinct scores| rows; the cumulative window runs
+    * there, never at doc grain. */
+  val qPrCurve: Q = Q.sql(
+    "q_pr_curve",
+    s"""$evalBaseSql
+       |SELECT s AS threshold, tp, fp, tot.p - tp AS fn,
+       |  (2000000 * tp + (tp + fp)) // (2 * (tp + fp)) AS precision_ppm,
+       |  (2000000 * tp + tot.p) // (2 * tot.p) AS recall_ppm
+       |FROM (
+       |  SELECT s,
+       |    CAST(sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM g) _c, tot
+       |ORDER BY threshold DESC""".stripMargin,
+    doc = "exact PR curve per distinct classifier-score threshold (ppm integers)") { (s, d) =>
+    val (g, tot) = evalBase(s, d)
+    val wC = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(col("s"),
+        sum(col("pos")).over(wC).cast("long").as("tp"),
+        sum(col("neg")).over(wC).cast("long").as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("s").as("threshold"), col("tp"), col("fp"),
+        (col("p") - col("tp")).as("fn"),
+        expr("(2000000 * tp + (tp + fp)) DIV (2 * (tp + fp))").as("precision_ppm"),
+        expr("(2000000 * tp + p) DIV (2 * p)").as("recall_ppm"))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** Exact ROC AUC of the classifier score vs the length proxy label via
+    * the Mann-Whitney identity AUC = (Σ midranks(positives) − P(P+1)/2)
+    * / (P·N) — tie-exact on the distinct-score frame (midrank·2 stays
+    * integer), wide products so a 10⁹-doc corpus cannot wrap (Spark:
+    * DECIMAL(38,0), whose `DIV` is integral; DuckDB: HUGEINT, because
+    * DuckDB's `//` on DECIMAL operands is FLOAT division — measured
+    * 7//2 = 3.5, a one-ulp ppm divergence), and the final ratio emitted
+    * as a half-up ppm integer. One row. */
+  val qRocAuc: Q = Q.sql(
+    "q_roc_auc",
+    s"""$evalBaseSql,
+       |r AS (
+       |  SELECT pos,
+       |    2 * (CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+       |      + cnt + 1 AS r2
+       |  FROM g),
+       |s2 AS (SELECT CAST(sum(CAST(pos AS HUGEINT) * r2) AS HUGEINT) AS s2 FROM r)
+       |SELECT tot.p, tot.nn,
+       |  CAST((2000000 * (s2.s2 - CAST(tot.p AS HUGEINT) * (tot.p + 1))
+       |      + 2 * CAST(tot.p AS HUGEINT) * tot.nn)
+       |    // (4 * CAST(tot.p AS HUGEINT) * tot.nn) AS BIGINT) AS auc_ppm
+       |FROM s2, tot""".stripMargin,
+    doc = "exact ROC AUC (midrank Mann-Whitney identity, ppm integer)") { (s, d) =>
+    val (g, tot) = evalBase(s, d)
+    val wA = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.select(col("pos"),
+      (lit(2) * (sum(col("cnt")).over(wA) - col("cnt")) + col("cnt") + 1).as("r2"))
+    val s2 = r.agg(sum(col("pos").cast("decimal(19,0)") * col("r2"))
+      .cast("decimal(38,0)").as("s2"))
+    s2.crossJoin(broadcast(tot))
+      .select(col("p"), col("nn"),
+        expr("CAST((2000000 * (s2 - CAST(p AS DECIMAL(38,0)) * (p + 1))" +
+          " + 2 * CAST(p AS DECIMAL(38,0)) * nn)" +
+          " DIV (4 * CAST(p AS DECIMAL(38,0)) * nn) AS BIGINT)").as("auc_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
-      qPostings, qCooccurrence, qPhraseSearch)
+      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc)
 }

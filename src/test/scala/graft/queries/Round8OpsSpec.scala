@@ -71,4 +71,49 @@ class Round8OpsSpec extends AnyFunSuite {
     }
     graft.ScratchCache.releaseAll()
   }
+
+  // ---- classifier-eval gates: q_pr_curve / q_roc_auc -------------------
+
+  /** driver-side (score, label) pairs via the same hashed classifier. */
+  private lazy val scoredDocs: Seq[(Long, Int)] = {
+    val rows = RankQueries.qQualityClassifier.run(spark, sf)
+      .select(col("doc_id"), col("score_int")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    chars.toSeq.map { case (id, nc) =>
+      (rows(id), if (nc >= RankQueries.EvalPosChars) 1 else 0)
+    }
+  }
+
+  test("q_roc_auc equals the brute-force pairwise probability (ties at half)") {
+    val pos = scoredDocs.filter(_._2 == 1).map(_._1)
+    val neg = scoredDocs.filter(_._2 == 0).map(_._1)
+    // 2·wins + ties, over 2·P·N — exact integers
+    val num = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val den = 2L * pos.length * neg.length
+    val expPpm = (2L * 1000000L * num + den) / (2L * den)
+    val got = RankQueries.qRocAuc.run(spark, sf).collect()(0)
+    assert(got.getLong(0) === pos.length.toLong && got.getLong(1) === neg.length.toLong)
+    assert(got.getLong(2) === expPpm, s"auc_ppm ${got.getLong(2)} vs brute $expPpm")
+  }
+
+  test("q_pr_curve: every point recomputes from the raw scores") {
+    val rows = RankQueries.qPrCurve.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p = scoredDocs.count(_._2 == 1).toLong
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val tp = scoredDocs.count { case (s, y) => s >= t && y == 1 }.toLong
+      val fp = scoredDocs.count { case (s, y) => s >= t && y == 0 }.toLong
+      assert(r.getLong(1) === tp && r.getLong(2) === fp && r.getLong(3) === p - tp)
+      assert(r.getLong(4) === (2000000L * tp + (tp + fp)) / (2L * (tp + fp)))
+      assert(r.getLong(5) === (2000000L * tp + p) / (2L * p))
+    }
+    // the curve is monotone in recall as the threshold falls
+    val recalls = rows.map(_.getLong(5)).toSeq
+    assert(recalls === recalls.sorted)
+  }
 }
