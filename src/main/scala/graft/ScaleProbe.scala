@@ -94,6 +94,11 @@ object ScaleProbe {
       // 3 GD iterations: per-iteration cost is one broadcast + one
       // 9-column aggregation — wall time should track the corpus scan
       "q_linear_probe" -> (() => reg("q_linear_probe").run(spark, dir)),
+      // eval gates: one doc-grain classifier aggregate, then every
+      // cumulative statistic on the distinct-SCORE frame — wall should
+      // track the corpus scan, the curve frame barely grows
+      "q_pr_curve" -> (() => reg("q_pr_curve").run(spark, dir)),
+      "q_roc_auc" -> (() => reg("q_roc_auc").run(spark, dir)),
       // coarse-cell prune + code-only ADC scan at 10x corpus
       "q_ivfpq" -> (() => reg("q_ivfpq").run(spark, dir)),
       // N disjoint replica graphs: per-step transition tables and walks

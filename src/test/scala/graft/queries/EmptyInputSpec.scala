@@ -86,7 +86,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_temporal_split",  // split totals + leakage with zero events
     "q_gram_matrix",     // 4096-cell fold of an empty corpus
     "q_effective_rank",  // trace/frobenius ratio with null sums
-    "q_cdc_dedup")       // rolling-hash chunking of zero documents
+    "q_cdc_dedup",       // rolling-hash chunking of zero documents
+    "q_pr_curve",        // thresholds over zero distinct scores
+    "q_roc_auc",         // AUC with P = N = 0 (null-row degradation)
+    "q_qb_derivative",   // rate over an empty point stream
+    "q_qb_moving_avg",   // trailing mean with no windows
+    "q_qb_increase")     // counter total over zero points
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
