@@ -429,6 +429,9 @@ object QueryBuilder {
     case "first" => min_by(col("value"), col("time"))
     case "last" => max_by(col("value"), col("time"))
     case "median" => median(col("value"))
+    // Flux spread(): max − min per window — a difference of two observed
+    // values, so exact (no accumulation order to diverge)
+    case "spread" => max(col("value")) - min(col("value"))
     case other => throw new IllegalArgumentException(s"unknown aggregate fn: $other")
   }
 }

@@ -186,6 +186,17 @@ class QueryBuilderSpec extends AnyFunSuite {
       .endsWith("|> aggregateWindow(every: 1m, fn: mean, createEmpty: true)\n\t|> fill(usePrevious: true)"))
   }
 
+  test("aggregateWindow fn: spread = max - min per window") {
+    val got = qb
+      .range("-1h")
+      .appendFilter("_measurement", "fx-1")
+      .appendAggregate("10m", "spread")
+      .build()
+      .collect()
+    assert(got.length === 1)
+    assert(math.abs(got(0).getDouble(3) - (27.8 - 27.4)) < 1e-12)
+  }
+
   // ---- Flux transformations: derivative / movingAverage / increase ----
 
   test("derivative: rate over the ACTUAL gap, first point dropped, unit scaling") {
