@@ -118,7 +118,10 @@ object Quantiles {
       .join(broadcast(offsets), "pid")
       .select((col("off") + seq(col("mid"), col("pid"))).as("idx"), col("v"))
     val frac = col("t") - floor(col("t"))
-    val perQ = need.join(ranked, "idx")
+    // `need` is keys × quantiles × 2 rows — broadcast it EXPLICITLY: its
+    // size estimate flows through explode/joins, so without the hint the
+    // planner can fall back to shuffling the full ranked frame by rank
+    val perQ = ranked.join(broadcast(need), "idx")
       .groupBy(col("k"), col("n"), col("qname"), col("t"))
       .agg(
         max(when(col("side") === "lo", col("v"))).as("lo_v"),
