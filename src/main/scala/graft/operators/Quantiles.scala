@@ -83,8 +83,23 @@ object Quantiles {
       .agg(count(lit(1)).as("c"), min(col("mid")).as("mmin"))
     val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     // one row per partition (32ish) — the single-partition window is fine
+    // monotonically_increasing_id packs a 33-bit per-partition counter
+    // under the pid bits: a range partition reaching 2^33 rows would
+    // silently corrupt every downstream rank. Fail loudly instead,
+    // from the per-partition counts this aggregate already has. The
+    // guard is folded into `off` (a pruned side column would be
+    // optimized away and never evaluated); assert_true is NULL on
+    // success so the coalesce leaves `off` unchanged.
+    val pidGuard = coalesce(
+      assert_true(col("pn") < lit(1L << 33),
+        concat(lit("Quantiles.exact: range partition "), col("pid"),
+          lit(" holds "), col("pn"),
+          lit(" rows (>= 2^33) — (pid,mid) rank stamps would overflow; "),
+          lit("raise the partition count"))).cast("long"),
+      lit(0L))
     val offsets = cnts.groupBy("pid").agg(sum(col("c")).as("pn"))
-      .select(col("pid"), coalesce(sum(col("pn")).over(wOff), lit(0L)).as("off"))
+      .select(col("pid"),
+        (coalesce(sum(col("pn")).over(wOff), lit(0L)) + pidGuard).as("off"))
     val extents = cnts.join(broadcast(offsets), "pid")
       .select(col("k"), col("c"),
         (col("off") + seq(col("mmin"), col("pid"))).as("kstart"))

@@ -1016,6 +1016,12 @@ object DedupQueries {
       docs: org.apache.spark.sql.DataFrame,
       maxHamming: Int = 3,
       targetBucket: Int = 64): org.apache.spark.sql.DataFrame = {
+    // the pigeonhole exactness argument needs maxHamming + 1 disjoint
+    // bands; with the fixed 4 bands the contract only holds to 3 —
+    // enforce it rather than silently returning lossy recall
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairsAuto's 4 disjoint bands guarantee exact recall only for " +
+        s"maxHamming <= 3 (got $maxHamming)")
     val s = docs.sparkSession
     val n = docs.count()
     val w = math.min(16, math.max(8,

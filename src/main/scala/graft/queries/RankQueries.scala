@@ -829,6 +829,7 @@ object RankQueries {
        |    CAST(sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
        |    CAST(sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
        |  FROM g) _c, tot
+       |WHERE tot.p > 0
        |ORDER BY threshold DESC""".stripMargin,
     doc = "exact PR curve per distinct classifier-score threshold (ppm integers)") { (s, d) =>
     val (g, tot) = evalBase(s, d)
@@ -838,6 +839,10 @@ object RankQueries {
         sum(col("pos")).over(wC).cast("long").as("tp"),
         sum(col("neg")).over(wC).cast("long").as("fp"))
       .crossJoin(broadcast(tot))
+      // one-class degradation guard: with zero positives recall's
+      // denominator is 0 — Spark DIV yields NULL where DuckDB's //
+      // raises; drop the rows in BOTH engines so they degrade alike
+      .where(col("p") > 0)
       .select(
         col("s").as("threshold"), col("tp"), col("fp"),
         (col("p") - col("tp")).as("fn"),
@@ -867,7 +872,8 @@ object RankQueries {
        |  CAST((2000000 * (s2.s2 - CAST(tot.p AS HUGEINT) * (tot.p + 1))
        |      + 2 * CAST(tot.p AS HUGEINT) * tot.nn)
        |    // (4 * CAST(tot.p AS HUGEINT) * tot.nn) AS BIGINT) AS auc_ppm
-       |FROM s2, tot""".stripMargin,
+       |FROM s2, tot
+       |WHERE tot.p > 0 AND tot.nn > 0""".stripMargin,
     doc = "exact ROC AUC (midrank Mann-Whitney identity, ppm integer)") { (s, d) =>
     val (g, tot) = evalBase(s, d)
     val wA = Window.orderBy(col("s"))
@@ -877,6 +883,9 @@ object RankQueries {
     val s2 = r.agg(sum(col("pos").cast("decimal(19,0)") * col("r2"))
       .cast("decimal(38,0)").as("s2"))
     s2.crossJoin(broadcast(tot))
+      // AUC is undefined with an empty class (denominator p·nn = 0);
+      // emit zero rows in both engines instead of NULL-vs-error skew
+      .where(col("p") > 0 && col("nn") > 0)
       .select(col("p"), col("nn"),
         expr("CAST((2000000 * (s2 - CAST(p AS DECIMAL(38,0)) * (p + 1))" +
           " + 2 * CAST(p AS DECIMAL(38,0)) * nn)" +
