@@ -325,5 +325,57 @@ object InferenceQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(qBenford, qGini, qJackknifeCi, qMannWhitney)
+  /** Chi-square test of independence between order priority and order
+    * status — the categorical-association screen (is fulfilment status
+    * independent of priority class?) every segmentation analysis starts
+    * with, emitted per contingency cell: observed count, expected count
+    * as an exact half-up ppm integer, and the cell's chi-square term.
+    *
+    * Exactness: with row total r, column total c, grand total n, the
+    * cell term (O − E)²/E rewrites as (n·O − r·c)² / (n·r·c) — numerator
+    * and denominator are exact integer products (DECIMAL(38,0); DuckDB
+    * HUGEINT — (n·O)² clears BIGINT at bench SF already), and the
+    * statistic is ONE division of their double casts, no round-order
+    * dependence. The ppm expectation is the [[RankQueries.qPrCurve]]
+    * half-up integer convention: (2·10⁶·r·c + n) // (2n).
+    *
+    * Scale: one map-side-combined groupBy over orders to the cell grain
+    * (|priorities| × |statuses| rows), then the margins are two
+    * aggregates OF THE CELL FRAME — the fact table is scanned once; the
+    * margin joins move ~15 rows. */
+  val qChi2: Q = Q.sql(
+    "q_chi2",
+    """WITH c AS (
+      |  SELECT o_orderpriority AS pri, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (SELECT pri, CAST(sum(o) AS HUGEINT) AS rt FROM c GROUP BY 1),
+      |cl AS (SELECT st, CAST(sum(o) AS HUGEINT) AS ct FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM c)
+      |SELECT c.pri, c.st, c.o,
+      |  CAST((2000000 * rt * ct + n.n) // (2 * n.n) AS BIGINT) AS exp_ppm,
+      |  CAST((n.n * c.o - rt * ct) * (n.n * c.o - rt * ct) AS DOUBLE)
+      |    / CAST(n.n * rt * ct AS DOUBLE) AS chi2_term
+      |FROM c JOIN r USING (pri) JOIN cl USING (st) CROSS JOIN n
+      |ORDER BY pri, st""".stripMargin,
+    doc = "chi-square independence test, priority x status, exact per-cell terms") { (s, d) =>
+    val dec = "decimal(38,0)"
+    val c = orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("o"))
+    val r = c.groupBy(col("pri").as("rpri")).agg(sum(col("o")).cast(dec).as("rt"))
+    val cl = c.groupBy(col("st").as("cst")).agg(sum(col("o")).cast(dec).as("ct"))
+    val n = c.agg(sum(col("o")).cast(dec).as("n"))
+    c.join(broadcast(r), col("pri") === col("rpri"))
+      .join(broadcast(cl), col("st") === col("cst"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("pri"), col("st"), col("o"),
+        expr("CAST((2000000 * rt * ct + n) DIV (2 * n) AS BIGINT)").as("exp_ppm"),
+        ((col("n") * col("o") - col("rt") * col("ct"))
+          * (col("n") * col("o") - col("rt") * col("ct"))).cast("double")
+          ./((col("n") * col("rt") * col("ct")).cast("double")).as("chi2_term"))
+      .orderBy("pri", "st")
+  }
+
+  val all: Seq[Q] = Seq(qBenford, qGini, qJackknifeCi, qMannWhitney, qChi2)
 }

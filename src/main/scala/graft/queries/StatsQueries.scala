@@ -1023,8 +1023,160 @@ object StatsQueries {
         .orderBy("lang")
   }
 
+  /** Spearman rank correlation of quantity vs extended price per return
+    * flag — the robust (monotone-invariant) complement to [[qCorrStats]]'s
+    * Pearson, with EXACT tie handling via average ranks.
+    *
+    * Scale design — never rank at row grain: both rank maps are built at
+    * the DISTINCT-VALUE grain (the [[InferenceQueries.qMannWhitney]]
+    * move), where the tie-averaged rank of value v is
+    * 2·rank = 2·(#less) + (#eq) + 1 — one grouped count plus a cumulative
+    * window over |distinct values| rows, never |rows|. The fact table
+    * then picks its two ranks up with two value-keyed equi-joins (the
+    * rank maps are value-grain and dwarfed by the fact side — Catalyst
+    * broadcasts them at bench SF) and ONE hash aggregate folds the five
+    * Pearson sums. Doubled ranks keep everything integral; the moment
+    * products run in DECIMAL(38,0) (DuckDB: HUGEINT), which bounds
+    * per-group n at ~10⁸ rows before n·Σ(2rx·2ry) ~ 4n⁴ nears 10³⁸ —
+    * beyond that, center ranks first. Final ρ is three exact decimal →
+    * double casts, two correctly-rounded sqrts, one division — identical
+    * IEEE trees, rounded to 9. */
+  val qSpearman: Q = Q.sql(
+    "q_spearman",
+    """WITH b AS (
+      |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y FROM lineitem
+      |), rx AS (
+      |  SELECT g, x, 2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1 AS r2
+      |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) _x
+      |), ry AS (
+      |  SELECT g, y, 2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1 AS r2
+      |  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) _y
+      |), j AS (
+      |  SELECT b.g, rx.r2 AS rx2, ry.r2 AS ry2
+      |  FROM b JOIN rx ON b.g = rx.g AND b.x = rx.x
+      |         JOIN ry ON b.g = ry.g AND b.y = ry.y
+      |), a AS (
+      |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(rx2) AS HUGEINT) AS sx, CAST(sum(ry2) AS HUGEINT) AS sy,
+      |    CAST(sum(rx2 * rx2) AS HUGEINT) AS sxx,
+      |    CAST(sum(ry2 * ry2) AS HUGEINT) AS syy,
+      |    CAST(sum(rx2 * ry2) AS HUGEINT) AS sxy
+      |  FROM j GROUP BY g)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS spearman_rho
+      |FROM a ORDER BY l_returnflag""".stripMargin,
+    doc = "Spearman rank correlation per return flag (distinct-grain tie-averaged ranks)") {
+    (s, d) =>
+      val b = lineitem(s, d).select(
+        col("l_returnflag").as("g"), col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rankMap(v: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("g")).orderBy(col(v))
+        b.groupBy(col("g"), col(v))
+          .agg(count(lit(1)).as("c"))
+          .select(col("g").as(s"g_$v"), col(v).as(s"v_$v"),
+            (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + 1).as(s"r2_$v"))
+      }
+      val j = b
+        .join(rankMap("x"), col("g") === col("g_x") && col("x") === col("v_x"))
+        .join(rankMap("y"), col("g") === col("g_y") && col("y") === col("v_y"))
+        .select(col("g"), col("r2_x").as("rx2"), col("r2_y").as("ry2"))
+      val dec = "decimal(38,0)"
+      val a = j.groupBy("g").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("rx2")).cast(dec).as("sx"), sum(col("ry2")).cast(dec).as("sy"),
+        sum(col("rx2") * col("rx2")).cast(dec).as("sxx"),
+        sum(col("ry2") * col("ry2")).cast(dec).as("syy"),
+        sum(col("rx2") * col("ry2")).cast(dec).as("sxy"))
+      a.select(
+          col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 9)
+            .as("spearman_rho"))
+        .orderBy("l_returnflag")
+  }
+
+  /** HyperLogLog register width: 2^[[HllP]] registers. */
+  val HllP = 8
+  private val HllM = 1 << HllP // 256
+  /** 48-bit md5 prefix splits as top-8 register index / low-40 rho field. */
+  private val HllLow = 1L << 40
+
+  /** HyperLogLog distinct-part estimate per return-flag slice — the
+    * fixed-size streaming counterpart to [[qKmvDistinct]] (Flajolet 2007),
+    * fully DETERMINISTIC and oracle-replayed: md5-derived 48-bit hashes
+    * of the part key, register = top [[HllP]] bits, and rho = (trailing
+    * zeros of the low 40 bits) + 1 — the Flajolet–Martin
+    * least-significant-bit variant, chosen because trailing zeros are
+    * pure integer ops in BOTH engines (bit_count((r & -r) − 1), no
+    * transcendental and no lookup join). Keyed on l_partkey (20k distinct
+    * at sf0.1) rather than the corpus vocabulary, whose fixed 31-token
+    * synthetic dictionary never leaves the small-range regime.
+    *
+    * Exactness: every register term 2^−m is a power of two ≥ 2^−41, so
+    * the 256-term denominator sum spans < 53 significand bits and is
+    * EXACT in double regardless of partial-aggregation order; the final
+    * estimate is literal-constant α·m² over that sum — one multiply, one
+    * divide, floor(x+0.5) — identical IEEE trees, no libm. (The ln-based
+    * small-range correction is deliberately left out of the gate: ln is
+    * not cross-engine bit-stable. The raw estimator is the gate; callers
+    * below 2.5·m distinct should use [[qKmvDistinct]].)
+    *
+    * Scale shape: explode → (lang, hash) distinct → 256-register groupBy
+    * (bounded state, mergeable monoid — the streaming-friendly property
+    * HLL exists for) → one tiny per-lang fold. */
+  val qHllDistinct: Q = Q.sql(
+    "q_hll_distinct",
+    s"""WITH th AS (
+       |  SELECT DISTINCT l_returnflag AS g,
+       |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+       |  FROM lineitem
+       |), reg AS (
+       |  SELECT g, h // $HllLow AS b,
+       |    max(CASE WHEN h % $HllLow = 0 THEN 41
+       |        ELSE CAST(bit_count(((h % $HllLow) & -(h % $HllLow)) - 1) + 1 AS BIGINT) END) AS m
+       |  FROM th GROUP BY 1, 2
+       |), sk AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS regs,
+       |    sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS sp
+       |  FROM reg GROUP BY 1
+       |), nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_distinct FROM th GROUP BY 1)
+       |SELECT nd.g AS l_returnflag, nd.n_distinct, sk.regs,
+       |  round(sk.sp + ($HllM - sk.regs), 9) AS denom,
+       |  CAST(floor((0.7213 / (1.0 + 1.079 / $HllM.0)) * ${HllM * HllM}.0
+       |      / (sk.sp + ($HllM - sk.regs)) + 0.5) AS BIGINT) AS hll_est
+       |FROM nd JOIN sk USING (g) ORDER BY l_returnflag""".stripMargin,
+    doc = s"HyperLogLog (m=$HllM) distinct parts per return flag, deterministic replay") {
+    (s, d) =>
+      val th = lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val r = col("h") % HllLow
+      val rho = when(r === 0, lit(41L))
+        .otherwise((bit_count(r.bitwiseAND(-r) - 1) + 1).cast("long"))
+      val reg = th
+        .groupBy(col("g"), expr(s"h DIV $HllLow").as("b"))
+        .agg(max(rho).as("m"))
+      val sk = reg.groupBy(col("g").as("skg")).agg(
+        count(lit(1)).cast("long").as("regs"),
+        sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)")).as("sp"))
+      val nd = th.groupBy("g").agg(count(lit(1)).cast("long").as("n_distinct"))
+      val denom = col("sp") + (lit(HllM) - col("regs"))
+      nd.join(sk, col("g") === col("skg"))
+        .select(
+          col("g").as("l_returnflag"), col("n_distinct"), col("regs"),
+          round(denom, 9).as("denom"),
+          floor(lit(0.7213 / (1.0 + 1.079 / HllM)) * lit(HllM.toDouble * HllM) / denom + 0.5)
+            .cast("long").as("hll_est"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
       qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
-      qKmvRetention, qHistRollup, qAbTest, qWeightedQuantile)
+      qKmvRetention, qHistRollup, qAbTest, qWeightedQuantile, qSpearman, qHllDistinct)
 }

@@ -47,4 +47,97 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(RankQueries.qPrCurve.run(spark, sf).limit(1).count() === 1L)
     assert(RankQueries.qRocAuc.run(spark, sf).count() === 1L)
   }
+
+  test("q_spearman: matches a driver-side brute-force tie-averaged Spearman") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def avgRanks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val less = sorted.count(_ < v); val eq = sorted.count(_ == v)
+        v -> (less + (eq + 1) / 2.0)
+      }.toMap
+    }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val rx = avgRanks(rs.map(_._2).toSeq); val ry = avgRanks(rs.map(_._3).toSeq)
+      val xs = rs.map(r => rx(r._2)); val ys = rs.map(r => ry(r._3))
+      val n = rs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      g -> num / den
+    }
+    val got = StatsQueries.qSpearman.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (g, rho) =>
+      assert(math.abs(rho - want(g)) < 1e-6, s"group $g: got $rho want ${want(g)}")
+      assert(math.abs(rho) <= 1.0)
+    }
+  }
+
+  test("q_hll_distinct: registers replay driver-side and the estimate is within HLL error") {
+    // sf0.01: 2000 distinct parts per flag — inside the raw estimator's
+    // validity regime, so the sigma bound below actually bites
+    val sfH = "/root/testdata/sf0.01"
+    val keys = graft.Tables.lineitem(spark, sfH)
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("t"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val m = 256
+    val want = keys.groupBy(_._1).map { case (g, ts) =>
+      val regs = scala.collection.mutable.Map[Long, Int]()
+      ts.map(_._2).distinct.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(12), 16)
+        val b = h >>> 40
+        val r = h & ((1L << 40) - 1)
+        val rho = if (r == 0) 41 else java.lang.Long.numberOfTrailingZeros(r) + 1
+        regs(b) = math.max(regs.getOrElse(b, 0), rho)
+      }
+      val sp = regs.values.map(v => 1.0 / (1L << v)).sum + (m - regs.size)
+      val est = math.floor(0.7213 / (1.0 + 1.079 / m) * m * m / sp + 0.5).toLong
+      g -> (ts.length.toLong, regs.size.toLong, est)
+    }
+    val got = StatsQueries.qHllDistinct.run(spark, sfH).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got === want)
+    // estimator sanity: within 5 sigma of truth (sigma ~= 1.04/sqrt(m)) —
+    // but ONLY in the raw estimator's validity regime (exact >= 2.5m);
+    // below it the gate documents that callers should use KMV instead
+    var inRegime = 0
+    got.foreach { case (g, (exact, _, est)) =>
+      if (exact >= 2.5 * m) {
+        inRegime += 1
+        val rel = math.abs(est.toDouble - exact) / exact
+        assert(rel < 5 * 1.04 / math.sqrt(m), s"$g: est $est vs exact $exact (rel $rel)")
+      }
+    }
+    assert(inRegime > 0, "fixture must exercise the estimator's validity regime")
+  }
+
+  test("q_chi2: per-cell terms recompute driver-side; total matches direct (O-E)^2/E") {
+    val cells = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum.toDouble }
+    val ct = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum.toDouble }
+    val got = InferenceQueries.qChi2.run(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (p, st, o) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(o === cells((p, st)))
+      val e = rt(p) * ct(st) / n
+      val term = (o - e) * (o - e) / e
+      assert(math.abs(r.getDouble(4) - term) < 1e-9 * math.max(1.0, term),
+        s"cell ($p,$st): got ${r.getDouble(4)} want $term")
+      assert(math.abs(r.getLong(3) - math.round(e * 1e6)) <= 1,
+        s"cell ($p,$st): exp_ppm ${r.getLong(3)} vs ${e * 1e6}")
+    }
+  }
 }
