@@ -499,5 +499,88 @@ object GraphQueries {
         .limit(20)
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred)
+  /** Degree assortativity of the part CO-PURCHASE graph (Newman 2002,
+    * "Assortative mixing in networks") — do frequently-bundled parts link
+    * to other hubs (r > 0) or to the periphery (r < 0)? The one-number
+    * structural summary next to [[qTriangles]]' clustering and
+    * [[qKcore]]'s shells. Parts rather than [[coSupplyEdges]]' suppliers:
+    * the supplier graph is COMPLETE (hence regular, r undefined) below
+    * sf0.1, while the part graph has real degree variance at every SF.
+    *
+    * Exactness: with M edges and end degrees (j, k), Newman's r rewrites
+    * over EXACT integer edge sums S_jk = Σjk, S_1 = Σ(j+k), S_2 = Σ(j²+k²)
+    * as r = (4M·S_jk − S_1²) / (2M·S_2 − S_1²) — numerator and denominator
+    * are exact DECIMAL(38,0)/HUGEINT products (good to ~10⁹ edges at
+    * degree ~10⁴), the statistic is one division of their double casts,
+    * round(9). A regular graph (denominator 0) yields NULL in both
+    * engines via an explicit integer-zero CASE, not a float-inf skew.
+    *
+    * Scale shape: edges are generated IN-ROW from per-order part sets
+    * (the [[coSupplyEdges]] move — pairs bounded by order width², linear
+    * in orders, no self-join) then deduplicated on the pair key; degrees
+    * are one count over the exploded endpoint list; the per-edge degree
+    * pickup is two joins against that vertex-grain map (dwarfed by the
+    * edge list — broadcast at bench SF); one hash aggregate folds the
+    * four sums. No window, no sort. */
+  val qAssortativity: Q = Q.sql(
+    "q_assortativity",
+    s"""WITH e AS (
+       |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       |  GROUP BY 1, 2
+       |), deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS dg
+       |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) _u GROUP BY 1
+       |), j AS (
+       |  SELECT da.dg AS ja, db.dg AS jb
+       |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+       |), s AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m,
+       |    CAST(sum(ja * jb) AS HUGEINT) AS sjk,
+       |    CAST(sum(ja + jb) AS HUGEINT) AS s1,
+       |    CAST(sum(ja * ja + jb * jb) AS HUGEINT) AS s2
+       |  FROM j)
+       |SELECT CAST(m AS BIGINT) AS m_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       |  CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN NULL
+       |    ELSE round(CAST(4 * m * sjk - s1 * s1 AS DOUBLE)
+       |      / CAST(2 * m * s2 - s1 * s1 AS DOUBLE), 9) END AS assortativity
+       |FROM s""".stripMargin,
+    doc = "Newman degree assortativity of the part co-purchase graph (exact integer edge sums)") {
+    (s, d) =>
+      // in-row pair generation from per-order part sets — linear in orders
+      val e = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val dec = "decimal(38,0)"
+      val j = e
+        .join(broadcast(deg.select(col("v").as("a"), col("dg").as("ja"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("dg").as("jb"))), "b")
+      val sums = j.agg(
+        count(lit(1)).cast(dec).as("m"),
+        sum(col("ja") * col("jb")).cast(dec).as("sjk"),
+        sum(col("ja") + col("jb")).cast(dec).as("s1"),
+        sum(col("ja") * col("ja") + col("jb") * col("jb")).cast(dec).as("s2"))
+      val nv = deg.agg(count(lit(1)).cast("long").as("n_vertices"))
+      val den = lit(2) * col("m") * col("s2") - col("s1") * col("s1")
+      sums.crossJoin(broadcast(nv))
+        .select(
+          col("m").cast("long").as("m_edges"),
+          col("n_vertices"),
+          when(den === 0, lit(null).cast("double"))
+            .otherwise(round((lit(4) * col("m") * col("sjk") - col("s1") * col("s1"))
+              .cast("double") / den.cast("double"), 9))
+            .as("assortativity"))
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred, qAssortativity)
 }

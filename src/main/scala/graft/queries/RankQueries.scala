@@ -892,7 +892,76 @@ object RankQueries {
           " DIV (4 * CAST(p AS DECIMAL(38,0)) * nn) AS BIGINT)").as("auc_ppm"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the smoothing every production n-gram LM
+    * ships) for the corpus's top-50 bigrams:
+    *
+    *   P_KN(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with the standard discount d = 0.75. The continuation counts
+    * N1+(·w2) (distinct left contexts) are what distinguish KN from
+    * [[qBigramLm]]'s add-one smoothing. Only observed bigrams are
+    * emitted, so the max(c−d, 0) clamp is vacuous (c ≥ 1 > d).
+    *
+    * Cross-engine float discipline: every count is an exact integer;
+    * c − 0.75 and 0.75·N1+ are exact doubles; the probability is three
+    * correctly-rounded IEEE divisions and one multiply-add in a
+    * parenthesization pinned identically in both engines, then round(9).
+    *
+    * Scale shape: one shuffle to the distinct-bigram grain, then ALL
+    * statistics (context totals, follow/precede type counts, the global
+    * continuation denominator) are aggregates OF THAT vocabulary²-bounded
+    * frame — the corpus is scanned once; the stat joins are broadcast
+    * (the trained LM is orders of magnitude under the corpus, the
+    * [[nllPerDoc]] hint argument). */
+  val qKneserNey: Q = Q.sql(
+    "q_kneser_ney",
+    s"""WITH bg AS (
+       |  SELECT unnest($bigramsSql) AS g FROM documents
+       |), c2 AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1
+       |), ctx AS (
+       |  SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n_follow
+       |  FROM c2 GROUP BY 1
+       |), pre AS (
+       |  SELECT split_part(g, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS n_precede
+       |  FROM c2 GROUP BY 1
+       |), nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM c2)
+       |SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       |  c, c1, n_follow, n_precede,
+       |  round((c - 0.75) / c1
+       |    + ((0.75 * n_follow) / c1) * (CAST(n_precede AS DOUBLE) / nb), 9) AS p_kn
+       |FROM c2
+       |  JOIN ctx ON split_part(g, ' ', 1) = ctx.w1
+       |  JOIN pre ON split_part(g, ' ', 2) = pre.w2
+       |  CROSS JOIN nb
+       |ORDER BY c DESC, w1, w2 LIMIT 50""".stripMargin,
+    doc = "Kneser-Ney smoothed bigram LM, top-50 bigrams (continuation-count smoothing)") {
+    (s, d) =>
+      val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+      val bg = docs.select(explode(bigramsOf(tokens(col("text")))).as("g"))
+      val c2 = bg.groupBy("g").agg(count(lit(1)).as("c"))
+      val w1of = split(col("g"), " ").getItem(0)
+      val w2of = split(col("g"), " ").getItem(1)
+      val ctx = c2.groupBy(w1of.as("cw1"))
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("n_follow"))
+      val pre = c2.groupBy(w2of.as("pw2")).agg(count(lit(1)).as("n_precede"))
+      val nb = c2.agg(count(lit(1)).as("nb"))
+      c2.join(broadcast(ctx), w1of === col("cw1"))
+        .join(broadcast(pre), w2of === col("pw2"))
+        .crossJoin(broadcast(nb))
+        .select(
+          w1of.as("w1"), w2of.as("w2"), col("c"), col("c1"),
+          col("n_follow"), col("n_precede"),
+          round((col("c") - 0.75) / col("c1")
+            + ((lit(0.75) * col("n_follow")) / col("c1"))
+              * (col("n_precede").cast("double") / col("nb")), 9).as("p_kn"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
-      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc)
+      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey)
 }

@@ -120,6 +120,63 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(inRegime > 0, "fixture must exercise the estimator's validity regime")
   }
 
+  test("q_kneser_ney: probabilities recompute driver-side from raw bigram counts") {
+    val grams = graft.Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("t"), col("doc_id"))
+      .collect()
+    // rebuild per-doc token order is unnecessary: recount bigrams from text directly
+    val texts = graft.Tables.documents(spark, sf).select(col("text")).collect().map(_.getString(0))
+    val bg = texts.flatMap { t =>
+      val ws = t.toLowerCase.split("\\s+").toSeq
+      if (ws.length < 2) Seq.empty else ws.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val c2 = bg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val nFollow = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val nPrecede = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val nb = c2.size.toLong
+    val rows = RankQueries.qKneserNey.run(spark, sf).collect()
+    assert(rows.length === math.min(50, nb))
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === c2((w1, w2)))
+      assert(r.getLong(3) === c1(w1))
+      assert(r.getLong(4) === nFollow(w1))
+      assert(r.getLong(5) === nPrecede(w2))
+      val want = (c2((w1, w2)) - 0.75) / c1(w1) +
+        (0.75 * nFollow(w1)) / c1(w1) * (nPrecede(w2).toDouble / nb)
+      assert(math.abs(r.getDouble(6) - want) < 1e-8, s"($w1,$w2): ${r.getDouble(6)} vs $want")
+      assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0)
+    }
+    assert(grams.nonEmpty) // corpus sanity
+  }
+
+  test("q_assortativity: matches a driver-side Newman r over the same edge list") {
+    val got = GraphQueries.qAssortativity.run(spark, sf).collect()(0)
+    val (m, nv, r) = (got.getLong(0), got.getLong(1), got.getDouble(2))
+    assert(m > 0 && nv > 0)
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    // recompute from the oracle's own edge definition (distinct co-ordered
+    // part pairs via the naive self-join form)
+    val e = graft.Tables.lineitem(spark, sf).as("l1")
+      .join(graft.Tables.lineitem(spark, sf).as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val (sjk, s1, s2) = e.foldLeft((BigInt(0), BigInt(0), BigInt(0))) { case ((a, b, c2s), (x, y)) =>
+      val (j, k) = (BigInt(deg(x)), BigInt(deg(y)))
+      (a + j * k, b + j + k, c2s + j * j + k * k)
+    }
+    val mm = BigInt(e.length)
+    val want = (BigDecimal(4 * mm * sjk - s1 * s1) / BigDecimal(2 * mm * s2 - s1 * s1)).toDouble
+    assert(m === e.length.toLong)
+    assert(nv === deg.size.toLong)
+    assert(math.abs(r - want) < 1e-8, s"r $r vs $want")
+  }
+
   test("q_chi2: per-cell terms recompute driver-side; total matches direct (O-E)^2/E") {
     val cells = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
