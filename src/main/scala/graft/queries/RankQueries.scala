@@ -961,7 +961,122 @@ object RankQueries {
         .limit(50)
   }
 
+  /** Classifier calibration (reliability table): min-max-normalize the
+    * classifier score to a ppm "predicted probability", split the corpus
+    * into 10 equal-frequency score deciles, and compare the mean
+    * predicted ppm against the observed positive rate per decile — the
+    * standard is-the-score-a-probability diagnostic next to
+    * [[qPrCurve]]/[[qRocAuc]].
+    *
+    * All integer: normalization and rates are half-up ppm divisions
+    * ([[qPrCurve]] convention); decile of a score group is
+    * (10·docs_below) // n — whole groups assign to one bin (documented
+    * tie policy, deterministic in both engines). A constant-score corpus
+    * pins the normalized score to the 500000 center via an integer CASE,
+    * not a 0/0 float. Cumulative windows run on the distinct-score frame
+    * ([[evalBase]]), never at doc grain. */
+  val qCalibration: Q = Q.sql(
+    "q_calibration",
+    s"""$evalBaseSql,
+       |ext AS (SELECT min(s) AS mn, max(s) AS mx FROM g),
+       |b AS (
+       |  SELECT s, pos, cnt,
+       |    CASE WHEN ext.mx = ext.mn THEN 500000
+       |      ELSE (2000000 * (s - ext.mn) + (ext.mx - ext.mn)) // (2 * (ext.mx - ext.mn))
+       |    END AS phat_ppm,
+       |    (10 * (CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt))
+       |      // (tot.p + tot.nn) AS bin
+       |  FROM g, tot, ext)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(pos) AS BIGINT) AS pos,
+       |  CAST(sum(cnt * phat_ppm) // sum(cnt) AS BIGINT) AS pred_ppm,
+       |  CAST((2000000 * sum(pos) + sum(cnt)) // (2 * sum(cnt)) AS BIGINT) AS obs_ppm
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    doc = "classifier reliability table: predicted vs observed ppm per score decile") {
+    (s, d) =>
+      val (g, tot) = evalBase(s, d)
+      val ext = g.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      val wC = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val b2 = g
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ext))
+        .withColumn("__cum", sum(col("cnt")).over(wC).cast("long"))
+        .select(col("s"), col("pos"), col("cnt"),
+          when(col("mx") === col("mn"), lit(500000L))
+            .otherwise(expr("(2000000 * (s - mn) + (mx - mn)) DIV (2 * (mx - mn))"))
+            .as("phat_ppm"),
+          expr("(10 * (__cum - cnt)) DIV (p + nn)").as("bin"))
+      b2.groupBy(col("bin").cast("long").as("bin"))
+        .agg(
+          sum(col("cnt")).cast("long").as("n_docs"),
+          sum(col("pos")).cast("long").as("pos"),
+          expr("CAST(sum(cnt * phat_ppm) DIV sum(cnt) AS BIGINT)").as("pred_ppm"),
+          expr("CAST((2000000 * sum(pos) + sum(cnt)) DIV (2 * sum(cnt)) AS BIGINT)").as("obs_ppm"))
+        .orderBy("bin")
+  }
+
+  /** Cumulative gains / lift curve: rank the corpus by classifier score
+    * DESCENDING, cut into 10 equal-frequency deciles, and report per
+    * decile the cumulative share of all positives captured (gain) and
+    * its ratio to random targeting (lift) — the campaign-targeting
+    * readout of the same eval family.
+    *
+    * Exactness: decile assignment and cumulative counts are integer
+    * windows on the distinct-score frame; gain/lift are half-up ppm with
+    * DECIMAL(38,0)/HUGEINT products (cum_pos·n clears BIGINT well before
+    * the corpus does). Zero-positive corpora degrade to zero rows (the
+    * [[qPrCurve]] guard). */
+  val qGainCurve: Q = Q.sql(
+    "q_gain_curve",
+    s"""$evalBaseSql,
+       |b AS (
+       |  SELECT pos, cnt,
+       |    (10 * (CAST(sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt))
+       |      // (tot.p + tot.nn) AS bin
+       |  FROM g, tot),
+       |d AS (
+       |  SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_docs, CAST(sum(pos) AS BIGINT) AS pos
+       |  FROM b GROUP BY bin),
+       |c AS (
+       |  SELECT bin, n_docs, pos,
+       |    CAST(sum(n_docs) OVER wb AS HUGEINT) AS cum_docs,
+       |    CAST(sum(pos) OVER wb AS HUGEINT) AS cum_pos
+       |  FROM d WINDOW wb AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT bin, n_docs, pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+       |  CAST((2000000 * cum_pos + tot.p) // (2 * tot.p) AS BIGINT) AS gain_ppm,
+       |  CAST((2000000 * cum_pos * (tot.p + tot.nn) + tot.p * cum_docs)
+       |    // (2 * tot.p * cum_docs) AS BIGINT) AS lift_ppm
+       |FROM c, tot WHERE tot.p > 0
+       |ORDER BY bin""".stripMargin,
+    doc = "cumulative gains + lift per score decile (ppm integers)") { (s, d) =>
+    val (g, tot) = evalBase(s, d)
+    val wC = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = g.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("cnt")).over(wC).cast("long"))
+      .select(col("pos"), col("cnt"),
+        expr("(10 * (__cum - cnt)) DIV (p + nn)").as("bin"))
+    val dd = b.groupBy("bin")
+      .agg(sum(col("cnt")).cast("long").as("n_docs"), sum(col("pos")).cast("long").as("pos"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    dd
+      .select(col("bin"), col("n_docs"), col("pos"),
+        sum(col("n_docs")).over(wb).cast(dec).as("cum_docs"),
+        sum(col("pos")).over(wb).cast(dec).as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .where(col("p") > 0)
+      .select(col("bin"), col("n_docs"), col("pos"),
+        col("cum_pos").cast("long").as("cum_pos"),
+        expr("CAST((2000000 * cum_pos + p) DIV (2 * p) AS BIGINT)").as("gain_ppm"),
+        expr("CAST((2000000 * cum_pos * (CAST(p AS DECIMAL(38,0)) + nn) + p * cum_docs)" +
+          " DIV (2 * p * cum_docs) AS BIGINT)").as("lift_ppm"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
-      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey)
+      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey,
+      qCalibration, qGainCurve)
 }

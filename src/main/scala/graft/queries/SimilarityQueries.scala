@@ -1485,8 +1485,93 @@ object SimilarityQueries {
             col("fro2").cast("double")).as("effective_rank"))
   }
 
+  /** Grid cell width for [[qDbscanGrid]] (embedding dims span ~[−0.4, 0.4],
+    * so ~16×16 occupied cells). */
+  val DbscanCellW = 0.05
+
+  /** Grid-based density clustering (the GriDBSCAN / STING family —
+    * Uncu 2006, Wang 1997): the density-based complement to [[qKmeans]]'s
+    * centroid clustering, finding arbitrarily-shaped clusters and
+    * explicitly labeling sparse NOISE. Points land in a 2-D grid over
+    * embedding dims 1–2 ([[DbscanCellW]] cells); a cell is CORE when it
+    * holds ≥ max(3, n/200) points (data-relative, so every SF exercises
+    * the full path); clusters are connected components of 8-adjacent core
+    * cells; non-core points report as the cluster_id = −1 noise row.
+    *
+    * Scale design: the per-point work is two floor()s and one grid-key
+    * groupBy (map-side combined) — the grid frame, not the point set, is
+    * what everything downstream touches. Adjacency is an EQUI-join: each
+    * core cell explodes its 9 neighbor offsets and joins back on the
+    * packed cell key (no range/BNL join at any scale); components run on
+    * the cell graph via [[graft.operators.ConnectedComponents]]
+    * (pointer-doubling min-label, O(log diameter) rounds, cells ≪
+    * points). The oracle replays the components with a recursive
+    * min-label CTE over the same (tiny) core-cell graph. Floor parity:
+    * float→double cast is exact, /0.05 is one correctly-rounded IEEE op
+    * on identical operands in both engines. */
+  val qDbscanGrid: Q = Q.sql(
+    "q_dbscan_grid",
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) / $DbscanCellW) AS BIGINT) AS cx,
+       |    CAST(floor(CAST(embedding[2] AS DOUBLE) / $DbscanCellW) AS BIGINT) AS cy
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT cx, cy, (cx + 512) * 4096 + (cy + 512) AS c, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pts GROUP BY 1, 2
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+       |core AS (
+       |  SELECT c, cx, cy FROM cells, n WHERE cnt >= greatest(3, n // 200)
+       |), adj AS (
+       |  SELECT a.c AS src, b.c AS dst FROM core a JOIN core b
+       |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       |), lbl AS (
+       |  SELECT c, c AS l FROM core
+       |  UNION
+       |  SELECT a.src AS c, l.l FROM adj a JOIN lbl l ON a.dst = l.c
+       |), comp AS (SELECT c, min(l) AS comp FROM lbl GROUP BY 1)
+       |SELECT coalesce(comp.comp, -1) AS cluster_id,
+       |  CAST(count(DISTINCT cl.c) AS BIGINT) AS n_cells,
+       |  CAST(count(*) AS BIGINT) AS n_points
+       |FROM pts p
+       |  JOIN cells cl ON p.cx = cl.cx AND p.cy = cl.cy
+       |  LEFT JOIN comp ON cl.c = comp.c
+       |GROUP BY 1 ORDER BY n_points DESC, cluster_id""".stripMargin,
+    doc = "grid DBSCAN over embedding dims 1-2: density core cells + CC, noise row = -1") {
+    (s, d) =>
+      val pts = embeddings(s, d).select(
+        col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") / DbscanCellW).cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") / DbscanCellW).cast("long").as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+        .select(col("cx"), col("cy"), col("cnt"),
+          ((col("cx") + 512) * 4096 + (col("cy") + 512)).as("c"))
+      val n = pts.agg(count(lit(1)).as("n"))
+      val core = cells.crossJoin(broadcast(n))
+        .filter(col("cnt") >= greatest(lit(3L), expr("n DIV 200")))
+        .select("c", "cx", "cy")
+      // 9-offset explode + equi-join: the scale-safe adjacency (no BNL)
+      val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val adj = core
+        .select(col("c").as("src"), explode(offs).as("o"), col("cx"), col("cy"))
+        .select(col("src"), (col("cx") + col("o.dx")).as("nx"), (col("cy") + col("o.dy")).as("ny"))
+        .join(core.select(col("c").as("dst"), col("cx").as("nx"), col("cy").as("ny")),
+          Seq("nx", "ny"))
+        .select(col("src"), col("dst"))
+      val comp = graft.operators.ConnectedComponents.components(adj)
+        .toDF("node", "comp")
+      pts
+        .join(cells, Seq("cx", "cy"))
+        .join(broadcast(comp), col("c") === col("node"), "left")
+        .groupBy(coalesce(col("comp"), lit(-1L)).as("cluster_id"))
+        .agg(countDistinct(col("c")).cast("long").as("n_cells"),
+          count(lit(1)).cast("long").as("n_points"))
+        .orderBy(col("n_points").desc, col("cluster_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
-      qGramMatrix, qEffectiveRank)
+      qGramMatrix, qEffectiveRank, qDbscanGrid)
 }

@@ -1208,11 +1208,93 @@ object TextQueries {
         .orderBy("media_id")
   }
 
+  /** Peak-pair audio fingerprinting (Wang 2003, the Shazam constellation
+    * scheme) over the [[qFrameEnergy]] kernel: a frame is a PEAK when its
+    * RMS energy strictly exceeds both neighbours; consecutive peaks
+    * within [[FpMaxDt]] frames form a landmark pair; the fingerprint
+    * packs (⌊e₁⌋, ⌊e₂⌋, Δt) into one BIGINT — ⌊RMS⌋ of centered int8
+    * samples is ≤ 128, so each field fits 8 bits. The output is the
+    * corpus-wide top-40 fingerprints with occurrence and media counts —
+    * the match-table build of any audio-dedup/retrieval stage.
+    *
+    * Parity: peak detection compares raw doubles that both engines
+    * derive from identical IEEE trees ([[qFrameEnergy]]'s contract), and
+    * the fingerprint is integer packing of their floors. Scale shape:
+    * per-media windows keyed by media (bounded partitions: frames per
+    * clip, then peaks per clip), one fingerprint-keyed count — maximal
+    * key cardinality, map-side combined; top-k is sort of the
+    * fingerprint-grain frame only. */
+  val FpMaxDt = 16
+
+  val qAudioFingerprint: Q = Q.sql(
+    "q_audio_fingerprint",
+    s"""WITH c AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(string_split(text, ''), ch -> ord(ch) - 128) AS s
+       |  FROM documents),
+       |e AS (
+       |  SELECT media_id,
+       |    list_transform(generate_series(0, len(s) // $RmsFrameLen - 1),
+       |      f -> sqrt(list_reduce(list_prepend(0.0,
+       |             list_transform(list_slice(s, f * $RmsFrameLen + 1, f * $RmsFrameLen + $RmsFrameLen),
+       |               x -> CAST(x * x AS DOUBLE))), (a, y) -> a + y) / $RmsFrameLen.0)) AS es
+       |  FROM c),
+       |fr AS (
+       |  SELECT media_id, u.i AS i, u.e AS e
+       |  FROM (SELECT media_id,
+       |          unnest(list_transform(generate_series(1, len(es)),
+       |            i -> {'i': i, 'e': es[i]})) AS u
+       |        FROM e) _f),
+       |pk AS (
+       |  SELECT media_id, i, e,
+       |    lag(e) OVER w AS ep, lead(e) OVER w AS en
+       |  FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY i)),
+       |pks AS (
+       |  SELECT media_id, i, e FROM pk
+       |  WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e > en),
+       |pr AS (
+       |  SELECT media_id, i, e, lead(i) OVER w2 AS j, lead(e) OVER w2 AS e2
+       |  FROM pks WINDOW w2 AS (PARTITION BY media_id ORDER BY i)),
+       |fp AS (
+       |  SELECT media_id,
+       |    CAST(floor(e) * 65536 + floor(e2) * 256 + (j - i) AS BIGINT) AS fp
+       |  FROM pr WHERE j IS NOT NULL AND j - i <= $FpMaxDt)
+       |SELECT fp, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(count(DISTINCT media_id) AS BIGINT) AS n_media
+       |FROM fp GROUP BY 1 ORDER BY cnt DESC, fp LIMIT 40""".stripMargin,
+    doc = "peak-pair audio fingerprints (Shazam landmarks) over frame RMS, top-40") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val fr = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id").as("media_id"),
+        posexplode(graft.expressions.FrameRms
+          .frameRms(col("text").cast("binary"), RmsFrameLen)))
+      .select(col("media_id"), (col("pos") + 1).as("i"), col("col").as("e"))
+    val w = Window.partitionBy("media_id").orderBy("i")
+    val pks = fr
+      .select(col("media_id"), col("i"), col("e"),
+        lag(col("e"), 1).over(w).as("ep"), lead(col("e"), 1).over(w).as("en"))
+      .filter(col("ep").isNotNull && col("en").isNotNull &&
+        col("e") > col("ep") && col("e") > col("en"))
+    val pr = pks
+      .select(col("media_id"), col("i"), col("e"),
+        lead(col("i"), 1).over(w).as("j"), lead(col("e"), 1).over(w).as("e2"))
+      .filter(col("j").isNotNull && col("j") - col("i") <= FpMaxDt)
+    pr.select(col("media_id"),
+        (floor(col("e")) * 65536 + floor(col("e2")) * 256 + (col("j") - col("i")))
+          .cast("long").as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        countDistinct(col("media_id")).cast("long").as("n_media"))
+      .orderBy(col("cnt").desc, col("fp"))
+      .limit(40)
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
-      qZipfFit, qVadSegments)
+      qZipfFit, qVadSegments, qAudioFingerprint)
 }

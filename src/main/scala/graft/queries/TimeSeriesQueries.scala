@@ -1672,10 +1672,69 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** SAX motif discovery (Lin 2003, "Symbolic Aggregate approXimation";
+    * Chiu 2003 for motifs): discretize each event-type series into a
+    * 4-symbol alphabet, slide a 4-symbol word over TIME order, and report
+    * the top-5 most frequent words per series — the classic cheap
+    * repeated-pattern miner over telemetry.
+    *
+    * Determinism without breakpoint floats: symbols come from ntile(4)
+    * over a TOTALLY ordered frame (value, ts, event_id — unique), i.e.
+    * comparison-only equi-depth binning (the [[qBinEquidepth]] contract)
+    * rather than gaussian breakpoints, so no boundary double ever decides
+    * a symbol differently across engines. Words pack base-4 into one
+    * integer; NULL-ending windows fall out via integer+NULL propagation.
+    *
+    * Scale shape: two per-series windows (rank pass, word pass) keyed by
+    * event_type — the SAX contract is that one series fits a partition
+    * (chunk longer series by day first); then a map-side-combined
+    * (series, word) count and a 256-words-per-series top-k window. */
+  val qSaxMotifs: Q = Q.sql(
+    "q_sax_motifs",
+    """WITH s AS (
+      |  SELECT event_type, ts, event_id,
+      |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, ts, event_id) - 1 AS sym
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type,
+      |    sym * 64 + lead(sym, 1) OVER tw * 16
+      |      + lead(sym, 2) OVER tw * 4 + lead(sym, 3) OVER tw AS word
+      |  FROM s WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id)
+      |), c AS (
+      |  SELECT event_type, CAST(word AS BIGINT) AS word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM w WHERE word IS NOT NULL GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, word, cnt,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, word) AS BIGINT) AS rk
+      |  FROM c)
+      |SELECT event_type, word, cnt, rk FROM r WHERE rk <= 5
+      |ORDER BY event_type, rk""".stripMargin,
+    doc = "SAX 4-symbol motif mining per event-type series, top-5 words") { (s, d) =>
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("ts"), col("event_id"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val sym = events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (ntile(4).over(wRank) - 1).as("sym"))
+    val words = sym
+      .select(col("event_type"),
+        (col("sym") * 64 + lead(col("sym"), 1).over(tw) * 16
+          + lead(col("sym"), 2).over(tw) * 4 + lead(col("sym"), 3).over(tw)).as("word"))
+      .filter(col("word").isNotNull)
+    val c = words.groupBy(col("event_type"), col("word").cast("long").as("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wTop = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("word"))
+    c.select(col("event_type"), col("word"), col("cnt"),
+        row_number().over(wTop).cast("long").as("rk"))
+      .filter(col("rk") <= 5)
+      .orderBy("event_type", "rk")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
-      qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv, qXcorrLeadlag, qTheilSen)
+      qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv, qXcorrLeadlag, qTheilSen,
+      qSaxMotifs)
 }

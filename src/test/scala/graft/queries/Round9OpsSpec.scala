@@ -177,6 +177,158 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(r - want) < 1e-8, s"r $r vs $want")
   }
 
+  test("q_audio_fingerprint: top-40 landmark counts match a driver-side recompute") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fpCounts = scala.collection.mutable.Map[Long, (Long, Set[Long])]()
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val frames = bytes.length / 32
+      val es = (0 until frames).map { f =>
+        val ss = (0 until 32).map { k =>
+          val v = (bytes(f * 32 + k) & 0xff) - 128; v.toDouble * v
+        }.sum
+        math.sqrt(ss / 32.0)
+      }
+      val peaks = (1 until es.length - 1).filter(i => es(i) > es(i - 1) && es(i) > es(i + 1))
+      peaks.zip(peaks.drop(1)).foreach { case (i, j) =>
+        if (j - i <= TextQueries.FpMaxDt) {
+          val fp = math.floor(es(i)).toLong * 65536 + math.floor(es(j)).toLong * 256 + (j - i)
+          val (c, ms) = fpCounts.getOrElse(fp, (0L, Set.empty[Long]))
+          fpCounts(fp) = (c + 1, ms + id)
+        }
+      }
+    }
+    val want = fpCounts.toSeq.map { case (fp, (c, ms)) => (fp, c, ms.size.toLong) }
+      .sortBy { case (fp, c, _) => (-c, fp) }.take(40)
+    val got = TextQueries.qAudioFingerprint.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("q_dbscan_grid: clusters match a driver-side union-find over the same grid") {
+    val pts = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") / SimilarityQueries.DbscanCellW)
+          .cast("long"),
+        floor(element_at(col("embedding"), 2).cast("double") / SimilarityQueries.DbscanCellW)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellOf = (cx: Long, cy: Long) => (cx + 512) * 4096 + (cy + 512)
+    val counts = pts.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.length.toLong }
+    val minPts = math.max(3L, pts.length / 200L)
+    val core = counts.filter(_._2 >= minPts).keys.toSet
+    // union-find over 8-adjacent core cells
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent(x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    core.foreach(c => parent(cellOf(c._1, c._2)) = cellOf(c._1, c._2))
+    for (a <- core; dx <- -1 to 1; dy <- -1 to 1) {
+      val b = (a._1 + dx, a._2 + dy)
+      if (core.contains(b)) {
+        val (ra, rb) = (find(cellOf(a._1, a._2)), find(cellOf(b._1, b._2)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = pts.groupBy { p =>
+      if (core.contains((p._2, p._3))) find(cellOf(p._2, p._3)) else -1L
+    }.map { case (cid, ps) =>
+      (cid, ps.map(p => (p._2, p._3)).distinct.length.toLong, ps.length.toLong)
+    }.toSeq.sortBy { case (cid, _, np) => (-np, cid) }
+    val got = SimilarityQueries.qDbscanGrid.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.exists(_._1 >= 0), "fixture must produce at least one dense cluster")
+  }
+
+  test("q_sax_motifs: top words match a driver-side symbolize-and-count") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("long"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = evs.groupBy(_._1).flatMap { case (et, rows) =>
+      val n = rows.length
+      // ntile(4) over (value, ts, event_id): rank i (0-based) -> bucket
+      val byVal = rows.sortBy(r => (r._4, r._2, r._3)).zipWithIndex.map {
+        case (r, i) =>
+          // Spark/DuckDB ntile: first (n mod 4) buckets get ceil(n/4)
+          val (q, rem) = (n / 4, n % 4)
+          val sym = if (i < (q + 1) * rem) i / (q + 1) else rem + (i - (q + 1) * rem) / q
+          (r._2, r._3) -> sym
+      }.toMap
+      val inTime = rows.sortBy(r => (r._2, r._3)).map(r => byVal((r._2, r._3)))
+      val words = inTime.sliding(4).filter(_.length == 4)
+        .map(s => s(0) * 64L + s(1) * 16 + s(2) * 4 + s(3)).toSeq
+      val top = words.groupBy(identity).map { case (w, v) => (w, v.length.toLong) }
+        .toSeq.sortBy { case (w, c) => (-c, w) }.take(5)
+      top.zipWithIndex.map { case ((w, c), i) => (et, w, c, (i + 1).toLong) }
+    }.toSeq.sortBy(r => (r._1, r._4))
+    val got = TimeSeriesQueries.qSaxMotifs.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
+  test("q_calibration / q_gain_curve: recompute driver-side from raw doc scores") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+")
+        val s = toks.map { t =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(6), 16) % RankQueries.ClsBuckets %
+            RankQueries.ClsMod - 48
+        }.sum
+        (s, if (r.getLong(2) >= RankQueries.EvalPosChars) 1L else 0L)
+      }
+    val n = docs.length.toLong
+    val p = docs.map(_._2).sum
+    def ppmHalfUp(num: BigInt, den: BigInt): Long = ((2000000 * num + den) / (2 * den)).toLong
+
+    // calibration: deciles ascending by score, groups assigned whole
+    val groupsAsc = docs.groupBy(_._1).toSeq.sortBy(_._1)
+    val (mn, mx) = (groupsAsc.head._1, groupsAsc.last._1)
+    var cum = 0L
+    val calRows = scala.collection.mutable.Map[Long, (Long, Long, BigInt)]()
+    groupsAsc.foreach { case (s, ds) =>
+      val cnt = ds.length.toLong
+      val bin = 10 * cum / n
+      val phat = if (mx == mn) 500000L else ppmHalfUp(BigInt(s - mn), BigInt(mx - mn))
+      val (cs, ps, w) = calRows.getOrElse(bin, (0L, 0L, BigInt(0)))
+      calRows(bin) = (cs + cnt, ps + ds.map(_._2).sum, w + BigInt(cnt) * phat)
+      cum += cnt
+    }
+    val wantCal = calRows.toSeq.sortBy(_._1).map { case (bin, (cnt, pos, wsum)) =>
+      (bin, cnt, pos, (wsum / cnt).toLong, ppmHalfUp(BigInt(pos), BigInt(cnt)))
+    }
+    val gotCal = RankQueries.qCalibration.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotCal === wantCal)
+
+    // gain curve: deciles descending by score
+    val groupsDesc = docs.groupBy(_._1).toSeq.sortBy(-_._1)
+    cum = 0L
+    val gainBins = scala.collection.mutable.Map[Long, (Long, Long)]()
+    groupsDesc.foreach { case (_, ds) =>
+      val cnt = ds.length.toLong
+      val bin = 10 * cum / n
+      val (cs, ps) = gainBins.getOrElse(bin, (0L, 0L))
+      gainBins(bin) = (cs + cnt, ps + ds.map(_._2).sum)
+      cum += cnt
+    }
+    var (cd, cp) = (BigInt(0), BigInt(0))
+    val wantGain = gainBins.toSeq.sortBy(_._1).map { case (bin, (cnt, pos)) =>
+      cd += cnt; cp += pos
+      (bin, cnt, pos, cp.toLong, ppmHalfUp(cp, BigInt(p)),
+        ((2000000 * cp * n + BigInt(p) * cd) / (2 * BigInt(p) * cd)).toLong)
+    }
+    val gotGain = RankQueries.qGainCurve.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(gotGain === wantGain)
+    // gain curve must be monotone and end at 100% of positives
+    assert(wantGain.last._5 === 1000000L)
+  }
+
   test("q_chi2: per-cell terms recompute driver-side; total matches direct (O-E)^2/E") {
     val cells = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
