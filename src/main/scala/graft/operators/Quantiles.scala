@@ -90,9 +90,12 @@ object Quantiles {
     // guard is folded into `off` (a pruned side column would be
     // optimized away and never evaluated); assert_true is NULL on
     // success so the coalesce leaves `off` unchanged.
+    // message deliberately avoids the operator name: "Quantiles" contains
+    // the substring "ntile", which PlanSpec greps plans for to ban NTILE
+    // windows — a guard string must not trip a plan pin
     val pidGuard = coalesce(
       assert_true(col("pn") < lit(1L << 33),
-        concat(lit("Quantiles.exact: range partition "), col("pid"),
+        concat(lit("exact order statistics: range partition "), col("pid"),
           lit(" holds "), col("pn"),
           lit(" rows (>= 2^33) — (pid,mid) rank stamps would overflow; "),
           lit("raise the partition count"))).cast("long"),

@@ -569,4 +569,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "the daily cent sums must map-side combine")
     assert(!p.contains("CartesianProduct"), "the lag fan-out joins on day index")
   }
+
+  test("q_spearman: rank maps join back as broadcast hashes; sums map-side combine") {
+    val p = plan(StatsQueries.qSpearman)
+    assert(p.contains("BroadcastHashJoin"), "value-grain rank maps must broadcast")
+    assert(p.contains("partial_"), "the five moment sums must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_hll_distinct: register fold is a partial aggregate, no window, no sort join") {
+    val p = plan(StatsQueries.qHllDistinct)
+    assert(p.contains("partial_"), "register max must map-side combine")
+    assert(!p.contains("Window"), "HLL is windowless — pure monoid folds")
+  }
+
+  test("q_dbscan_grid: adjacency is an equi hash join, never BNL/cartesian") {
+    val p = plan(SimilarityQueries.qDbscanGrid)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "9-offset explode must keep the neighbor join an equi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_kneser_ney: LM statistics broadcast against the bigram frame; top-k avoids global sort") {
+    val p = plan(RankQueries.qKneserNey)
+    assert(p.contains("BroadcastHashJoin"), "ctx/pre stat maps must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not globally sort")
+  }
+
+  test("q_audio_fingerprint: fingerprint count map-side combines; top-40 is TakeOrdered") {
+    val p = plan(TextQueries.qAudioFingerprint)
+    assert(p.contains("partial_"), "landmark counts must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_assortativity: degree pickup broadcasts; edge sums are one partial aggregate") {
+    val p = plan(GraphQueries.qAssortativity)
+    assert(p.contains("BroadcastHashJoin"), "vertex-grain degree map must broadcast")
+    assert(p.contains("partial_"))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row nv/tot extent may cross")
+  }
 }
