@@ -172,7 +172,32 @@ object ScaleProbe {
       // day pairs grow xN^2 per series but stay day-grain (300 days ->
       // 45k pairs/series at 10x); the documented sampled variant is the
       // escape hatch for multi-year horizons
-      "q_theilsen" -> (() => reg("q_theilsen").run(spark, dir)))
+      "q_theilsen" -> (() => reg("q_theilsen").run(spark, dir)),
+      // xN lineitem rows over the SAME value domains: both rank maps stay
+      // distinct-value-grain (constant), only the fact join + moment
+      // aggregate scale xN
+      "q_spearman" -> (() => reg("q_spearman").run(spark, dir)),
+      // xN part keys per flag: the 256 registers saturate — wall must
+      // track the (flag, hash) distinct scan, the register fold is flat
+      "q_hll_distinct" -> (() => reg("q_hll_distinct").run(spark, dir)),
+      // replica token-prefixing scales vocabulary AND bigram types xN:
+      // the broadcast LM stat maps grow xN (vocab-grain, still corpus-≪),
+      // the bigram groupBy absorbs the fact-scale work
+      "q_kneser_ney" -> (() => reg("q_kneser_ney").run(spark, dir)),
+      // partkeys offset per replica -> N disjoint co-purchase graphs:
+      // edges, degrees, and the four moment sums all scale xN
+      "q_assortativity" -> (() => reg("q_assortativity").run(spark, dir)),
+      // xN clips through per-clip windows; the fingerprint space is
+      // (129 x 129 x 16)-bounded so the count frame saturates
+      "q_audio_fingerprint" -> (() => reg("q_audio_fingerprint").run(spark, dir)),
+      // sign-pattern replicas reflect the 2-D grid into <= 4 quadrant
+      // images: occupied cells stay bounded while per-cell counts scale
+      // xN against the data-relative core threshold — CC runs on cells
+      "q_dbscan_grid" -> (() => reg("q_dbscan_grid").run(spark, dir)),
+      // xN days per event-type series: the two per-series windows grow
+      // xN within 5 partitions — the documented single-series contract
+      // (chunk longer series by day); the word-count frame is 256-bounded
+      "q_sax_motifs" -> (() => reg("q_sax_motifs").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
