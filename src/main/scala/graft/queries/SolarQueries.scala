@@ -374,6 +374,54 @@ object SolarQueries {
     (s, d) => qbProject(qbBase(s, d).increase().build())
   }
 
+  /** Flux `cumulativeSum()` — per-series running total of the daily
+    * means; every window is emitted. The running frame accumulates in
+    * ORDER in both engines, so the float fold is reproducible. */
+  val qQbCumsum: Q = Q.sql(
+    "q_qb_cumsum",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field,
+       |  sum(value) OVER (PARTITION BY measurement, field ORDER BY window_end_s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+       |FROM m
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux cumulativeSum() over aggregateWindow(1d, mean) series") { (s, d) =>
+    qbProject(qbBase(s, d).cumulativeSum().build())
+  }
+
+  /** Flux `difference()` — raw day-over-day change per series (the
+    * un-monotonized sibling of increase()); first window of each series
+    * dropped. One subtraction of bit-identical base doubles per row. */
+  val qQbDifference: Q = Q.sql(
+    "q_qb_difference",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field,
+       |  value - lag(value) OVER w AS value
+       |FROM m
+       |WINDOW w AS (PARTITION BY measurement, field ORDER BY window_end_s)
+       |QUALIFY lag(value) OVER w IS NOT NULL
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux difference() over aggregateWindow(1d, mean) series") { (s, d) =>
+    qbProject(qbBase(s, d).difference().build())
+  }
+
+  /** Flux `elapsed(unit: 1h)` — hours since the previous emitted window
+    * per series (omitted empty windows widen the gap, surfacing outages);
+    * emitted as the value (documented schema delta vs Flux's appended
+    * column). Pure integer-second subtraction scaled once. */
+  val qQbElapsed: Q = Q.sql(
+    "q_qb_elapsed",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field,
+       |  CAST(window_end_s - lag(window_end_s) OVER w AS DOUBLE) / 3600.0 AS value
+       |FROM m
+       |WINDOW w AS (PARTITION BY measurement, field ORDER BY window_end_s)
+       |QUALIFY lag(window_end_s) OVER w IS NOT NULL
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux elapsed(unit: 1h) over aggregateWindow(1d, mean) series") { (s, d) =>
+    qbProject(qbBase(s, d).elapsed("1h").build())
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
-    qQbDerivative, qQbMovingAvg, qQbIncrease)
+    qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed)
 }

@@ -119,6 +119,27 @@ final class QueryBuilder private (
     * only. */
   def increase(): QueryBuilder = copyWith(postOps = postOps :+ Increase)
 
+  /** Flux `cumulativeSum()`: per-series running total; every point is
+    * emitted (the first point's sum is itself). Batch only. */
+  def cumulativeSum(): QueryBuilder = copyWith(postOps = postOps :+ CumulativeSum)
+
+  /** Flux `difference(nonNegative)`: per-series v − v_prev. First point
+    * of each series is dropped (no predecessor); with `nonNegative`,
+    * negative differences are dropped too (the [[derivative]]
+    * counter-reset convention — Flux nulls them; this builder's record
+    * schema has no null slot, so it drops, documented delta). Batch
+    * only. */
+  def difference(nonNegative: Boolean = false): QueryBuilder =
+    copyWith(postOps = postOps :+ Difference(nonNegative))
+
+  /** Flux `elapsed(unit)`: per-series time since the previous point,
+    * scaled to `unit`, emitted AS the value (Flux appends an `elapsed`
+    * column; this builder's fixed record schema carries one value slot —
+    * documented delta). First point of each series is dropped. Batch
+    * only. */
+  def elapsed(unit: String = "1s"): QueryBuilder =
+    copyWith(postOps = postOps :+ Elapsed(unit))
+
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
 
@@ -197,7 +218,8 @@ final class QueryBuilder private (
     // stream cannot provide — fail loudly rather than silently skip.
     if (postOps.nonEmpty) {
       require(!df.isStreaming,
-        "derivative/movingAverage/increase need ordered per-series history — batch builds only")
+        "Flux transformation pipes (derivative/movingAverage/increase/cumulativeSum/" +
+          "difference/elapsed) need ordered per-series history — batch builds only")
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy(col("measurement"), col("field")).orderBy(col("time"))
       postOps.foreach {
@@ -228,6 +250,21 @@ final class QueryBuilder private (
             .withColumn("value", sum(col("d__")).over(run))
             .filter(!col("first__"))
             .drop("d__", "first__")
+        case CumulativeSum =>
+          val run = wS.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          // ordered running fold — bit-reproducible like Increase
+          df = df.withColumn("value", sum(col("value")).over(run))
+        case Difference(nonNeg) =>
+          val d = col("value") - lag(col("value"), 1).over(wS)
+          df = df.withColumn("value", d)
+            .filter(col("value").isNotNull)
+            .filter(if (nonNeg) col("value") >= 0 else lit(true))
+        case Elapsed(unit) =>
+          val gap = (unix_timestamp(col("time")) -
+            unix_timestamp(lag(col("time"), 1).over(wS))).cast("double") /
+            unitSeconds(unit).toDouble
+          df = df.withColumn("value", gap).filter(col("value").isNotNull)
       }
     }
 
@@ -275,6 +312,9 @@ final class QueryBuilder private (
       case Derivative(u, nn) => sb.append(s"\n\t|> derivative(unit: $u, nonNegative: $nn)")
       case MovingAverage(n) => sb.append(s"\n\t|> movingAverage(n: $n)")
       case Increase => sb.append("\n\t|> increase()")
+      case CumulativeSum => sb.append("\n\t|> cumulativeSum()")
+      case Difference(nn) => sb.append(s"\n\t|> difference(nonNegative: $nn)")
+      case Elapsed(u) => sb.append(s"\n\t|> elapsed(unit: $u)")
     }
     sortSpec.foreach { case (f, desc) =>
       sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
@@ -326,6 +366,9 @@ object QueryBuilder {
   final case class Derivative(unit: String, nonNegative: Boolean) extends PostOp
   final case class MovingAverage(n: Int) extends PostOp
   case object Increase extends PostOp
+  case object CumulativeSum extends PostOp
+  final case class Difference(nonNegative: Boolean) extends PostOp
+  final case class Elapsed(unit: String) extends PostOp
 
   /** "1s"/"5m"/"1h"/"1d"/"1w" → seconds. */
   private[query] def unitSeconds(unit: String): Long = {

@@ -255,6 +255,26 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(3)).toSeq === Seq(15.0, 15.0, 19.0))
   }
 
+  test("cumulativeSum / difference / elapsed: per-series semantics on a fixture") {
+    import spark.implicits._
+    val series = Seq(
+      ("m", ts("2024-01-01 10:00:00"), "c", 10.0),
+      ("m", ts("2024-01-01 10:01:00"), "c", 25.0),
+      ("m", ts("2024-01-01 10:04:00"), "c", 5.0) // 3-minute gap
+    ).toDF("measurement", "time", "field", "value")
+    def run(f: QueryBuilder => QueryBuilder): Seq[Double] =
+      f(QueryBuilder.fromDataFrame(spark, () => series))
+        .appendSort("_time").build().collect().map(_.getDouble(3)).toSeq
+    // cumulativeSum keeps every point, running total
+    assert(run(_.cumulativeSum()) === Seq(10.0, 35.0, 40.0))
+    // difference drops the first point; raw deltas including negatives
+    assert(run(_.difference()) === Seq(15.0, -20.0))
+    // nonNegative drops the reset row too
+    assert(run(_.difference(nonNegative = true)) === Seq(15.0))
+    // elapsed emits the gap in the requested unit (1m) from point 2 on
+    assert(run(_.elapsed("1m")) === Seq(1.0, 3.0))
+  }
+
   test("transformations render Flux text and refuse streaming builds") {
     val flux = qb
       .range("-1h")
@@ -262,12 +282,18 @@ class QueryBuilderSpec extends AnyFunSuite {
       .derivative("1h", nonNegative = true)
       .movingAverage(5)
       .increase()
+      .cumulativeSum()
+      .difference(nonNegative = true)
+      .elapsed("1s")
       .fluxString
     assert(flux.endsWith(
       "|> aggregateWindow(every: 1m, fn: mean)" +
         "\n\t|> derivative(unit: 1h, nonNegative: true)" +
         "\n\t|> movingAverage(n: 5)" +
-        "\n\t|> increase()"))
+        "\n\t|> increase()" +
+        "\n\t|> cumulativeSum()" +
+        "\n\t|> difference(nonNegative: true)" +
+        "\n\t|> elapsed(unit: 1s)"))
     val dir = java.nio.file.Files.createTempDirectory("qbpost").toString
     graft.solar.PointStore.write(points, dir + "/b")
     intercept[IllegalArgumentException] {
