@@ -42,6 +42,70 @@ object StreamingSketch {
     else (K - 1).toDouble /
       (java.lang.Long.parseLong(sorted.last.take(12), 16).toDouble / 281474976710656.0)
 
+  // ---- HyperLogLog state (the fixed-register twin of the KMV state) ----
+
+  /** Register count — matches the batch `q_hll_distinct` gate geometry. */
+  val HllM = 256
+  private val HllLow = 1L << 40
+
+  /** State: one rho byte per register (rho ≤ 41 fits a byte) — 256 bytes
+    * per day REGARDLESS of volume, vs KMV's ≤64 hex strings. Merge with a
+    * batch (or another sketch) is elementwise max: the HLL monoid. */
+  case class HllState(regs: Array[Byte])
+
+  /** Per-update emission: registers set + the raw HLL estimate. */
+  case class HllUpdate(day: java.sql.Timestamp, registers: Int, hll_est: Long)
+
+  /** The batch gate's exact estimator: α·m² over Σ2^−rho with empty
+    * registers contributing 1 — every term a power of two, so the sum
+    * (and therefore the estimate) is a pure function of the register
+    * VECTOR, independent of merge order. */
+  def hllEstimate(regs: Array[Byte]): Long = {
+    var sp = 0.0
+    var set = 0
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) > 0) { sp += 1.0 / (1L << regs(i)); set += 1 }
+      i += 1
+    }
+    math.floor(0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM)
+      / (sp + (HllM - set)) + 0.5).toLong
+  }
+
+  /** 48-bit md5 prefix → (register index, rho) — identical splitting to
+    * the batch gate: top 8 bits index, trailing zeros of the low 40 + 1. */
+  def hllSlot(md5hex12: String): (Int, Byte) = {
+    val h = java.lang.Long.parseLong(md5hex12, 16)
+    val r = h & (HllLow - 1)
+    val rho = if (r == 0) 41 else java.lang.Long.numberOfTrailingZeros(r) + 1
+    ((h >>> 40).toInt, rho.toByte)
+  }
+
+  /** Maintain per-day HLL sketches over a stream — same contract as
+    * [[kmvPerDay]] with CONSTANT 256-byte state per day: the right trade
+    * once per-day distincts outgrow what a K-hash KMV resolves. Emits the
+    * day's refreshed register count + estimate each micro-batch. */
+  def hllPerDay(df: DataFrame, tsCol: String, idCol: String): Dataset[HllUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        date_trunc("day", col(tsCol)).as("day"),
+        substring(md5(col(idCol).cast("string")), 1, 12).as("h"))
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (day: java.sql.Timestamp, rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[HllState]) => {
+          val regs = state.getOption.map(_.regs.clone()).getOrElse(new Array[Byte](HllM))
+          rows.foreach { case (_, hex) =>
+            val (b, rho) = hllSlot(hex)
+            if (rho > regs(b)) regs(b) = rho
+          }
+          state.update(HllState(regs))
+          Iterator(HllUpdate(day, regs.count(_ > 0), hllEstimate(regs)))
+        })
+  }
+
   /** Maintain per-day KMV sketches over a stream with `tsCol` event time
     * and `idCol` identity; emits one refreshed [[KmvUpdate]] per touched
     * day per micro-batch (Update output mode). */

@@ -82,4 +82,39 @@ class StreamingSketchSpec extends AnyFunSuite {
     val trickled = run(users.grouped(7).toSeq.map(_.toSeq))
     assert(oneShot == trickled, s"sketch depends on batch split: $oneShot vs $trickled")
   }
+
+  /** driver-side HLL of a user set via the same slotting. */
+  private def batchHll(users: Seq[Long]): (Int, Long) = {
+    val regs = new Array[Byte](StreamingSketch.HllM)
+    users.distinct.foreach { u =>
+      val (b, rho) = StreamingSketch.hllSlot(md5hex(u.toString).take(12))
+      if (rho > regs(b)) regs(b) = rho
+    }
+    (regs.count(_ > 0), StreamingSketch.hllEstimate(regs))
+  }
+
+  test("HLL state merges across batches, is split-invariant, and matches the batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = java.sql.Timestamp.valueOf("2024-06-01 08:00:00")
+    def run(batches: Seq[Seq[Long]]): (Int, Long) = {
+      val in = MemoryStream[(java.sql.Timestamp, Long)]
+      val out = StreamingSketch.hllPerDay(in.toDF().toDF("ts", "user_id"), "ts", "user_id")
+      val name = s"hll_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b => in.addData(b.map(u => (day, u)): _*); q.processAllAvailable() }
+      q.stop()
+      val r = spark.sql(s"SELECT registers, hll_est FROM $name").collect().last
+      (r.getInt(0), r.getLong(1))
+    }
+    val users = (1L to 3000L)
+    val want = batchHll(users)
+    val oneShot = run(Seq(users))
+    // overlapping trickle: duplicates across batches must not perturb registers
+    val trickled = run(users.grouped(500).toSeq.map(_.toSeq) :+ (1L to 400L).toSeq)
+    assert(oneShot === want, s"streaming registers $oneShot != batch $want")
+    assert(trickled === want, s"split/overlap changed the sketch: $trickled vs $want")
+    // 3000 distinct with m=256: estimate within 5 sigma (~32%)
+    assert(math.abs(want._2 - 3000.0) / 3000.0 < 5 * 1.04 / math.sqrt(256.0))
+  }
 }
