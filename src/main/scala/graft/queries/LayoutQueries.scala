@@ -100,5 +100,50 @@ object LayoutQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(qZorder, qBloomPrune)
+  /** Compaction planning (the OPTIMIZE / small-file roll-up every
+    * parquet warehouse schedules): treat each ship-date day as one
+    * "file" of `rows` records, walk the days in order, and assign
+    * contiguous runs to compaction groups of ~total/8 rows via an
+    * exclusive-prefix-sum bin assignment — group = cum_before // target,
+    * the streaming first-fit that keeps time-locality (a compacted file
+    * still prunes on date ranges). Data-relative target so every SF
+    * exercises multi-file groups.
+    *
+    * Scale shape: the fact table collapses to the day grain in one
+    * map-side-combined groupBy; everything after (prefix sum, grouping,
+    * extents) runs on the tiny day frame. All integer. */
+  val qCompactionPlan: Q = Q.sql(
+    "q_compaction_plan",
+    """WITH f AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS rows_
+      |  FROM lineitem GROUP BY 1
+      |), t AS (SELECT CAST(sum(rows_) AS BIGINT) AS total FROM f),
+      |a AS (
+      |  SELECT day, rows_,
+      |    (CAST(sum(rows_) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - rows_)
+      |      // greatest(1, t.total // 8) AS grp
+      |  FROM f, t)
+      |SELECT CAST(grp AS BIGINT) AS group_id, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(rows_) AS BIGINT) AS rows_, min(day) AS min_day, max(day) AS max_day
+      |FROM a GROUP BY 1 ORDER BY group_id""".stripMargin,
+    doc = "compaction plan: contiguous day-files binned to ~total/8-row groups") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("rows_"))
+    val t = f.agg(sum(col("rows_")).as("total"))
+    val wC = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.crossJoin(broadcast(t))
+      .withColumn("__cum", sum(col("rows_")).over(wC).cast("long"))
+      .select(col("day"), col("rows_"),
+        expr("(__cum - rows_) DIV greatest(1, total DIV 8)").as("grp"))
+      .groupBy(col("grp").cast("long").as("group_id"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("rows_")).cast("long").as("rows_"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("group_id")
+  }
+
+  val all: Seq[Q] = Seq(qZorder, qBloomPrune, qCompactionPlan)
 }

@@ -329,6 +329,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(wantGain.last._5 === 1000000L)
   }
 
+  test("q_compaction_plan: groups are contiguous, cover every file, and track the target") {
+    val days = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_shipdate").cast("date").as("day")).count()
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val total = days.map(_._2).sum
+    val target = math.max(1L, total / 8)
+    var cum = 0L
+    val wantGroups = days.map { case (d, n) => val g = cum / target; cum += n; (g, d, n) }
+    val got = LayoutQueries.qCompactionPlan.run(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum === total, "groups must cover every row")
+    assert(got.map(_.getLong(1)).sum === days.length.toLong, "groups must cover every file")
+    val wantByG = wantGroups.groupBy(_._1)
+    got.foreach { r =>
+      val g = r.getLong(0); val members = wantByG(g)
+      assert(r.getLong(1) === members.length.toLong)
+      assert(r.getLong(2) === members.map(_._3).sum)
+      assert(r.getDate(3) === members.map(_._2).minBy(_.getTime))
+      assert(r.getDate(4) === members.map(_._2).maxBy(_.getTime))
+    }
+    // contiguity: group max_day < next group's min_day
+    val sorted = got.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDate(4).before(b.getDate(3)))
+      case _ =>
+    }
+  }
+
   test("q_chi2: per-cell terms recompute driver-side; total matches direct (O-E)^2/E") {
     val cells = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
