@@ -91,7 +91,21 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_roc_auc",         // AUC with P = N = 0 (null-row degradation)
     "q_qb_derivative",   // rate over an empty point stream
     "q_qb_moving_avg",   // trailing mean with no windows
-    "q_qb_increase")     // counter total over zero points
+    "q_qb_increase",     // counter total over zero points
+    "q_qb_cumsum",       // running total over zero points
+    "q_qb_difference",   // deltas over zero points
+    "q_qb_elapsed",      // gaps over zero points
+    "q_spearman",        // rank correlation with zero groups
+    "q_hll_distinct",    // HLL registers over zero keys
+    "q_chi2",            // contingency of zero orders (n = 0 divisions)
+    "q_kneser_ney",      // LM trained on zero bigrams
+    "q_assortativity",   // Newman r of an empty edge list (m = 0)
+    "q_audio_fingerprint", // landmarks over zero clips
+    "q_dbscan_grid",     // density clustering with zero core cells
+    "q_sax_motifs",      // motifs over zero series
+    "q_calibration",     // deciles with null score extents
+    "q_gain_curve",      // gains with p = 0 (guard row)
+    "q_compaction_plan") // binning with a null total
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
