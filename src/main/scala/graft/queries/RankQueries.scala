@@ -1075,8 +1075,94 @@ object RankQueries {
       .orderBy("bin")
   }
 
+  /** 1/log2(r+1) DCG discounts for ranks 1..10, printed once from Scala
+    * so BOTH engines parse identical decimal literals — neither engine's
+    * log2 is called (the [[InferenceQueries]] Benford-literal move). */
+  private val dcgW: IndexedSeq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  private def dcgLit(r: Int): String = {
+    val s = dcgW(r - 1).toString
+    if (s.contains('.') || s.contains('E')) s else s + ".0"
+  }
+
+  /** NDCG@10 per language of the hashed-classifier ranking against
+    * graded length relevance (rel = min(n_chars/150, 4), gain = 2^rel−1)
+    * — the graded-relevance eval completing the family next to
+    * [[qPrCurve]]/[[qRocAuc]]/[[qGainCurve]].
+    *
+    * Exactness: discounts are shared literals; each of the ≤10 DCG terms
+    * quantizes to 1e-9 (floor of identical doubles) so the fold is an
+    * exact integer sum in ANY order; NDCG is one division of two exact
+    * sums, round(9). Rankings tie-break on doc_id, pinned identically.
+    *
+    * Scale: two per-language row_number windows over the doc-grain
+    * scored frame, both consumed at rank ≤ 10 — the per-language sort is
+    * the cost, the standard eval-slice shape. */
+  val qNdcg: Q = Q.sql(
+    "q_ndcg",
+    s"""WITH tok AS (SELECT doc_id, lang, n_chars, unnest($tokensSql) AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    (CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % $ClsBuckets) % $ClsMod - 48 AS w
+       |  FROM tok
+       |), sc AS (
+       |  SELECT doc_id, max(lang) AS lang, CAST(sum(w) AS BIGINT) AS s,
+       |    CAST((CASE WHEN max(n_chars) // 150 > 4 THEN 4 ELSE max(n_chars) // 150 END) AS BIGINT) AS rel
+       |  FROM f GROUP BY doc_id
+       |), rk AS (
+       |  SELECT lang, rel,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS BIGINT) AS r,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rel DESC, doc_id) AS BIGINT) AS ir
+       |  FROM sc
+       |), terms AS (
+       |  SELECT lang,
+       |    CASE WHEN r <= 10 THEN CAST(floor(((CAST(1 AS BIGINT) << rel) - 1) *
+       |      (CASE ${(1 to 10).map(i => s"WHEN r = $i THEN ${dcgLit(i)}").mkString(" ")} END)
+       |      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS dq,
+       |    CASE WHEN ir <= 10 THEN CAST(floor(((CAST(1 AS BIGINT) << rel) - 1) *
+       |      (CASE ${(1 to 10).map(i => s"WHEN ir = $i THEN ${dcgLit(i)}").mkString(" ")} END)
+       |      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS iq
+       |  FROM rk)
+       |SELECT lang, CAST(sum(dq) AS BIGINT) AS dcg_q, CAST(sum(iq) AS BIGINT) AS idcg_q,
+       |  CASE WHEN sum(iq) = 0 THEN NULL
+       |    ELSE round(CAST(sum(dq) AS DOUBLE) / CAST(sum(iq) AS DOUBLE), 9) END AS ndcg10
+       |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+    doc = "NDCG@10 per language: classifier ranking vs graded length relevance") { (s, d) =>
+    val tok = documents(s, d).transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), col("lang"), col("n_chars"), explode(tokens(col("text"))).as("t"))
+    val wgt = conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % ClsBuckets % ClsMod - 48
+    val sc = tok
+      .select(col("doc_id"), col("lang"), col("n_chars"), wgt.as("w"))
+      .groupBy("doc_id")
+      .agg(max(col("lang")).as("lang"), sum(col("w")).cast("long").as("s"),
+        least(expr("max(n_chars) DIV 150"), lit(4L)).cast("long").as("rel"))
+    val wR = Window.partitionBy(col("lang")).orderBy(col("s").desc, col("doc_id"))
+    val wI = Window.partitionBy(col("lang")).orderBy(col("rel").desc, col("doc_id"))
+    val rk = sc.select(col("lang"), col("rel"),
+      row_number().over(wR).cast("long").as("r"),
+      row_number().over(wI).cast("long").as("ir"))
+    def disc(rc: org.apache.spark.sql.Column) =
+      (1 to 10).foldLeft(lit(null).cast("double")) { (acc, i) =>
+        when(rc === i, lit(dcgW(i - 1))).otherwise(acc)
+      }
+    val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1
+    def term(rc: org.apache.spark.sql.Column) =
+      when(rc <= 10,
+        floor(gain.cast("double") * disc(rc) * 1000000000.0 + 0.5).cast("long"))
+        .otherwise(lit(0L))
+    rk.select(col("lang"), term(col("r")).as("dq"), term(col("ir")).as("iq"))
+      .groupBy("lang")
+      .agg(sum(col("dq")).cast("long").as("dcg_q"), sum(col("iq")).cast("long").as("idcg_q"))
+      .select(col("lang"), col("dcg_q"), col("idcg_q"),
+        when(col("idcg_q") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dcg_q").cast("double") / col("idcg_q").cast("double"), 9))
+          .as("ndcg10"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
       qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey,
-      qCalibration, qGainCurve)
+      qCalibration, qGainCurve, qNdcg)
 }

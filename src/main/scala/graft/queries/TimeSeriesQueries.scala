@@ -1730,11 +1730,140 @@ object TimeSeriesQueries {
       .orderBy("event_type", "rk")
   }
 
+  /** Time-weighted average (the Flux/InfluxDB `timeWeightedAvg` — the
+    * irregular-sampling-correct mean a plain AVG gets wrong when points
+    * arrive unevenly): per event type, LOCF integral of value over time
+    * divided by the observed span, Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_N − t_0).
+    *
+    * Exactness: values quantize to 1e-6 (floor of identical doubles),
+    * gaps are integer seconds, so every term vq·dt is an exact integer
+    * and the fold is order-independent in DECIMAL/HUGEINT; the result is
+    * two divisions of exact sums, round(6). One per-series lead window +
+    * one aggregate. */
+  val qTwa: Q = Q.sql(
+    "q_twa",
+    """WITH p AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t_s, event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vq
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, vq,
+      |    lead(t_s) OVER (PARTITION BY event_type ORDER BY t_s, event_id) - t_s AS dt,
+      |    t_s
+      |  FROM p
+      |), a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN dt IS NULL THEN 0 ELSE vq * dt END) AS HUGEINT) AS num,
+      |    CAST(max(t_s) - min(t_s) AS HUGEINT) AS span_s
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, n,
+      |  CASE WHEN span_s = 0 THEN NULL
+      |    ELSE round(CAST(num AS DOUBLE) / 1000000.0 / CAST(span_s AS DOUBLE), 6)
+      |  END AS twa
+      |FROM a ORDER BY event_type""".stripMargin,
+    doc = "time-weighted average per event type (LOCF integral / span, exact integer terms)") {
+    (s, d) =>
+      val p = events(s, d).select(
+        col("event_type"),
+        floor(col("ts").cast("double")).cast("long").as("t_s"),
+        col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("vq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t_s"), col("event_id"))
+      val g = p.select(col("event_type"), col("vq"), col("t_s"),
+        (lead(col("t_s"), 1).over(w) - col("t_s")).as("dt"))
+      val dec = "decimal(38,0)"
+      g.groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("dt").isNull, lit(0L)).otherwise(col("vq") * col("dt")))
+            .cast(dec).as("num"),
+          (max(col("t_s")) - min(col("t_s"))).cast(dec).as("span_s"))
+        .select(col("event_type"), col("n"),
+          when(col("span_s") === 0, lit(null).cast("double"))
+            .otherwise(round(col("num").cast("double") / 1000000.0
+              / col("span_s").cast("double"), 6))
+            .as("twa"))
+        .orderBy("event_type")
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * multi-credit companion to [[qAttribution]]'s last-touch: every
+    * purchase credits ALL touches since the user's previous purchase,
+    * 40% to the first, 40% to the last, 20% split over the middles
+    * (k=1 → 100%, k=2 → 50/50). The standard position-based model of
+    * every marketing-analytics warehouse.
+    *
+    * Exactness: per-touch weights are half-up PARTS-PER-TRILLION
+    * integers (the middle split (2·2·10¹¹ + (k−2)) // (2(k−2)) is the
+    * only rounding; per-group totals may land a few ppt off 10¹² —
+    * documented), so the per-channel credit fold is an exact integer
+    * sum rendered once as round(Σ/10¹², 6).
+    *
+    * Scale shape: one cumulative-purchase window per user assigns every
+    * touch to its next conversion (group key = user × purchase index —
+    * no self-join), one (group) count/rank window bounded by touches
+    * per conversion, one channel aggregate. */
+  val qAttributionPosition: Q = Q.sql(
+    "q_attribution_position",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      |  FROM events
+      |), t AS (
+      |  SELECT user_id, event_type, ts, event_id, cp + 1 AS grp
+      |  FROM o WHERE event_type <> 'purchase'
+      |), conv AS (SELECT user_id, cp AS grp FROM o WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT t.user_id, t.event_type, t.grp,
+      |    CAST(row_number() OVER wg AS BIGINT) AS pos,
+      |    CAST(count(*) OVER (PARTITION BY t.user_id, t.grp) AS BIGINT) AS k
+      |  FROM t JOIN conv ON t.user_id = conv.user_id AND t.grp = conv.grp
+      |  WINDOW wg AS (PARTITION BY t.user_id, t.grp ORDER BY t.ts, t.event_id)
+      |), cr AS (
+      |  SELECT event_type,
+      |    CASE WHEN k = 1 THEN 1000000000000
+      |      WHEN pos = 1 OR pos = k THEN CASE WHEN k = 2 THEN 500000000000 ELSE 400000000000 END
+      |      ELSE (2 * 200000000000 + (k - 2)) // (2 * (k - 2)) END AS w
+      |  FROM r)
+      |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  round(CAST(sum(w) AS DOUBLE) / 1000000000000.0, 6) AS credit
+      |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+    doc = "U-shaped (40/20/40) multi-touch attribution, exact ppt integer credits") { (s, d) =>
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val o = events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wCum).as("cp"))
+    val t = o.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (col("cp") + 1).as("grp"))
+    val conv = o.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("cp").as("cgrp"))
+    val wg = Window.partitionBy(col("user_id"), col("grp")).orderBy(col("ts"), col("event_id"))
+    val wk = Window.partitionBy(col("user_id"), col("grp"))
+    val r = t.join(conv, col("user_id") === col("cu") && col("grp") === col("cgrp"))
+      .select(col("user_id"), col("event_type"), col("grp"), col("ts"), col("event_id"))
+      .select(col("event_type"),
+        row_number().over(wg).cast("long").as("pos"),
+        count(lit(1)).over(wk).cast("long").as("k"))
+    r.select(col("event_type"),
+        when(col("k") === 1, lit(1000000000000L))
+          .when(col("pos") === 1 || col("pos") === col("k"),
+            when(col("k") === 2, lit(500000000000L)).otherwise(lit(400000000000L)))
+          .otherwise(expr("(2 * 200000000000 + (k - 2)) DIV (2 * (k - 2))"))
+          .as("w"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        round(sum(col("w")).cast("double") / 1000000000000.0, 6).as("credit"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
       qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv, qXcorrLeadlag, qTheilSen,
-      qSaxMotifs)
+      qSaxMotifs, qTwa, qAttributionPosition)
 }

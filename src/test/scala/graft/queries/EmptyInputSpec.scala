@@ -105,7 +105,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_sax_motifs",      // motifs over zero series
     "q_calibration",     // deciles with null score extents
     "q_gain_curve",      // gains with p = 0 (guard row)
-    "q_compaction_plan") // binning with a null total
+    "q_compaction_plan", // binning with a null total
+    "q_twa",             // integral over zero points (null span)
+    "q_attribution_position", // credits with zero conversions
+    "q_ndcg")            // ranking eval over zero docs (idcg = 0)
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

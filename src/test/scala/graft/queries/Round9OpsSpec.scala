@@ -356,6 +356,101 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_twa: matches a driver-side LOCF integral over the same quantization") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("double"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), math.floor(r.getDouble(1)).toLong,
+        r.getLong(2), math.floor(r.getDouble(3) * 1e6).toLong))
+    val want = evs.groupBy(_._1).map { case (et, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val num = sorted.zip(sorted.drop(1)).map { case (a, b) =>
+        BigInt(a._4) * (b._2 - a._2)
+      }.sum
+      val span = sorted.last._2 - sorted.head._2
+      et -> (rows.length.toLong,
+        if (span == 0) None
+        else Some(BigDecimal(num).toDouble / 1e6 / span))
+    }
+    val got = TimeSeriesQueries.qTwa.run(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (n, twa) = want(r.getString(0))
+      assert(r.getLong(1) === n)
+      twa match {
+        case Some(v) => assert(math.abs(r.getDouble(2) - v) < 1e-5,
+          s"${r.getString(0)}: ${r.getDouble(2)} vs $v")
+        case None => assert(r.isNullAt(2))
+      }
+    }
+  }
+
+  test("q_attribution_position: per-channel credits recompute driver-side (U-shaped)") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val credit = scala.collection.mutable.Map[String, (Long, BigInt)]()
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var touches = Vector.empty[String]
+      ordered.foreach { r =>
+        if (r._4 == "purchase") {
+          val k = touches.length
+          touches.zipWithIndex.foreach { case (ch, i) =>
+            val w: BigInt =
+              if (k == 1) BigInt("1000000000000")
+              else if (i == 0 || i == k - 1) {
+                if (k == 2) BigInt("500000000000") else BigInt("400000000000")
+              } else (BigInt("400000000000") + (k - 2)) / (2 * (k - 2))
+            val (c, s) = credit.getOrElse(ch, (0L, BigInt(0)))
+            credit(ch) = (c + 1, s + w)
+          }
+          touches = Vector.empty
+        } else touches :+= r._4
+      }
+    }
+    val got = TimeSeriesQueries.qAttributionPosition.run(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === credit.keySet)
+    got.foreach { r =>
+      val (n, s) = credit(r.getString(0))
+      assert(r.getLong(1) === n, s"channel ${r.getString(0)} touch count")
+      val wantCredit = BigDecimal(s).toDouble / 1e12
+      assert(math.abs(r.getDouble(2) - wantCredit) < 1e-5,
+        s"channel ${r.getString(0)}: ${r.getDouble(2)} vs $wantCredit")
+    }
+  }
+
+  test("q_ndcg: NDCG@10 recomputes driver-side and sits in (0, 1]") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val s = r.getString(2).toLowerCase.split("\\s+").map { t =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(6), 16) % RankQueries.ClsBuckets %
+            RankQueries.ClsMod - 48
+        }.sum
+        (r.getLong(0), r.getString(1), s, math.min(r.getLong(3) / 150, 4L))
+      }
+    val dcgW = (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    def dcgQ(ordered: Seq[Long]): Long =
+      ordered.take(10).zipWithIndex.map { case (rel, i) =>
+        math.floor(((1L << rel) - 1).toDouble * dcgW(i) * 1e9 + 0.5).toLong
+      }.sum
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      val dcg = dcgQ(ds.sortBy(d => (-d._3, d._1)).map(_._4).toSeq)
+      val idcg = dcgQ(ds.sortBy(d => (-d._4, d._1)).map(_._4).toSeq)
+      lang -> (dcg, idcg)
+    }
+    val got = RankQueries.qNdcg.run(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (dcg, idcg) = want(r.getString(0))
+      assert(r.getLong(1) === dcg && r.getLong(2) === idcg,
+        s"${r.getString(0)}: (${r.getLong(1)},${r.getLong(2)}) vs ($dcg,$idcg)")
+      if (idcg > 0) assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("q_chi2: per-cell terms recompute driver-side; total matches direct (O-E)^2/E") {
     val cells = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
