@@ -197,7 +197,15 @@ object ScaleProbe {
       // xN days per event-type series: the two per-series windows grow
       // xN within 5 partitions — the documented single-series contract
       // (chunk longer series by day); the word-count frame is 256-bounded
-      "q_sax_motifs" -> (() => reg("q_sax_motifs").run(spark, dir)))
+      "q_sax_motifs" -> (() => reg("q_sax_motifs").run(spark, dir)),
+      // xN points per series: one lead window + one exact-integer fold
+      "q_twa" -> (() => reg("q_twa").run(spark, dir)),
+      // xN users (events clock-shifted AND user-offset per replica):
+      // touch groups stay per-conversion-bounded, windows key on user
+      "q_attribution_position" -> (() => reg("q_attribution_position").run(spark, dir)),
+      // xN docs per language: two per-language rank windows consumed at
+      // rank <= 10 — the per-language sort is the scale cost
+      "q_ndcg" -> (() => reg("q_ndcg").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other
