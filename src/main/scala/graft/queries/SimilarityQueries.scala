@@ -1517,7 +1517,12 @@ object SimilarityQueries {
        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / $DbscanCellW) AS BIGINT) AS cy
        |  FROM embeddings
        |), cells AS (
-       |  SELECT cx, cy, (cx + 512) * 4096 + (cy + 512) AS c, CAST(count(*) AS BIGINT) AS cnt
+       |  SELECT cx, cy,
+       |    CASE WHEN abs(cx) < 1048576 AND abs(cy) < 1048576
+       |      THEN (cx + 1048576) * 2097152 + (cy + 1048576)
+       |      ELSE CAST(error('grid cell coordinate out of packing range (|c| >= 2^20)') AS BIGINT)
+       |    END AS c,
+       |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM pts GROUP BY 1, 2
        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
        |core AS (
@@ -1543,9 +1548,19 @@ object SimilarityQueries {
         col("vec_id"),
         floor(element_at(col("embedding"), 1).cast("double") / DbscanCellW).cast("long").as("cx"),
         floor(element_at(col("embedding"), 2).cast("double") / DbscanCellW).cast("long").as("cy"))
+      // packed key spans ±2^20 cells per axis (±52k embedding units at
+      // 0.05 width) and FAILS LOUDLY beyond it in both engines — a silent
+      // collision would merge unrelated clusters (the Quantiles-guard
+      // convention: assert folded into the value so pruning can't skip it)
+      val inRange = abs(col("cx")) < (1L << 20) && abs(col("cy")) < (1L << 20)
+      val cellGuard = coalesce(
+        assert_true(inRange,
+          concat(lit("grid cell coordinate out of packing range (|c| >= 2^20): ("),
+            col("cx"), lit(","), col("cy"), lit(")"))).cast("long"),
+        lit(0L))
       val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
         .select(col("cx"), col("cy"), col("cnt"),
-          ((col("cx") + 512) * 4096 + (col("cy") + 512)).as("c"))
+          ((col("cx") + (1L << 20)) * (1L << 21) + (col("cy") + (1L << 20)) + cellGuard).as("c"))
       val n = pts.agg(count(lit(1)).as("n"))
       val core = cells.crossJoin(broadcast(n))
         .filter(col("cnt") >= greatest(lit(3L), expr("n DIV 200")))

@@ -1035,10 +1035,13 @@ object StatsQueries {
     * then picks its two ranks up with two value-keyed equi-joins (the
     * rank maps are value-grain and dwarfed by the fact side — Catalyst
     * broadcasts them at bench SF) and ONE hash aggregate folds the five
-    * Pearson sums. Doubled ranks keep everything integral; the moment
-    * products run in DECIMAL(38,0) (DuckDB: HUGEINT), which bounds
-    * per-group n at ~10⁸ rows before n·Σ(2rx·2ry) ~ 4n⁴ nears 10³⁸ —
-    * beyond that, center ranks first. Final ρ is three exact decimal →
+    * Pearson sums. Doubled ranks keep everything integral; the rank
+    * operands are cast to DECIMAL(19,0) BEFORE the products so both the
+    * per-row product and the running sum genuinely fold in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) — a BIGINT product sum would wrap
+    * at ~1.3M rows/group, far below the documented bound. The decimal
+    * fold bounds per-group n at ~10⁸ rows before n·Σ(2rx·2ry) ~ 4n⁴
+    * nears 10³⁸ — beyond that, center ranks first. Final ρ is three exact decimal →
     * double casts, two correctly-rounded sqrts, one division — identical
     * IEEE trees, rounded to 9. */
   val qSpearman: Q = Q.sql(
@@ -1083,12 +1086,16 @@ object StatsQueries {
         .join(rankMap("y"), col("g") === col("g_y") && col("y") === col("v_y"))
         .select(col("g"), col("r2_x").as("rx2"), col("r2_y").as("ry2"))
       val dec = "decimal(38,0)"
+      // cast BEFORE the products/sums: decimal(19,0)×decimal(19,0) →
+      // decimal(38,0) per row, so the fold never touches BIGINT overflow
+      val rx = col("rx2").cast("decimal(19,0)")
+      val ry = col("ry2").cast("decimal(19,0)")
       val a = j.groupBy("g").agg(
         count(lit(1)).cast(dec).as("n"),
-        sum(col("rx2")).cast(dec).as("sx"), sum(col("ry2")).cast(dec).as("sy"),
-        sum(col("rx2") * col("rx2")).cast(dec).as("sxx"),
-        sum(col("ry2") * col("ry2")).cast(dec).as("syy"),
-        sum(col("rx2") * col("ry2")).cast(dec).as("sxy"))
+        sum(rx).cast(dec).as("sx"), sum(ry).cast(dec).as("sy"),
+        sum(rx * rx).cast(dec).as("sxx"),
+        sum(ry * ry).cast(dec).as("syy"),
+        sum(rx * ry).cast(dec).as("sxy"))
       a.select(
           col("g").as("l_returnflag"), col("n").cast("long").as("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")

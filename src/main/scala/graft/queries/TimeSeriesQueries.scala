@@ -1772,10 +1772,15 @@ object TimeSeriesQueries {
       val g = p.select(col("event_type"), col("vq"), col("t_s"),
         (lead(col("t_s"), 1).over(w) - col("t_s")).as("dt"))
       val dec = "decimal(38,0)"
+      // cast the integrand operands to decimal BEFORE the product so the
+      // fold genuinely accumulates in DECIMAL(38,0) — a BIGINT vq*dt sum
+      // would wrap once per-series integrals near 2^63 (large values ×
+      // long gaps × many points), silently diverging from HUGEINT
+      val term = col("vq").cast("decimal(19,0)") * col("dt").cast("decimal(19,0)")
       g.groupBy("event_type")
         .agg(
           count(lit(1)).cast("long").as("n"),
-          sum(when(col("dt").isNull, lit(0L)).otherwise(col("vq") * col("dt")))
+          sum(when(col("dt").isNull, lit(0).cast("decimal(38,0)")).otherwise(term))
             .cast(dec).as("num"),
           (max(col("t_s")) - min(col("t_s"))).cast(dec).as("span_s"))
         .select(col("event_type"), col("n"),
