@@ -1384,24 +1384,26 @@ object SimilarityQueries {
   // ---- distributed Gram / second-moment matrix -------------------------
 
   /** Shared builder: the 64×64 second-moment (uncentered Gram) matrix
-    * X^T X of the corpus at fixed-point quantization 10^`q` — each
-    * vector's outer product flattens to ONE 4096-long integer array per
-    * row (the two lambda references keep the quantized array staged —
-    * lesson 3), then a single map-side-combined groupBy over 4096 keys
-    * folds the corpus. Exact DECIMAL sums in any partition order; no
-    * 64-column aggregate (which would blow the codegen method limit —
-    * lesson 1/8). */
+    * X^T X of the corpus at fixed-point quantization 10^`q`, folded by
+    * [[graft.expressions.GramFold]] — ONE imperative aggregate holding a
+    * flat 128-bit accumulator per task (upper triangle, mirrored at
+    * eval), zero per-row allocation, one serialized buffer per partition
+    * on the shuffle. Value-identical to a DECIMAL(38,0) sum of the
+    * per-row outer products (the previous declarative form — nested
+    * `transform` → `posexplode` → 4096-key groupBy — allocated three
+    * 4096-slot boxed arrays PER ROW, the round-9 in-battery GC-growth
+    * culprit). The single result row explodes into the (i, j, sq) cell
+    * frame every consumer reads. */
   private def gramFrame(s: org.apache.spark.sql.SparkSession, d: String, q: Int): DataFrame = {
     val scale = math.pow(10, q)
-    val e = embeddings(s, d)
+    embeddings(s, d)
       .transform(graft.Tables.spread(s, _))
       .select(transform(col("embedding"),
         x => round(x.cast("double") * scale).cast("long")).as("qa"))
-      .select(posexplode(flatten(
-        transform(col("qa"), x => transform(col("qa"), y => x * y)))).as(Seq("pos", "prod")))
-    e.groupBy((col("pos") / Dim).cast("long").as("i"),
-        pmod(col("pos"), lit(Dim)).cast("long").as("j"))
-      .agg(sum(col("prod").cast("decimal(38,0)")).as("sq"))
+      .agg(graft.expressions.GramFold.gramFold(col("qa"), Dim).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "sq")))
+      .select((col("pos") / Dim).cast("long").as("i"),
+        pmod(col("pos"), lit(Dim)).cast("long").as("j"), col("sq"))
   }
 
   /** Shared DuckDB twin of [[gramFrame]] (self-join form — different
