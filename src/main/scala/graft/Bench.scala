@@ -86,9 +86,27 @@ object Bench {
     def codeCacheMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
       .map(_.getUsage.getUsed).sum >> 20
+    // r9 attribution gap: load_avg was recorded ONCE per battery, so host
+    // contention could not be separated from in-JVM accumulation for the
+    // scattered pass-3 spikes. Per pass now: 1-minute system load, old-gen
+    // occupancy, G1 CONCURRENT cycle count (concurrent mark/refine CPU
+    // burns process time WITHOUT appearing in getCollectionTime — the
+    // "cpu grows, gc_sec flat" signature), and block-manager RDD/broadcast
+    // block counts (leaked persists / unswept broadcasts accumulate here).
+    def oldGenMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("Old Gen")).map(_.getUsage.getUsed).sum >> 20
+    def concGcCount: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .filter(_.getName.toLowerCase.contains("concurrent"))
+      .map(_.getCollectionCount.max(0L)).sum
+    def blockCounts: (Int, Int) = try {
+      val ids = org.apache.spark.SparkEnv.get.blockManager
+        .getMatchingBlockIds(_ => true)
+      (ids.count(_.isRDD), ids.count(_.isBroadcast))
+    } catch { case _: Throwable => (-1, -1) }
 
     case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double,
-        jc: Long, jitSec: Double, ccMb: Long)
+        jc: Long, jitSec: Double, ccMb: Long,
+        load: Double, oldMb: Long, conc: Long, rddBlk: Int, bcastBlk: Int)
     // local-iteration subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b benches just
     // those queries (unset = full battery, what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -103,10 +121,12 @@ object Bench {
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
+        val (rddBlk, bcastBlk) = blockCounts
         PassStats(sec, (gcMillis - gc0) / 1e3,
           if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9),
           janinoCount - jc0, if (jit0 < 0) -1 else (jitMillis - jit0) / 1e3,
-          codeCacheMb)
+          codeCacheMb, osBean.getSystemLoadAverage, oldGenMb, concGcCount,
+          rddBlk, bcastBlk)
       }.drop(1) // pass 0 = warmup, untimed
       // JVM hygiene between queries: clearCache() only drops SQL-cached
       // relations — RDDs persisted by localCheckpoint (connected
@@ -157,12 +177,19 @@ object Bench {
     val jcs = obj(s => s.jc.toString)
     val jits = obj(s => f"${s.jitSec}%.2f")
     val ccs = obj(s => s.ccMb.toString)
+    val loads = obj(s => f"${s.load}%.2f")
+    val oldMbs = obj(s => s.oldMb.toString)
+    val concs = obj(s => s.conc.toString)
+    val rddBlks = obj(s => s.rddBlk.toString)
+    val bcastBlks = obj(s => s.bcastBlk.toString)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_PASSES.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(
         f"""{"total":$total%.3f,"passes":$ps,"gc_sec":$gcs,"cpu_ratio":$cpuRatios,""" +
           f""""janino_compiles":$jcs,"jit_sec":$jits,"code_cache_mb":$ccs,""" +
+          f""""load":$loads,"old_gen_mb":$oldMbs,"conc_gc":$concs,""" +
+          f""""rdd_blocks":$rddBlks,"bcast_blocks":$bcastBlks,""" +
           f""""heap_after_mb":$heapAfterMb,"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Persisted derived-artifact store: bucketed parquet layouts (ANN
+  * indexes, compaction fixtures) that are built ONCE and then served to
+  * many queries — the shape a 100 TB corpus actually uses, where an
+  * index build is amortized over millions of searches instead of being
+  * recomputed inline per query.
+  *
+  * Layout per artifact: `<dir>/<table>/` parquet (optionally
+  * partition-bucketed), plus a `<dir>/_meta/` parquet holding the source
+  * row count. Freshness = meta exists AND its count matches the current
+  * source count (one footer-only count per check); the meta is deleted
+  * FIRST and re-written LAST on publish, so a crash mid-build always
+  * reads as stale and rebuilds. Reads take an explicit schema so an
+  * empty-corpus artifact (a `_SUCCESS`-only directory) still loads as an
+  * empty frame instead of failing schema inference.
+  */
+object IndexStore {
+
+  /** Artifact root: JVM temp space, keyed by source dir + artifact kind. */
+  def dirFor(sfDir: String, kind: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_store")
+    new java.io.File(new java.io.File(root, sfDir.replaceAll("[^A-Za-z0-9.]+", "_")), kind).getPath
+  }
+
+  private def metaPath(dir: String) = s"$dir/_meta"
+
+  /** Source row count recorded at publish time, None if never published
+    * (or a publish crashed before the meta write). */
+  def publishedCount(s: SparkSession, dir: String): Option[Long] =
+    try {
+      val m = s.read.schema("n LONG").parquet(metaPath(dir)).collect()
+      m.headOption.map(_.getLong(0))
+    } catch { case _: Throwable => None }
+
+  /** Write the artifact tables, then the meta marker. `tables` maps a
+    * table name to its frame and (possibly empty) partition columns. */
+  def publish(
+      s: SparkSession,
+      dir: String,
+      sourceCount: Long,
+      tables: Seq[(String, DataFrame, Seq[String])]): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(metaPath(dir))) // stale-on-crash: meta dies first
+    tables.foreach { case (name, df, parts) =>
+      val w = df.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$dir/$name")
+    }
+    s.range(1).select(lit(sourceCount).as("n")).coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(dir))
+  }
+
+  /** Read an artifact table with an explicit schema (empty-safe). */
+  def read(s: SparkSession, dir: String, table: String, schema: StructType): DataFrame =
+    s.read.schema(schema).parquet(s"$dir/$table")
+
+  /** Read with a DDL-string schema. */
+  def read(s: SparkSession, dir: String, table: String, ddl: String): DataFrame =
+    read(s, dir, table, StructType.fromDDL(ddl))
+}

@@ -145,5 +145,82 @@ object LayoutQueries {
       .orderBy("group_id")
   }
 
-  val all: Seq[Q] = Seq(qZorder, qBloomPrune, qCompactionPlan)
+  /** Compaction EXECUTION — the rewrite job [[qCompactionPlan]] only
+    * plans: a genuinely small-files bucket (one parquet file per
+    * ship-date day, ~2.5k files — the layout every streaming ingest
+    * accretes) is rewritten into ~8 group-bucketed files using the
+    * plan's own prefix-sum day→group assignment, and the gate's output
+    * is a per-group rollup READ BACK FROM THE COMPACTED FILES while the
+    * oracle computes the same rollup from the original `lineitem` — so a
+    * hash match proves the rewrite preserved every row and value (the
+    * count+hash before/after check, driver-enforced).
+    *
+    * Scale shape: the small-files fixture is built once per source
+    * generation ([[graft.operators.IndexStore]] freshness meta — at
+    * 100 TB the "fixture" is the ingest output itself); the per-run work
+    * is the honest compaction cost: one day-grain groupBy over the small
+    * bucket for the plan, one broadcast day→group pickup, one
+    * repartition-by-group write, one rollup read. Day grain keeps
+    * time-locality, so the compacted files still prune on date ranges. */
+  val qCompactionExec: Q = Q.sql(
+    "q_compaction_exec",
+    """WITH f AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS rows_
+      |  FROM lineitem GROUP BY 1
+      |), t AS (SELECT CAST(sum(rows_) AS BIGINT) AS total FROM f),
+      |a AS (
+      |  SELECT day,
+      |    (CAST(sum(rows_) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - rows_)
+      |      // greatest(1, t.total // 8) AS grp
+      |  FROM f, t)
+      |SELECT CAST(a.grp AS BIGINT) AS group_id,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT a.day) AS BIGINT) AS n_files,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  min(a.day) AS min_day, max(a.day) AS max_day
+      |FROM lineitem l JOIN a ON CAST(l.l_shipdate AS DATE) = a.day
+      |GROUP BY 1 ORDER BY group_id""".stripMargin,
+    doc = "compaction executed: day-files rewritten to group files, rollup read from disk") {
+    (s, d) =>
+      import graft.operators.IndexStore
+      val smallSchema = "day DATE, qty DECIMAL(27,2)"
+      val smallDir = IndexStore.dirFor(d, "smallfiles")
+      // fixture: one file per ship-date day (repartition by day → every
+      // day's rows land in exactly one task → one file per day dir)
+      val n = lineitem(s, d).count()
+      if (!IndexStore.publishedCount(s, smallDir).contains(n)) {
+        val days = lineitem(s, d).select(
+          col("l_shipdate").cast("date").as("day"),
+          col("l_quantity").cast("decimal(27,2)").as("qty"))
+        IndexStore.publish(s, smallDir, n,
+          Seq(("files", days.repartition(col("day")), Seq("day"))))
+      }
+      val small = IndexStore.read(s, smallDir, "files", smallSchema)
+      // the plan, computed FROM the small bucket alone
+      val f = small.groupBy(col("day")).agg(count(lit(1)).as("rows_"))
+      val t = f.agg(sum(col("rows_")).as("total"))
+      val wC = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val dayGrp = f.crossJoin(broadcast(t))
+        .withColumn("__cum", sum(col("rows_")).over(wC).cast("long"))
+        .select(col("day"),
+          expr("(__cum - rows_) DIV greatest(1, total DIV 8)").cast("long").as("group_id"))
+      // the rewrite: group-bucketed files, one per group
+      val compactDir = IndexStore.dirFor(d, "compacted")
+      small.join(broadcast(dayGrp), "day")
+        .repartition(col("group_id"))
+        .write.mode("overwrite").partitionBy("group_id")
+        .parquet(s"$compactDir/files")
+      // the proof: rollup over what the rewrite actually wrote
+      IndexStore.read(s, compactDir, "files", smallSchema + ", group_id LONG")
+        .groupBy(col("group_id"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("day")).cast("long").as("n_files"),
+          sum(col("qty")).cast("double").as("sum_qty"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy("group_id")
+  }
+
+  val all: Seq[Q] = Seq(qZorder, qBloomPrune, qCompactionPlan, qCompactionExec)
 }

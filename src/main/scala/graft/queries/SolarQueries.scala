@@ -422,6 +422,28 @@ object SolarQueries {
     qbProject(qbBase(s, d).elapsed("1h").build())
   }
 
+  /** Flux `pivot` / `schema.fieldsAsCols()` — the wide per-timestamp
+    * shape every dashboard panel reads: one row per (measurement,
+    * window), one column per field, NULL where a series has no point.
+    * One map-side-combined conditional aggregate over the daily means —
+    * no window, no shuffle beyond the (measurement, window) key. */
+  val qQbPivot: Q = Q.sql(
+    "q_qb_pivot",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s,
+       |  max(CASE WHEN field = 'battery_voltage' THEN value END) AS battery_voltage,
+       |  max(CASE WHEN field = 'bat_voltage' THEN value END) AS bat_voltage
+       |FROM m GROUP BY 1, 2
+       |ORDER BY measurement, window_end_s""".stripMargin,
+    doc = "Flux pivot (fieldsAsCols): one column per field over aggregateWindow(1d, mean)") {
+    (s, d) =>
+      qbBase(s, d).pivotFields(Seq("battery_voltage", "bat_voltage"))
+        .select(col("measurement"), unix_timestamp(col("time")).as("window_end_s"),
+          col("battery_voltage"), col("bat_voltage"))
+        .orderBy("measurement", "window_end_s")
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
-    qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed)
+    qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
+    qQbPivot)
 }

@@ -143,6 +143,24 @@ final class QueryBuilder private (
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
 
+  /** Flux `pivot(rowKey:["_time"], columnKey:["_field"],
+    * valueColumn:"_value")` — the `schema.fieldsAsCols()` shape every
+    * Influx dashboard reads: one row per (measurement, time), one column
+    * per field. The field list is EXPLICIT (a fixed schema, unlike
+    * Flux's observed-columns pivot): at scale a driver-side distinct to
+    * discover columns is a collect the plan doesn't need, and a stable
+    * output schema is what a downstream table wants anyway. One
+    * map-side-combined aggregate, no window. Fields absent for a row
+    * yield NULL, exactly as Flux leaves the cell empty. Terminal (schema
+    * leaves the builder's point shape). */
+  def pivotFields(fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "pivotFields needs at least one field column")
+    val aggs = fields.map(f => max(when(col("field") === f, col("value"))).as(f))
+    build()
+      .groupBy(col("measurement"), col("time"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Assemble the DataFrame in the reference's canonical operator order. */
   def build(): DataFrame = {
     var df = from()

@@ -236,6 +236,55 @@ object Profile {
             .select(col("event_type"), col("mad")).collect())
         graft.ScratchCache.releaseAll()
       }
+    } else if (name == "gram_growth") {
+      // Attribution rig for the round-9 in-battery monotone growth: run
+      // the OLD declarative gram kernel (nested transform outer product →
+      // posexplode → 4096-key groupBy, three boxed 4096-slot arrays per
+      // row) for N passes with no inter-pass GC — exactly the battery's
+      // per-query shape — and watch wall time, old-gen occupancy, and G1
+      // concurrent-cycle count per pass; then the same for the GramFold
+      // kernel that replaced it.
+      import org.apache.spark.sql.functions._
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      def oldGenMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains("Old Gen")).map(_.getUsage.getUsed).sum >> 20
+      def concGc: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .filter(_.getName.toLowerCase.contains("concurrent"))
+        .map(_.getCollectionCount.max(0L)).sum
+      def gcSec: Double = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum / 1e3
+      val dim = 64
+      def oldKernel: org.apache.spark.sql.DataFrame = {
+        val e = graft.Tables.embeddings(spark, sfDir)
+          .transform(graft.Tables.spread(spark, _))
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
+          .select(posexplode(flatten(
+            transform(col("qa"), x => transform(col("qa"), y => x * y)))).as(Seq("pos", "prod")))
+        e.groupBy((col("pos") / dim).cast("long").as("i"),
+            pmod(col("pos"), lit(dim)).cast("long").as("j"))
+          .agg(sum(col("prod").cast("decimal(38,0)")).as("sq"))
+          .orderBy("i", "j")
+      }
+      def newKernel: org.apache.spark.sql.DataFrame = {
+        graft.Tables.embeddings(spark, sfDir)
+          .transform(graft.Tables.spread(spark, _))
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("qa"))
+          .agg(graft.expressions.GramFold.gramFold(col("qa"), dim).as("g"))
+          .select(posexplode(col("g")).as(Seq("pos", "sq")))
+          .orderBy("pos")
+      }
+      Seq("old" -> (() => oldKernel), "new" -> (() => newKernel)).foreach { case (label, k) =>
+        System.gc() // battery does a full GC between queries
+        (1 to 6).foreach { i =>
+          val (g0, t0) = (gcSec, System.nanoTime())
+          k().write.format("noop").mode("overwrite").save()
+          println(f"$label pass $i: ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+            f"old_gen ${oldGenMb}%5d MB  conc_gc $concGc%3d  gc ${gcSec - g0}%5.2f s")
+        }
+      }
     } else if (name == "ivf_diag") {
       import graft.queries.SimilarityQueries._
       import org.apache.spark.sql.functions._

@@ -108,7 +108,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_compaction_plan", // binning with a null total
     "q_twa",             // integral over zero points (null span)
     "q_attribution_position", // credits with zero conversions
-    "q_ndcg")            // ranking eval over zero docs (idcg = 0)
+    "q_ndcg",            // ranking eval over zero docs (idcg = 0)
+    "q_ivf_index_build", // persisted index of an empty corpus (schema-only read)
+    "q_ivf_index_search",// probe an empty persisted index
+    "q_pq_index_search", // ADC over an empty code table
+    "q_compaction_exec") // rewrite zero small files into zero groups
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -541,8 +541,31 @@ class PlanSpec extends AnyFunSuite {
   test("q_gram_matrix: one map-side-combined fold into 4096 cells, no join on the corpus") {
     val p = plan(SimilarityQueries.qGramMatrix)
     assert(p.contains("partial_"), "the outer-product fold must map-side combine")
+    assert(p.contains("gram_fold"), "the fold must be the imperative GramFold aggregate")
     assert(!p.contains("SortMergeJoin"), "the only join is the broadcast count")
     assert(!p.contains("windowspecdefinition"))
+  }
+
+  test("q_ivf_index_search: candidates scan the PERSISTED index, probes broadcast") {
+    val p = plan(SimilarityQueries.qIvfIndexSearch)
+    assert(p.contains("graft_store"), "the corpus side must be the persisted index parquet")
+    assert(p.contains("BroadcastHashJoin"), "probe cells join the index as a broadcast hash")
+    // query-time cell scoring runs on the 16 query vectors only — the
+    // corpus-wide assignment window must not appear (it lives in the build)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_pq_index_search: the corpus side is the stored code table, LUT broadcast") {
+    val p = plan(SimilarityQueries.qPqIndexSearch)
+    assert(p.contains("graft_store"), "codes must come from the persisted index parquet")
+    assert(p.contains("BroadcastHashJoin"), "the query LUT must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_compaction_exec: the rollup reads the compacted files, map-side combined") {
+    val p = plan(LayoutQueries.qCompactionExec)
+    assert(p.contains("graft_store"), "the rollup must scan the rewritten layout")
+    assert(p.contains("partial_"), "per-group totals must map-side combine")
   }
 
   test("q_cdc_dedup: per-row chunking — no joins, no windows, chunk fold map-side combined") {

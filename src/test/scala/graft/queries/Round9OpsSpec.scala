@@ -215,7 +215,8 @@ class Round9OpsSpec extends AnyFunSuite {
         floor(element_at(col("embedding"), 2).cast("double") / SimilarityQueries.DbscanCellW)
           .cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val cellOf = (cx: Long, cy: Long) => (cx + 512) * 4096 + (cy + 512)
+    // the round-10 widened packing (±2^20 cells per axis, guarded loudly)
+    val cellOf = (cx: Long, cy: Long) => (cx + (1L << 20)) * (1L << 21) + (cy + (1L << 20))
     val counts = pts.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.length.toLong }
     val minPts = math.max(3L, pts.length / 200L)
     val core = counts.filter(_._2 >= minPts).keys.toSet
