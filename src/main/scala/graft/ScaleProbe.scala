@@ -205,7 +205,21 @@ object ScaleProbe {
       "q_attribution_position" -> (() => reg("q_attribution_position").run(spark, dir)),
       // xN docs per language: two per-language rank windows consumed at
       // rank <= 10 — the per-language sort is the scale cost
-      "q_ndcg" -> (() => reg("q_ndcg").run(spark, dir)))
+      "q_ndcg" -> (() => reg("q_ndcg").run(spark, dir)),
+      // xN vectors assigned and written: one broadcast score + rank +
+      // bucketed write; cells stay 16, so files stay 16
+      "q_ivf_index_build" -> (() => reg("q_ivf_index_build").run(spark, dir)),
+      // xN vectors in the probed cells; probe scoring stays 16 queries —
+      // the search cost is the pruned equi-join alone
+      "q_ivf_index_search" -> (() => reg("q_ivf_index_search").run(spark, dir)),
+      // xN code rows scanned (8 codes each), LUT unchanged
+      "q_pq_index_search" -> (() => reg("q_pq_index_search").run(spark, dir)),
+      // same 2.5k day-files, xN rows per file: the rewrite's shuffle and
+      // write scale xN while the plan frame stays day-grain
+      "q_compaction_exec" -> (() => reg("q_compaction_exec").run(spark, dir)),
+      // xN points per daily window: the pivot aggregate stays
+      // (measurement, window)-keyed
+      "q_qb_pivot" -> (() => reg("q_qb_pivot").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

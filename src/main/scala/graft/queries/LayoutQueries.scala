@@ -195,7 +195,13 @@ object LayoutQueries {
         IndexStore.publish(s, smallDir, n,
           Seq(("files", days.repartition(col("day")), Seq("day"))))
       }
-      val small = IndexStore.read(s, smallDir, "files", smallSchema)
+      // ONE scan of the 2.5k-file bucket feeds both the plan's day grain
+      // and the rewrite join (scratch-persisted, released by the caller's
+      // releaseAll like the LSH band tables) — the small-files listing +
+      // footer overhead is the expensive part of a small-files job, and
+      // paying it twice doubled the gate
+      val small = graft.ScratchCache.tracked(
+        IndexStore.read(s, smallDir, "files", smallSchema))
       // the plan, computed FROM the small bucket alone
       val f = small.groupBy(col("day")).agg(count(lit(1)).as("rows_"))
       val t = f.agg(sum(col("rows_")).as("total"))

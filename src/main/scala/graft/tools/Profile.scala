@@ -285,6 +285,41 @@ object Profile {
             f"old_gen ${oldGenMb}%5d MB  conc_gc $concGc%3d  gc ${gcSec - g0}%5.2f s")
         }
       }
+    } else if (name == "compact_stages") {
+      // stage timing for q_compaction_exec: listing/read of the 2.5k-file
+      // bucket vs plan vs rewrite vs rollup
+      import org.apache.spark.sql.functions._
+      import graft.operators.IndexStore
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      (1 to 2).foreach { pass =>
+        println(s"pass $pass")
+        val smallDir = IndexStore.dirFor(sfDir, "smallfiles")
+        t("count src")(graft.Tables.lineitem(spark, sfDir).count())
+        t("meta")(IndexStore.publishedCount(spark, smallDir))
+        val small = IndexStore.read(spark, smallDir, "files", "day DATE, qty DECIMAL(27,2)")
+        t("small count")(small.count())
+        val f = small.groupBy(col("day")).agg(count(lit(1)).as("rows_"))
+        val tt = f.agg(sum(col("rows_")).as("total"))
+        val wC = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val dayGrp = f.crossJoin(broadcast(tt))
+          .withColumn("__cum", sum(col("rows_")).over(wC).cast("long"))
+          .select(col("day"),
+            expr("(__cum - rows_) DIV greatest(1, total DIV 8)").cast("long").as("group_id"))
+        t("plan")(dayGrp.count())
+        val compactDir = IndexStore.dirFor(sfDir, "compacted")
+        t("rewrite")(small.join(broadcast(dayGrp), "day")
+          .repartition(col("group_id"))
+          .write.mode("overwrite").partitionBy("group_id")
+          .parquet(s"$compactDir/files"))
+        t("rollup")(IndexStore.read(spark, compactDir, "files",
+          "day DATE, qty DECIMAL(27,2), group_id LONG")
+          .groupBy(col("group_id")).agg(count(lit(1))).collect())
+      }
     } else if (name == "ivf_diag") {
       import graft.queries.SimilarityQueries._
       import org.apache.spark.sql.functions._
