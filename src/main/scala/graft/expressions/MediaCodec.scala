@@ -1,0 +1,126 @@
+package graft.expressions
+
+import graft.mm.{BmpCodec, WavCodec}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Codegen wrappers around the REAL uncompressed-container codecs
+  * ([[graft.mm.WavCodec]], [[graft.mm.BmpCodec]]): deterministic
+  * synthesizers (integer-formula content, so the DuckDB oracle replays
+  * the expected stats without parsing bytes) and decoders returning
+  * typed stat structs. Static-call codegen keeps the enclosing stage in
+  * whole-stage codegen (the WinnowFps pattern).
+  */
+object MediaCodec {
+
+  /** Mono 16-bit PCM: n = 64 + seed % 128 samples at 8 kHz, sample i =
+    * ((seed·7919 + i·104729) mod 65536) − 32768 — pure nonnegative
+    * integer ops, identical in both engines. */
+  def wavSamples(seed: Long): Array[Short] = {
+    require(seed >= 0, s"wav_synth seed must be nonnegative, got $seed")
+    val n = (64 + seed % 128).toInt
+    Array.tabulate(n)(i => (((seed * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+  }
+
+  def wavSynthBytes(seed: Long): Array[Byte] = WavCodec.encode(8000, wavSamples(seed))
+
+  def wavStatsRow(payload: Array[Byte]): InternalRow = {
+    val w = WavCodec.decode(payload)
+    new GenericInternalRow(Array[Any](
+      w.sampleRate.toLong, w.channels.toLong, w.bits.toLong, w.nSamples,
+      w.peak.toLong, w.energy))
+  }
+
+  /** 24-bit BMP: w = 4 + seed % 5 (exercises every 4-byte row pad),
+    * h = 3 + seed % 4, channel byte = (seed + 3x + 7y + 11c) mod 256. */
+  def bmpSynthBytes(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"bmp_synth seed must be nonnegative, got $seed")
+    val w = (4 + seed % 5).toInt
+    val h = (3 + seed % 4).toInt
+    BmpCodec.encode(w, h, (x, y, c) => ((seed + 3L * x + 7L * y + 11L * c) % 256).toInt)
+  }
+
+  def bmpStatsRow(payload: Array[Byte]): InternalRow = {
+    val b = BmpCodec.decode(payload)
+    new GenericInternalRow(Array[Any](
+      b.width.toLong, b.height.toLong, b.bpp.toLong, b.rowPad.toLong,
+      b.sumB, b.sumG, b.sumR))
+  }
+
+  val WavStatsType: StructType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("bits", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  val BmpStatsType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bpp", LongType, nullable = false),
+    StructField("row_pad", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false)))
+
+  def wavSynth(seed: Column): Column =
+    GraftBridge.column(WavSynth(GraftBridge.expression(seed)))
+  def wavStats(payload: Column): Column =
+    GraftBridge.column(WavStats(GraftBridge.expression(payload)))
+  def bmpSynth(seed: Column): Column =
+    GraftBridge.column(BmpSynth(GraftBridge.expression(seed)))
+  def bmpStats(payload: Column): Column =
+    GraftBridge.column(BmpStats(GraftBridge.expression(payload)))
+}
+
+case class WavSynth(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_synth"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.wavSynthBytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.wavSynthBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WavStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodec.WavStatsType
+  override def prettyName: String = "wav_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.wavStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.wavStatsRow($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BmpSynth(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_synth"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.bmpSynthBytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.bmpSynthBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BmpStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodec.BmpStatsType
+  override def prettyName: String = "bmp_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.bmpStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.bmpStatsRow($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batched feature-extraction
   * operator.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] is a deterministic fake standing in for a
-  * JNI/native decoder. Everything around it — the schema contract, the
-  * per-partition batching, the fixed batch shape a vectorized decoder
-  * would need, the resulting feature schema — is real Spark plumbing and
-  * is what the tests pin.
+  * Decode status: UNCOMPRESSED containers now have REAL from-scratch
+  * decoders — [[WavCodec]] (RIFF/WAVE PCM, chunk-walking) and
+  * [[BmpCodec]] (24-bit BMP, stride-honoring), both oracle-gated
+  * (`q_wav_decode`, `q_bmp_decode`) and spec-pinned
+  * (`MediaCodecSpec`). Only COMPRESSED codecs (JPEG/MP3/H.264) remain
+  * behind this stub seam: [[StubDecoder]] is a deterministic fake
+  * standing in for the JNI/native decoder a production cluster ships.
+  * Everything around it — the schema contract, the per-partition
+  * batching, the fixed batch shape a vectorized decoder would need, the
+  * resulting feature schema — is real Spark plumbing and is what the
+  * tests pin.
   *
   * Scale notes: `mapPartitions` keeps one decoder instance per partition
   * (the expensive init a real decoder has), processes rows in bounded

@@ -1290,11 +1290,124 @@ object TextQueries {
       .limit(40)
   }
 
+  /** REAL container decode (closes the round-9 "codec is a stub" gap for
+    * the uncompressed half): genuine RIFF/WAVE PCM files are synthesized
+    * from an integer formula ([[graft.expressions.MediaCodec]]), then
+    * DECODED by the from-scratch chunk-walking parser in
+    * [[graft.mm.WavCodec]] — sample rate / channels / bits come from the
+    * parsed fmt chunk, peak and Σs² from the parsed s16le data chunk.
+    * The oracle never parses bytes: it recomputes every stat from the
+    * same integer formula, so any decoder misparse (wrong chunk walk,
+    * endianness, sign extension) breaks the hash. header_hex
+    * additionally pins the encoder's RIFF framing (magic + LE size +
+    * WAVE) byte-for-byte. Compressed codecs (MP3/JPEG) stay behind the
+    * documented native-decoder seam. Narrow per-row work, zero shuffle
+    * beyond the final ORDER BY. */
+  val qWavDecode: Q = Q.sql(
+    "q_wav_decode",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id AS BIGINT) AS seed,
+      |    64 + CAST(doc_id % 128 AS BIGINT) AS n
+      |  FROM documents
+      |), s AS (
+      |  SELECT media_id, n,
+      |    list_transform(generate_series(0, CAST(n - 1 AS INT)),
+      |      i -> (seed * 7919 + i * 104729) % 65536 - 32768) AS smp
+      |  FROM m
+      |)
+      |SELECT media_id,
+      |  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+      |  lower('52494646' || printf('%02x%02x%02x%02x',
+      |    (36 + 2 * n) % 256, (36 + 2 * n) // 256 % 256,
+      |    (36 + 2 * n) // 65536 % 256, (36 + 2 * n) // 16777216 % 256)
+      |    || '57415645') AS header_hex,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  n AS n_samples,
+      |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
+      |FROM s ORDER BY media_id""".stripMargin,
+    doc = "real RIFF/WAVE PCM decode: chunk walk + s16le stats, oracle-recomputed") { (s, d) =>
+    import graft.expressions.MediaCodec
+    val made = documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        MediaCodec.wavSynth(col("doc_id").cast("long")).as("payload"))
+    made
+      .select(col("media_id"), col("payload"),
+        MediaCodec.wavStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        substring(lower(hex(col("payload"))), 1, 24).as("header_hex"),
+        col("st.sample_rate").as("sample_rate"),
+        col("st.channels").as("channels"),
+        col("st.bits").as("bits"),
+        col("st.n_samples").as("n_samples"),
+        col("st.peak").as("peak"),
+        col("st.energy").as("energy"))
+      .orderBy("media_id")
+  }
+
+  /** REAL 24-bit BMP decode: genuine BMP files (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + bottom-up BGR rows) synthesized from an integer
+    * pixel formula and decoded by [[graft.mm.BmpCodec]]. Widths 4–8
+    * exercise every 4-byte row-pad case (0/1/2/3), so a decoder that
+    * ignores the stride shifts whole rows and breaks the channel sums;
+    * width/height/bpp come from the parsed header, file_size pins the
+    * encoder's padded layout. Oracle recomputes everything from the
+    * formula — no byte parsing. */
+  val qBmpDecode: Q = Q.sql(
+    "q_bmp_decode",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id AS BIGINT) AS seed,
+      |    4 + CAST(doc_id % 5 AS BIGINT) AS w, 3 + CAST(doc_id % 4 AS BIGINT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INT)), y ->
+      |      list_transform(generate_series(0, CAST(w - 1 AS INT)), x ->
+      |        (seed + 3 * x + 7 * y) % 256)))) AS BIGINT) AS sum_b,
+      |    CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INT)), y ->
+      |      list_transform(generate_series(0, CAST(w - 1 AS INT)), x ->
+      |        (seed + 3 * x + 7 * y + 11) % 256)))) AS BIGINT) AS sum_g,
+      |    CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INT)), y ->
+      |      list_transform(generate_series(0, CAST(w - 1 AS INT)), x ->
+      |        (seed + 3 * x + 7 * y + 22) % 256)))) AS BIGINT) AS sum_r
+      |  FROM m
+      |)
+      |SELECT media_id, w AS width, h AS height, CAST(24 AS BIGINT) AS bpp,
+      |  ((3 * w + 3) // 4) * 4 - 3 * w AS row_pad,
+      |  54 + h * (((3 * w + 3) // 4) * 4) AS file_size,
+      |  sum_b, sum_g, sum_r
+      |FROM px ORDER BY media_id""".stripMargin,
+    doc = "real 24-bit BMP decode: header parse + stride-honoring pixel sums, oracle-recomputed") {
+    (s, d) =>
+      import graft.expressions.MediaCodec
+      val made = documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          MediaCodec.bmpSynth(col("doc_id").cast("long")).as("payload"))
+      made
+        .select(col("media_id"), col("payload"),
+          MediaCodec.bmpStats(col("payload")).as("st"))
+        .select(
+          col("media_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.bpp").as("bpp"),
+          col("st.row_pad").as("row_pad"),
+          length(col("payload")).cast("long").as("file_size"),
+          col("st.sum_b").as("sum_b"),
+          col("st.sum_g").as("sum_g"),
+          col("st.sum_r").as("sum_r"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
-      qZipfFit, qVadSegments, qAudioFingerprint)
+      qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode)
 }

@@ -1,0 +1,92 @@
+package graft.mm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real uncompressed-container codecs: encode→decode roundtrips
+  * (including every BMP row-pad case), chunk-walk robustness (a WAV
+  * carrying a LIST chunk before `data` — the file shape that breaks
+  * naive offset-44 parsers), and loud failure on malformed bytes.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("wav: encode/decode roundtrip recovers rate, count, peak, energy") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(300)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val info = WavCodec.decode(WavCodec.encode(rate, samples))
+      assert(info.sampleRate == rate)
+      assert(info.channels == 1 && info.bits == 16)
+      assert(info.nSamples == n.toLong)
+      assert(info.peak == samples.map(s => math.abs(s.toInt)).max)
+      assert(info.energy == samples.map(s => s.toLong * s).sum)
+    }
+  }
+
+  test("wav: chunk walker skips a LIST chunk between fmt and data") {
+    val samples = Array[Short](100, -200, 300)
+    val plain = WavCodec.encode(8000, samples)
+    // splice an 11-byte LIST chunk (odd size — exercises even-padding)
+    // between the fmt chunk (ends at 36) and the data chunk
+    val listBody = "INFOhello! ".getBytes("US-ASCII").take(11)
+    val chunk = Array[Byte]('L', 'I', 'S', 'T',
+      11, 0, 0, 0) ++ listBody ++ Array[Byte](0) // pad to even
+    val spliced = plain.take(36) ++ chunk ++ plain.drop(36)
+    // fix the RIFF size field (bytes 4-7, little endian)
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val info = WavCodec.decode(spliced)
+    assert(info.nSamples == 3L)
+    assert(info.peak == 300)
+    assert(info.energy == 100L * 100 + 200L * 200 + 300L * 300)
+  }
+
+  test("wav: malformed inputs fail loudly") {
+    intercept[IllegalArgumentException](WavCodec.decode(Array.fill[Byte](10)(0)))
+    val bad = WavCodec.encode(8000, Array[Short](1, 2, 3))
+    bad(0) = 'X'
+    intercept[IllegalArgumentException](WavCodec.decode(bad))
+    val truncated = WavCodec.encode(8000, Array.fill[Short](100)(5)).take(80)
+    intercept[IllegalArgumentException](WavCodec.decode(truncated))
+  }
+
+  test("bmp: roundtrip across every row-pad case (widths 4..8)") {
+    for (w <- 4 to 8; h <- Seq(1, 3, 5)) {
+      val px = (x: Int, y: Int, c: Int) => (x * 3 + y * 7 + c * 11 + w) % 256
+      val bytes = BmpCodec.encode(w, h, px)
+      assert(bytes.length == 54 + BmpCodec.rowStride(w) * h)
+      val info = BmpCodec.decode(bytes)
+      assert(info.width == w && info.height == h && info.bpp == 24)
+      assert(info.rowPad == BmpCodec.rowStride(w) - 3 * w)
+      def want(c: Int) =
+        (for (x <- 0 until w; y <- 0 until h) yield px(x, y, c).toLong).sum
+      assert(info.sumB == want(0), s"w=$w h=$h B")
+      assert(info.sumG == want(1), s"w=$w h=$h G")
+      assert(info.sumR == want(2), s"w=$w h=$h R")
+    }
+  }
+
+  test("bmp: a stride-ignoring reader would differ — padding bytes are zero, not pixels") {
+    // width 5: stride 16, row data 15 — byte 16 of each row is padding.
+    val bytes = BmpCodec.encode(5, 2, (_, _, _) => 255)
+    val info = BmpCodec.decode(bytes)
+    assert(info.sumB == 255L * 5 * 2) // not 255 * 16/3 * 2 — pads excluded
+    // flat sum over the data region WOULD include the zero pads and the
+    // row boundary shifts a naive reader's channels; assert the pad bytes
+    // really are there (zero) so the case is non-vacuous
+    assert(bytes(54 + 15) == 0)
+  }
+
+  test("bmp: malformed inputs fail loudly") {
+    intercept[IllegalArgumentException](BmpCodec.decode(Array.fill[Byte](20)(0)))
+    val bad = BmpCodec.encode(4, 3, (_, _, _) => 1)
+    bad(28) = 32 // claim 32bpp
+    intercept[IllegalArgumentException](BmpCodec.decode(bad))
+    val short = BmpCodec.encode(4, 3, (_, _, _) => 1).dropRight(5)
+    intercept[IllegalArgumentException](BmpCodec.decode(short))
+  }
+}

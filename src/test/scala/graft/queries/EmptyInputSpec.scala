@@ -112,7 +112,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ivf_index_build", // persisted index of an empty corpus (schema-only read)
     "q_ivf_index_search",// probe an empty persisted index
     "q_pq_index_search", // ADC over an empty code table
-    "q_compaction_exec") // rewrite zero small files into zero groups
+    "q_compaction_exec", // rewrite zero small files into zero groups
+    "q_wav_decode",      // container decode over zero media rows
+    "q_bmp_decode")      // header parse over zero media rows
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
