@@ -43,6 +43,36 @@ object MediaCodec {
     BmpCodec.encode(w, h, (x, y, c) => ((seed + 3L * x + 7L * y + 11L * c) % 256).toInt)
   }
 
+  /** 9×8 BMP for the dHash gate (stride 28, pad 1 — non-trivial), pixel
+    * byte = (31·seed + 97x + 131y + 11c) mod 256 — the large x step
+    * wraps several times per row, so neighbor comparisons mix both
+    * directions (a monotone formula would set every dHash bit). */
+  def bmpSynth9x8Bytes(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"bmp_synth_9x8 seed must be nonnegative, got $seed")
+    BmpCodec.encode(9, 8, (x, y, c) => ((seed * 31 + 97L * x + 131L * y + 11L * c) % 256).toInt)
+  }
+
+  /** dHash (difference hash) over the DECODED grayscale plane: bit
+    * (y·8 + x) set iff gray(x+1, y) > gray(x, y), over the 8×8 left
+    * grid of a 9-wide image — the standard perceptual near-dup hash,
+    * here computed from genuinely parsed pixels (stride and bottom-up
+    * order included), not raw payload bytes. */
+  def bmpDhash64(payload: Array[Byte]): Long = {
+    val (w, h, g) = BmpCodec.grayPlane(payload)
+    require(w >= 9 && h >= 8, s"dhash needs at least 9x8 pixels, got ${w}x$h")
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * w + x + 1) > g(y * w + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   def bmpStatsRow(payload: Array[Byte]): InternalRow = {
     val b = BmpCodec.decode(payload)
     new GenericInternalRow(Array[Any](
@@ -75,6 +105,34 @@ object MediaCodec {
     GraftBridge.column(BmpSynth(GraftBridge.expression(seed)))
   def bmpStats(payload: Column): Column =
     GraftBridge.column(BmpStats(GraftBridge.expression(payload)))
+  def bmpSynth9x8(seed: Column): Column =
+    GraftBridge.column(BmpSynth9x8(GraftBridge.expression(seed)))
+  def bmpDhash(payload: Column): Column =
+    GraftBridge.column(BmpDhash(GraftBridge.expression(payload)))
+}
+
+case class BmpSynth9x8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_synth_9x8"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.bmpSynth9x8Bytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.bmpSynth9x8Bytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BmpDhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bmp_dhash"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.bmpDhash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.bmpDhash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class WavSynth(child: Expression) extends UnaryExpression {

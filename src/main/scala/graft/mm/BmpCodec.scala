@@ -65,6 +65,30 @@ object BmpCodec {
     out
   }
 
+  /** Decoded grayscale plane in LOGICAL (top-down) row order:
+    * gray(x, y) = (B + G + R) / 3, integer division — the luminance
+    * plane a perceptual hash reads. Row stride honored; logical order
+    * restored by walking stored rows bottom-up. */
+  def grayPlane(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val info = decode(b) // full validation
+    val (w, h) = (info.width, info.height)
+    val stride = rowStride(w)
+    val dataOff = le32(b, 10)
+    val g = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = dataOff + stride * (h - 1 - y) // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 3 * x
+        g(y * w + x) = ((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, g)
+  }
+
   /** Decode header + per-channel pixel sums, honoring the row stride.
     * Throws loudly on malformed input. */
   def decode(b: Array[Byte]): BmpInfo = {

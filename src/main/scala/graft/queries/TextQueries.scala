@@ -1403,11 +1403,60 @@ object TextQueries {
         .orderBy("media_id")
   }
 
+  /** Perceptual dHash over GENUINELY DECODED pixels — the composition the
+    * two codec gates exist for: [[graft.mm.BmpCodec.grayPlane]] parses
+    * real 9×8 BMPs (stride 28 with 1 pad byte per row, bottom-up storage
+    * flipped back to logical order), and the hash compares horizontal
+    * gray neighbors over the 8×8 grid (bit y·8+x set iff
+    * gray(x+1,y) > gray(x,y)). Unlike [[qDhash]], which hashes raw
+    * payload bytes, a stride or row-order misparse here flips specific
+    * bits — and the oracle computes the expected bits from the pixel
+    * formula alone. The 64-bit hash ships as two 32-bit halves (DuckDB's
+    * BIGINT cannot form an unsigned 2⁶³ term). */
+  val qBmpDhash: Q = Q.sql(
+    "q_bmp_dhash",
+    """WITH m AS (SELECT doc_id AS media_id, CAST(doc_id AS BIGINT) AS seed FROM documents),
+      |g AS (
+      |  SELECT media_id,
+      |    list_transform(generate_series(0, 7), y ->
+      |      list_transform(generate_series(0, 8), x ->
+      |        ((seed*31 + 97*x + 131*y) % 256 + (seed*31 + 97*x + 131*y + 11) % 256
+      |          + (seed*31 + 97*x + 131*y + 22) % 256) // 3)) AS gr
+      |  FROM m
+      |)
+      |SELECT media_id,
+      |  CAST(list_sum(flatten(list_transform(generate_series(4, 7), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      CASE WHEN gr[y+1][x+2] > gr[y+1][x+1]
+      |        THEN CAST(1 AS BIGINT) << (y*8 + x - 32) ELSE 0 END)))) AS BIGINT) AS hash_hi,
+      |  CAST(list_sum(flatten(list_transform(generate_series(0, 3), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      CASE WHEN gr[y+1][x+2] > gr[y+1][x+1]
+      |        THEN CAST(1 AS BIGINT) << (y*8 + x) ELSE 0 END)))) AS BIGINT) AS hash_lo,
+      |  CAST(list_sum(flatten(list_transform(generate_series(0, 7), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      CASE WHEN gr[y+1][x+2] > gr[y+1][x+1] THEN 1 ELSE 0 END)))) AS BIGINT) AS n_set
+      |FROM g ORDER BY media_id""".stripMargin,
+    doc = "perceptual dHash over decoded BMP gray pixels (stride+row-order proven by bits)") {
+    (s, d) =>
+      import graft.expressions.MediaCodec
+      val bits = MediaCodec.bmpDhash(
+        MediaCodec.bmpSynth9x8(col("doc_id").cast("long")))
+      documents(s, d)
+        .select(col("doc_id").as("media_id"), bits.as("bits"))
+        .select(
+          col("media_id"),
+          shiftrightunsigned(col("bits"), 32).as("hash_hi"),
+          col("bits").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
+          bit_count(col("bits")).cast("long").as("n_set"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
-      qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode)
+      qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash)
 }

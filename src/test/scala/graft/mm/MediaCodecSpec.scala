@@ -81,6 +81,29 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(bytes(54 + 15) == 0)
   }
 
+  test("bmp: grayPlane restores LOGICAL row order from the bottom-up storage") {
+    // pixel gray depends on the logical row: a decoder that forgets the
+    // bottom-up flip returns row 0 where row h-1 belongs
+    val bytes = BmpCodec.encode(9, 8, (x, y, c) => (y * 30 + x) % 256)
+    val (w, h, g) = BmpCodec.grayPlane(bytes)
+    assert(w == 9 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(g(y * 9 + x) == (y * 30 + x) % 256, s"($x,$y)")
+  }
+
+  test("bmp dhash: bits recompute from the pixel formula (stride + flip proven)") {
+    for (seed <- Seq(0L, 1L, 123L, 255L, 256L)) {
+      val bits = graft.expressions.MediaCodec.bmpDhash64(
+        graft.expressions.MediaCodec.bmpSynth9x8Bytes(seed))
+      def gray(x: Int, y: Int): Int =
+        (0 until 3).map(c => ((seed * 31 + 97L * x + 131L * y + 11L * c) % 256).toInt).sum / 3
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gray(x + 1, y) > gray(x, y)) want |= 1L << (y * 8 + x)
+      assert(bits == want, s"seed $seed")
+    }
+  }
+
   test("bmp: malformed inputs fail loudly") {
     intercept[IllegalArgumentException](BmpCodec.decode(Array.fill[Byte](20)(0)))
     val bad = BmpCodec.encode(4, 3, (_, _, _) => 1)

@@ -114,7 +114,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_pq_index_search", // ADC over an empty code table
     "q_compaction_exec", // rewrite zero small files into zero groups
     "q_wav_decode",      // container decode over zero media rows
-    "q_bmp_decode")      // header parse over zero media rows
+    "q_bmp_decode",      // header parse over zero media rows
+    "q_bmp_dhash")       // perceptual hash over zero decoded images
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
