@@ -269,8 +269,8 @@ object SolarQueries {
   private val qbNowTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
   private val qbNowS = 1706745600L
   private val qbStartS = qbNowS - 20L * 86400
-  private def qbBaseSql: String =
-    s"""WITH pts AS (
+  private def qbPtsSql: String =
+    s"""pts AS (
        |  SELECT floor(epoch(ts)) AS t_s, 'fx-1' AS measurement, 'battery_voltage' AS field,
        |    CAST((CAST(floor(value*10) AS BIGINT) % 5000) AS DOUBLE) / 10.0 AS value
        |  FROM events WHERE user_id % 3 = 1
@@ -278,14 +278,18 @@ object SolarQueries {
        |  SELECT floor(epoch(ts)), 'mx-1', 'bat_voltage',
        |    CAST((CAST(floor(value*10) AS BIGINT) * 3 % 5000) AS DOUBLE) / 10.0
        |  FROM events WHERE user_id % 3 = 2
-       |), m AS (
+       |)""".stripMargin
+  private def qbBaseSql: String =
+    s"""WITH $qbPtsSql, m AS (
        |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
        |    field, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS value
        |  FROM pts
        |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
-  private def qbBase(
+  /** The ranged+filtered builder the Flux-transformation gates share,
+    * BEFORE the aggregate — so gates can pick their own window fn. */
+  private def qbBuilder(
       s: org.apache.spark.sql.SparkSession, d: String): graft.query.QueryBuilder = {
     val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
       SolarSynth.topicCol(col("user_id")).as("topic"),
@@ -301,9 +305,10 @@ object SolarQueries {
       .appendFilter("_measurement", "mx-1")
       .appendFilter("_field", "battery_voltage", joiner = "or", newBand = true)
       .appendFilter("_field", "bat_voltage")
-      .appendAggregate("1d", "mean")
-      .appendSort("_time")
   }
+  private def qbBase(
+      s: org.apache.spark.sql.SparkSession, d: String): graft.query.QueryBuilder =
+    qbBuilder(s, d).appendAggregate("1d", "mean").appendSort("_time")
   private def qbProject(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.select(
@@ -443,7 +448,30 @@ object SolarQueries {
         .orderBy("measurement", "window_end_s")
   }
 
+  /** Flux `aggregateWindow(fn: quantile(q: 0.9))` — per-series daily P90:
+    * Spark's EXACT interpolated percentile vs DuckDB's quantile_cont,
+    * the same rank p·(n−1) linear-interpolation definition; round(6) on
+    * both sides absorbs the interpolation's last-ulp expression-order
+    * difference. Per-window exact sort is bounded by window occupancy —
+    * at 100 TB the windows are the parallel unit, never a global sort. */
+  val qQbQuantile: Q = Q.sql(
+    "q_qb_quantile",
+    s"""WITH $qbPtsSql, m AS (
+       |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+       |    field, round(quantile_cont(value, 0.9), 6) AS value
+       |  FROM pts
+       |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT measurement, window_end_s, field, value FROM m
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux aggregateWindow(quantile 0.9): exact interpolated per-window P90") { (s, d) =>
+    qbProject(
+      qbBuilder(s, d).appendAggregate("1d", "quantile_0.9").appendSort("_time").build())
+      .withColumn("value", round(col("value"), 6))
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
     qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
-    qQbPivot)
+    qQbPivot, qQbQuantile)
 }

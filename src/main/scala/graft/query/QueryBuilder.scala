@@ -493,6 +493,14 @@ object QueryBuilder {
     // Flux spread(): max − min per window — a difference of two observed
     // values, so exact (no accumulation order to diverge)
     case "spread" => max(col("value")) - min(col("value"))
+    // Flux quantile(q: p, method: "estimate_tdigest"→exact here): Spark's
+    // exact interpolated percentile — rank p·(n−1), linear between the
+    // bracketing observed values, the same definition as DuckDB's
+    // quantile_cont (gates round(6) for last-ulp interpolation parity)
+    case q if q.startsWith("quantile_") =>
+      val p = q.stripPrefix("quantile_").toDouble
+      require(p >= 0.0 && p <= 1.0, s"quantile out of [0,1]: $p")
+      percentile(col("value"), lit(p))
     case other => throw new IllegalArgumentException(s"unknown aggregate fn: $other")
   }
 }

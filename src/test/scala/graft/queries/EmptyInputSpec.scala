@@ -115,7 +115,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_compaction_exec", // rewrite zero small files into zero groups
     "q_wav_decode",      // container decode over zero media rows
     "q_bmp_decode",      // header parse over zero media rows
-    "q_bmp_dhash")       // perceptual hash over zero decoded images
+    "q_bmp_dhash",       // perceptual hash over zero decoded images
+    "q_qb_quantile")     // per-window P90 with no windows
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
