@@ -222,7 +222,9 @@ object ScaleProbe {
       "q_qb_pivot" -> (() => reg("q_qb_pivot").run(spark, dir)),
       // xN media rows, narrow per-row encode+decode — no shuffle at all
       "q_wav_decode" -> (() => reg("q_wav_decode").run(spark, dir)),
-      "q_bmp_decode" -> (() => reg("q_bmp_decode").run(spark, dir)))
+      "q_bmp_decode" -> (() => reg("q_bmp_decode").run(spark, dir)),
+      // xN vectors: base write + batch append both scale, cells stay 16
+      "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

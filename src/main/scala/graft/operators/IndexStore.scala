@@ -37,6 +37,35 @@ object IndexStore {
       m.headOption.map(_.getLong(0))
     } catch { case _: Throwable => None }
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Drop the freshness marker: the artifact reads as stale until the
+    * next [[writeMeta]] — bracket any multi-step mutation with this. */
+  def invalidate(dir: String): Unit = rm(new java.io.File(metaPath(dir)))
+
+  /** Publish the freshness marker (LAST step of any build/update). */
+  def writeMeta(s: SparkSession, dir: String, sourceCount: Long): Unit =
+    s.range(1).select(lit(sourceCount).as("n")).coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(dir))
+
+  /** Write one artifact table (overwrite). */
+  def write(df: DataFrame, dir: String, table: String, parts: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$dir/$table")
+  }
+
+  /** APPEND rows into an existing artifact table — incremental index
+    * maintenance: new partition files accrete next to the existing ones,
+    * nothing is rewritten. Caller must [[invalidate]] first and
+    * [[writeMeta]] after, so a crash mid-append reads as stale. */
+  def append(df: DataFrame, dir: String, table: String, parts: Seq[String]): Unit = {
+    val w = df.write.mode("append")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$dir/$table")
+  }
+
   /** Write the artifact tables, then the meta marker. `tables` maps a
     * table name to its frame and (possibly empty) partition columns. */
   def publish(
@@ -44,17 +73,9 @@ object IndexStore {
       dir: String,
       sourceCount: Long,
       tables: Seq[(String, DataFrame, Seq[String])]): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(metaPath(dir))) // stale-on-crash: meta dies first
-    tables.foreach { case (name, df, parts) =>
-      val w = df.write.mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s"$dir/$name")
-    }
-    s.range(1).select(lit(sourceCount).as("n")).coalesce(1)
-      .write.mode("overwrite").parquet(metaPath(dir))
+    invalidate(dir) // stale-on-crash: meta dies first
+    tables.foreach { case (name, df, parts) => write(df, dir, name, parts) }
+    writeMeta(s, dir, sourceCount)
   }
 
   /** Read an artifact table with an explicit schema (empty-safe). */

@@ -796,6 +796,59 @@ object SimilarityQueries {
       .orderBy("q_id", "rn")
   }
 
+  /** INCREMENTAL index maintenance — the path a living 100 TB index
+    * actually takes: the index is built once over the base corpus
+    * (75%, vec_id % 4 ≠ 3), then the remaining 25% arrives as a batch
+    * and is ASSIGNED AGAINST THE STORED (frozen) CENTROIDS and APPENDED
+    * into the existing cell partitions — no rebuild, nothing rewritten
+    * (the batch's files accrete next to the base files; spec-pinned).
+    * Because an IVF assignment depends only on the centroid table, the
+    * incrementally-maintained index is row-identical to a full build,
+    * so the search result shares [[qAnnIvf]]'s oracle verbatim. Crash
+    * safety: the meta marker is dropped before the append and
+    * re-written after, so a half-appended index reads as stale and
+    * rebuilds. */
+  val qIvfIndexUpdate: Q = Q.sql(
+    "q_ivf_index_update",
+    ivfOracleSql,
+    doc = "IVF search after INCREMENTAL index update (batch appended to stored cells)") {
+    (s, d) =>
+      import graft.operators.IndexStore
+      val dir = IndexStore.dirFor(d, "ivf_inc")
+      val n = embeddings(s, d).count()
+      if (!IndexStore.publishedCount(s, dir).contains(n)) {
+        val all = vecs(s, d)
+        // centroids come from the full key space (vec_id < IvfCells) —
+        // the frozen coarse quantizer; cells accrete, centroids never move
+        val cents = all.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        def assign(part: DataFrame) = ivfScored(part, cents).filter(col("crank") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        IndexStore.invalidate(dir)
+        IndexStore.write(
+          assign(all.filter(pmod(col("vec_id"), lit(4)) =!= 3)).repartition(col("cell")),
+          dir, "vectors", Seq("cell"))
+        IndexStore.write(cents, dir, "centroids", Nil)
+        // the incremental batch: assigned against the STORED centroid
+        // table (not the in-memory one — the maintenance job only has
+        // the index), appended into the existing cell directories
+        val storedCents = IndexStore.read(s, dir, "centroids", IvfCentSchema)
+        IndexStore.append(
+          ivfScored(all.filter(pmod(col("vec_id"), lit(4)) === 3), storedCents)
+            .filter(col("crank") === 1)
+            .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+            .repartition(col("cell")),
+          dir, "vectors", Seq("cell"))
+        IndexStore.writeMeta(s, dir, n)
+      }
+      val idx = IndexStore.read(s, dir, "vectors", IvfVecSchema)
+      val cents = IndexStore.read(s, dir, "centroids", IvfCentSchema)
+      val queries = vecs(s, d).filter(col("vec_id") < NumQueries)
+      val probes = ivfScored(queries, cents).filter(col("crank") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+      ivfSearchAssigned(probes, queries, idx)
+  }
+
   /** PQ index persisted the way a compressed 100 TB corpus actually
     * ships: ONE row per vector holding its [[PqBlocks]] codes (the
     * 64×-compressed layout — raw floats never stored), plus the tiny
@@ -1768,5 +1821,5 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qPqIndexSearch)
+      qIvfIndexUpdate, qPqIndexSearch)
 }

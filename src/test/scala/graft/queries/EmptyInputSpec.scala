@@ -116,7 +116,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_wav_decode",      // container decode over zero media rows
     "q_bmp_decode",      // header parse over zero media rows
     "q_bmp_dhash",       // perceptual hash over zero decoded images
-    "q_qb_quantile")     // per-window P90 with no windows
+    "q_qb_quantile",     // per-window P90 with no windows
+    "q_ivf_index_update")// incremental append of an empty batch
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

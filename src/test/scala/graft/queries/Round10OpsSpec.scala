@@ -24,6 +24,18 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(stored == inline)
   }
 
+  test("q_ivf_index_update: incrementally-maintained index serves identical results") {
+    val inline = rows(SimilarityQueries.qAnnIvf.run(spark, sf))
+    val updated = rows(SimilarityQueries.qIvfIndexUpdate.run(spark, sf))
+    assert(updated == inline)
+    // the batch really APPENDED: cell dirs hold base + batch files
+    val vecDir = graft.operators.IndexStore.dirFor(sf, "ivf_inc") + "/vectors"
+    val cellDirs = new java.io.File(vecDir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    val multiFile = cellDirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+    assert(multiFile > 0, "no cell shows an appended batch file — update looks like a rebuild")
+  }
+
   test("q_pq_index_search: result rows identical to the inline q_pq_search path") {
     val inline = rows(SimilarityQueries.qPqSearch.run(spark, sf))
     val stored = rows(SimilarityQueries.qPqIndexSearch.run(spark, sf))
