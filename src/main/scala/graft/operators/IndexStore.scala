@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Layout per artifact: `<dir>/<table>/` parquet (optionally
   * partition-bucketed), plus a `<dir>/_meta/` parquet holding the source
-  * row count. Freshness = meta exists AND its count matches the current
-  * source count (one footer-only count per check); the meta is deleted
+  * row count and a source CONTENT STAMP (size+mtime fold of the source
+  * parquet — regenerated data changes mtime even when row counts
+  * collide, and checking it scans no data). Freshness = meta exists AND
+  * its stamp matches the source's current one; the meta is deleted
   * FIRST and re-written LAST on publish, so a crash mid-build always
   * reads as stale and rebuilds. Reads take an explicit schema so an
   * empty-corpus artifact (a `_SUCCESS`-only directory) still loads as an
@@ -29,6 +31,18 @@ object IndexStore {
 
   private def metaPath(dir: String) = s"$dir/_meta"
 
+  /** Content stamp of a source parquet file/directory: folds every
+    * file's length and mtime. Regenerated testdata changes mtime even
+    * when row counts collide, so a stale artifact can never be served
+    * after the source is rewritten — and no data is scanned to check. */
+  def sourceStamp(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).foldLeft(f.getName.hashCode.toLong)(_ * 31 + _)
+      else f.length * 1000003L + f.lastModified
+    val f = new java.io.File(path)
+    if (f.exists()) walk(f) else -1L
+  }
+
   /** Source row count recorded at publish time, None if never published
     * (or a publish crashed before the meta write). */
   def publishedCount(s: SparkSession, dir: String): Option[Long] =
@@ -36,6 +50,14 @@ object IndexStore {
       val m = s.read.schema("n LONG").parquet(metaPath(dir)).collect()
       m.headOption.map(_.getLong(0))
     } catch { case _: Throwable => None }
+
+  /** Freshness check against a source stamp: true only when a meta
+    * exists AND its recorded stamp matches the source's current one. */
+  def isFresh(s: SparkSession, dir: String, stamp: Long): Boolean =
+    try {
+      val m = s.read.schema("n LONG, stamp LONG").parquet(metaPath(dir)).collect()
+      m.headOption.exists(r => !r.isNullAt(1) && r.getLong(1) == stamp)
+    } catch { case _: Throwable => false }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rm)
@@ -47,8 +69,8 @@ object IndexStore {
   def invalidate(dir: String): Unit = rm(new java.io.File(metaPath(dir)))
 
   /** Publish the freshness marker (LAST step of any build/update). */
-  def writeMeta(s: SparkSession, dir: String, sourceCount: Long): Unit =
-    s.range(1).select(lit(sourceCount).as("n")).coalesce(1)
+  def writeMeta(s: SparkSession, dir: String, sourceCount: Long, stamp: Long = -1L): Unit =
+    s.range(1).select(lit(sourceCount).as("n"), lit(stamp).as("stamp")).coalesce(1)
       .write.mode("overwrite").parquet(metaPath(dir))
 
   /** Write one artifact table (overwrite). */
@@ -72,10 +94,11 @@ object IndexStore {
       s: SparkSession,
       dir: String,
       sourceCount: Long,
-      tables: Seq[(String, DataFrame, Seq[String])]): Unit = {
+      tables: Seq[(String, DataFrame, Seq[String])],
+      stamp: Long = -1L): Unit = {
     invalidate(dir) // stale-on-crash: meta dies first
     tables.foreach { case (name, df, parts) => write(df, dir, name, parts) }
-    writeMeta(s, dir, sourceCount)
+    writeMeta(s, dir, sourceCount, stamp)
   }
 
   /** Read an artifact table with an explicit schema (empty-safe). */

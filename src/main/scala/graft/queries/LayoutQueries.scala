@@ -187,13 +187,13 @@ object LayoutQueries {
       val smallDir = IndexStore.dirFor(d, "smallfiles")
       // fixture: one file per ship-date day (repartition by day → every
       // day's rows land in exactly one task → one file per day dir)
-      val n = lineitem(s, d).count()
-      if (!IndexStore.publishedCount(s, smallDir).contains(n)) {
+      val stamp = IndexStore.sourceStamp(s"$d/lineitem.parquet")
+      if (!IndexStore.isFresh(s, smallDir, stamp)) {
         val days = lineitem(s, d).select(
           col("l_shipdate").cast("date").as("day"),
           col("l_quantity").cast("decimal(27,2)").as("qty"))
-        IndexStore.publish(s, smallDir, n,
-          Seq(("files", days.repartition(col("day")), Seq("day"))))
+        IndexStore.publish(s, smallDir, lineitem(s, d).count(),
+          Seq(("files", days.repartition(col("day")), Seq("day"))), stamp)
       }
       // ONE scan of the 2.5k-file bucket feeds both the plan's day grain
       // and the rewrite join (scratch-persisted, released by the caller's

@@ -501,16 +501,19 @@ object SimilarityQueries {
     graft.operators.IndexStore.publish(s, dir, n, Seq(
       // repartition by cell first → exactly one file per cell directory
       ("vectors", assigned.repartition(col("cell")), Seq("cell")),
-      ("centroids", cents, Nil)))
+      ("centroids", cents, Nil)),
+      graft.operators.IndexStore.sourceStamp(s"$d/embeddings.parquet"))
   }
 
   /** Build-if-stale: the amortized path every search gate takes. The
-    * freshness probe is one footer-only count of the source table. */
+    * freshness probe is the source parquet's size+mtime stamp — no data
+    * scan, and a regenerated source can never serve a stale index even
+    * when its row count collides. */
   def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = graft.operators.IndexStore.dirFor(d, "ivf")
-    val n = embeddings(s, d).count()
-    if (!graft.operators.IndexStore.publishedCount(s, dir).contains(n))
-      buildIvfIndex(s, d, dir, n)
+    val stamp = graft.operators.IndexStore.sourceStamp(s"$d/embeddings.parquet")
+    if (!graft.operators.IndexStore.isFresh(s, dir, stamp))
+      buildIvfIndex(s, d, dir, embeddings(s, d).count())
     dir
   }
 
@@ -815,8 +818,9 @@ object SimilarityQueries {
     (s, d) =>
       import graft.operators.IndexStore
       val dir = IndexStore.dirFor(d, "ivf_inc")
-      val n = embeddings(s, d).count()
-      if (!IndexStore.publishedCount(s, dir).contains(n)) {
+      val stamp = IndexStore.sourceStamp(s"$d/embeddings.parquet")
+      if (!IndexStore.isFresh(s, dir, stamp)) {
+        val n = embeddings(s, d).count()
         val all = vecs(s, d)
         // centroids come from the full key space (vec_id < IvfCells) —
         // the frozen coarse quantizer; cells accrete, centroids never move
@@ -839,7 +843,7 @@ object SimilarityQueries {
             .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
             .repartition(col("cell")),
           dir, "vectors", Seq("cell"))
-        IndexStore.writeMeta(s, dir, n)
+        IndexStore.writeMeta(s, dir, n, stamp)
       }
       val idx = IndexStore.read(s, dir, "vectors", IvfVecSchema)
       val cents = IndexStore.read(s, dir, "centroids", IvfCentSchema)
@@ -863,8 +867,9 @@ object SimilarityQueries {
     doc = s"PQ ADC top-$PqSearchK served from the persisted codes+codebook index") {
     (s, d) =>
       val dir = graft.operators.IndexStore.dirFor(d, "pq")
-      val n = embeddings(s, d).count()
-      if (!graft.operators.IndexStore.publishedCount(s, dir).contains(n)) {
+      val stamp = graft.operators.IndexStore.sourceStamp(s"$d/embeddings.parquet")
+      if (!graft.operators.IndexStore.isFresh(s, dir, stamp)) {
+        val n = embeddings(s, d).count()
         val vecsAll = pqVecs(s, d)
         val blocked = pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
         val cents = pqCentsOf(vecsAll)
@@ -873,7 +878,7 @@ object SimilarityQueries {
         val wideCodes = pqBest(blocked, cents)
           .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
         graft.operators.IndexStore.publish(s, dir, n, Seq(
-          ("codes", wideCodes, Nil), ("codebook", cents, Nil)))
+          ("codes", wideCodes, Nil), ("codebook", cents, Nil)), stamp)
       }
       val codeDdl = "vec_id LONG, " + (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ")
       val wide = graft.operators.IndexStore.read(s, dir, "codes", codeDdl)

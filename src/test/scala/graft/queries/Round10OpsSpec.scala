@@ -54,13 +54,14 @@ class Round10OpsSpec extends AnyFunSuite {
       val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1, s"${cd.getName}: expected 1 file, got ${files.length}")
     }
-    // freshness: poison the meta → ensure() must rebuild, not serve stale
+    // freshness: poison the meta (wrong stamp) → ensure() must rebuild
     val meta = graft.operators.IndexStore.dirFor(sf, "ivf")
-    spark.range(1).select(lit(-1L).as("n")).coalesce(1)
+    val stamp = graft.operators.IndexStore.sourceStamp(s"$sf/embeddings.parquet")
+    spark.range(1).select(lit(-1L).as("n"), lit(12345L).as("stamp")).coalesce(1)
       .write.mode("overwrite").parquet(s"$meta/_meta")
-    assert(!graft.operators.IndexStore.publishedCount(spark, meta).contains(
-      graft.Tables.embeddings(spark, sf).count()))
+    assert(!graft.operators.IndexStore.isFresh(spark, meta, stamp))
     SimilarityQueries.ivfIndexDir(spark, sf) // rebuilds
+    assert(graft.operators.IndexStore.isFresh(spark, meta, stamp))
     assert(graft.operators.IndexStore.publishedCount(spark, meta).contains(
       graft.Tables.embeddings(spark, sf).count()))
   }
