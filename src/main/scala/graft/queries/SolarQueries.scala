@@ -471,7 +471,60 @@ object SolarQueries {
       .withColumn("value", round(col("value"), 6))
   }
 
+  /** Shared run-id CTE for the state pipes: a row's run id `g` is the
+    * count of non-matching rows at-or-before it per series — the same
+    * one-running-sum trick the Spark pipes use, so both engines derive
+    * runs from the identical bit-identical base doubles. */
+  private def qbStateRunsSql(pred: String): String =
+    s"""runs AS (
+       |  SELECT measurement, window_end_s, field, value, ($pred) AS m,
+       |    sum(CASE WHEN $pred THEN 0 ELSE 1 END) OVER (
+       |      PARTITION BY measurement, field ORDER BY window_end_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM m
+       |)""".stripMargin
+
+  /** Flux `stateCount(fn: (r) => r._value > 250)` + `timeShift(1d)` —
+    * "how many consecutive days has this series run hot", shifted one day
+    * for an overlay. The count restarts after every non-matching day
+    * (−1 rows), exactly InfluxDB's alert-escalation semantics. One
+    * running sum + one run-partitioned rank over the per-series shuffle
+    * the aggregation already produced — no extra fact-scale shuffle. */
+  val qQbStateCount: Q = Q.sql(
+    "q_qb_state_count",
+    s"""$qbBaseSql, ${qbStateRunsSql("value > 250.0")}
+       |SELECT measurement, window_end_s + 86400 AS window_end_s, field,
+       |  CASE WHEN m THEN CAST(row_number() OVER (
+       |      PARTITION BY measurement, field, g ORDER BY window_end_s)
+       |      - CASE WHEN g > 0 THEN 1 ELSE 0 END AS DOUBLE)
+       |    ELSE -1.0 END AS value
+       |FROM runs
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux stateCount(value > 250) + timeShift(1d) over aggregateWindow(1d, mean)") {
+    (s, d) =>
+      qbProject(qbBase(s, d).stateCount(">", 250.0).timeShift("1d").build())
+  }
+
+  /** Flux `stateDuration(fn: (r) => r._value > 250, unit: 1h)` — hours
+    * since the current hot run began (0 on the run's first day, −1 on
+    * cool days): the "how LONG has it been out of band" complement to
+    * [[qQbStateCount]]. Pure integer-second subtraction scaled once. */
+  val qQbStateDuration: Q = Q.sql(
+    "q_qb_state_duration",
+    s"""$qbBaseSql, ${qbStateRunsSql("value > 250.0")}
+       |SELECT measurement, window_end_s, field,
+       |  CASE WHEN m THEN CAST(window_end_s - min(CASE WHEN m THEN window_end_s END) OVER (
+       |      PARTITION BY measurement, field, g ORDER BY window_end_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 3600.0
+       |    ELSE -1.0 END AS value
+       |FROM runs
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux stateDuration(value > 250, unit: 1h) over aggregateWindow(1d, mean)") {
+    (s, d) =>
+      qbProject(qbBase(s, d).stateDuration(">", 250.0, "1h").build())
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
     qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
-    qQbPivot, qQbQuantile)
+    qQbPivot, qQbQuantile, qQbStateCount, qQbStateDuration)
 }

@@ -140,6 +140,32 @@ final class QueryBuilder private (
   def elapsed(unit: String = "1s"): QueryBuilder =
     copyWith(postOps = postOps :+ Elapsed(unit))
 
+  /** Flux `stateCount(fn)`: per series, count consecutive points whose
+    * value satisfies `op threshold` (">", ">=", "<", "<=", "=="); the
+    * first matching point of a run counts 1, a non-matching point emits
+    * −1 and resets the run — InfluxDB's alert-escalation primitive
+    * ("N consecutive windows above the limit"). The count is emitted AS
+    * the value (Flux appends a `stateCount` column; this builder's fixed
+    * record schema carries one value slot — the [[elapsed]] documented
+    * delta). Batch only. */
+  def stateCount(op: String, threshold: Double): QueryBuilder =
+    copyWith(postOps = postOps :+ StateCount(requireStateOp(op), threshold))
+
+  /** Flux `stateDuration(fn, unit)`: per series, time since the current
+    * matching run began, scaled to `unit` — 0 on the run's first matching
+    * point, −1 on non-matching points ("how long has the battery been
+    * over-voltage"). Emitted AS the value (same schema delta as
+    * [[stateCount]]). Batch only. */
+  def stateDuration(op: String, threshold: Double, unit: String = "1s"): QueryBuilder =
+    copyWith(postOps = postOps :+ StateDuration(requireStateOp(op), threshold, unit))
+
+  /** Flux `timeShift(duration)`: add a (possibly negative, "-1h")
+    * duration to every `_time` — the comparison-overlay primitive
+    * ("this week vs last week on one axis"). A pure per-row map: the
+    * only pipe that stays legal on a streaming build. */
+  def timeShift(duration: String): QueryBuilder =
+    copyWith(postOps = postOps :+ TimeShift(duration))
+
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
 
@@ -235,9 +261,14 @@ final class QueryBuilder private (
     // the per-series sort. They need ordered history, which an unbounded
     // stream cannot provide — fail loudly rather than silently skip.
     if (postOps.nonEmpty) {
-      require(!df.isStreaming,
+      val needsHistory = postOps.exists {
+        case TimeShift(_) => false
+        case _ => true
+      }
+      require(!df.isStreaming || !needsHistory,
         "Flux transformation pipes (derivative/movingAverage/increase/cumulativeSum/" +
-          "difference/elapsed) need ordered per-series history — batch builds only")
+          "difference/elapsed/stateCount/stateDuration) need ordered per-series " +
+          "history — batch builds only (timeShift alone is streaming-safe)")
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy(col("measurement"), col("field")).orderBy(col("time"))
       postOps.foreach {
@@ -283,6 +314,47 @@ final class QueryBuilder private (
             unix_timestamp(lag(col("time"), 1).over(wS))).cast("double") /
             unitSeconds(unit).toDouble
           df = df.withColumn("value", gap).filter(col("value").isNotNull)
+        // stateCount / stateDuration: run identification is ONE running
+        // sum over the same per-series shuffle key every other pipe uses —
+        // a row's run id is the count of non-matching rows at-or-before it
+        // (the run's own resetting row leads the run, so rank/time-origin
+        // corrections are local to the run partition). Requires unique
+        // per-series times (guaranteed downstream of aggregateWindow).
+        case StateCount(op, thr) =>
+          val run = wS.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val wG = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("measurement"), col("field"), col("g__")).orderBy(col("time"))
+          df = df
+            .withColumn("m__", statePredicate(op, thr))
+            .withColumn("g__", sum(when(col("m__"), 0L).otherwise(1L)).over(run))
+            .withColumn("value",
+              when(col("m__"),
+                (row_number().over(wG) -
+                  when(col("g__") > 0, 1L).otherwise(0L)).cast("double"))
+                .otherwise(lit(-1.0)))
+            .drop("m__", "g__")
+        case StateDuration(op, thr, unit) =>
+          val run = wS.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val wG = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("measurement"), col("field"), col("g__")).orderBy(col("time"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          df = df
+            .withColumn("m__", statePredicate(op, thr))
+            .withColumn("g__", sum(when(col("m__"), 0L).otherwise(1L)).over(run))
+            .withColumn("t0__", min(when(col("m__"), col("time"))).over(wG))
+            .withColumn("value",
+              when(col("m__"),
+                (unix_timestamp(col("time")) - unix_timestamp(col("t0__"))).cast("double") /
+                  unitSeconds(unit).toDouble)
+                .otherwise(lit(-1.0)))
+            .drop("m__", "g__", "t0__")
+        case TimeShift(duration) =>
+          val (sign, mag) =
+            if (duration.startsWith("-")) ("-", duration.substring(1)) else ("", duration)
+          df = df.withColumn("time",
+            col("time") + expr(s"INTERVAL $sign${toSparkInterval(mag)}"))
       }
     }
 
@@ -333,6 +405,11 @@ final class QueryBuilder private (
       case CumulativeSum => sb.append("\n\t|> cumulativeSum()")
       case Difference(nn) => sb.append(s"\n\t|> difference(nonNegative: $nn)")
       case Elapsed(u) => sb.append(s"\n\t|> elapsed(unit: $u)")
+      case StateCount(op, thr) =>
+        sb.append(s"""\n\t|> stateCount(fn: (r) => r["_value"] $op $thr)""")
+      case StateDuration(op, thr, u) =>
+        sb.append(s"""\n\t|> stateDuration(fn: (r) => r["_value"] $op $thr, unit: $u)""")
+      case TimeShift(d) => sb.append(s"\n\t|> timeShift(duration: $d)")
     }
     sortSpec.foreach { case (f, desc) =>
       sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
@@ -387,6 +464,26 @@ object QueryBuilder {
   case object CumulativeSum extends PostOp
   final case class Difference(nonNegative: Boolean) extends PostOp
   final case class Elapsed(unit: String) extends PostOp
+  final case class StateCount(op: String, threshold: Double) extends PostOp
+  final case class StateDuration(op: String, threshold: Double, unit: String) extends PostOp
+  final case class TimeShift(duration: String) extends PostOp
+
+  private val StateOps = Set(">", ">=", "<", "<=", "==")
+  private[query] def requireStateOp(op: String): String = {
+    require(StateOps(op), s"stateCount/stateDuration op must be one of $StateOps, got: $op")
+    op
+  }
+
+  /** The `fn: (r) => r["_value"] op threshold` predicate both state pipes
+    * share (the builder's value slot is the only numeric column, matching
+    * the reference's filter surface). */
+  private[query] def statePredicate(op: String, threshold: Double): Column = op match {
+    case ">" => col("value") > threshold
+    case ">=" => col("value") >= threshold
+    case "<" => col("value") < threshold
+    case "<=" => col("value") <= threshold
+    case "==" => col("value") === threshold
+  }
 
   /** "1s"/"5m"/"1h"/"1d"/"1w" → seconds. */
   private[query] def unitSeconds(unit: String): Long = {

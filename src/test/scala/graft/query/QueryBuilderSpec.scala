@@ -275,6 +275,49 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(run(_.elapsed("1m")) === Seq(1.0, 3.0))
   }
 
+  test("stateCount / stateDuration: run semantics on a fixture") {
+    import spark.implicits._
+    // match, match, MISS, match, match, match  (pred: value > 10)
+    val series = Seq(
+      ("m", ts("2024-01-01 10:00:00"), "c", 20.0),
+      ("m", ts("2024-01-01 10:01:00"), "c", 30.0),
+      ("m", ts("2024-01-01 10:02:00"), "c", 5.0),
+      ("m", ts("2024-01-01 10:04:00"), "c", 40.0), // 2-min gap after the reset
+      ("m", ts("2024-01-01 10:05:00"), "c", 50.0),
+      ("m", ts("2024-01-01 10:06:00"), "c", 60.0)
+    ).toDF("measurement", "time", "field", "value")
+    def run(f: QueryBuilder => QueryBuilder): Seq[Double] =
+      f(QueryBuilder.fromDataFrame(spark, () => series))
+        .appendSort("_time").build().collect().map(_.getDouble(3)).toSeq
+    // counts restart after the miss; the miss itself is -1
+    assert(run(_.stateCount(">", 10.0)) === Seq(1.0, 2.0, -1.0, 1.0, 2.0, 3.0))
+    // duration: 0 at each run start, minutes since start within the run
+    assert(run(_.stateDuration(">", 10.0, "1m")) === Seq(0.0, 1.0, -1.0, 0.0, 1.0, 2.0))
+    // a second series must not bleed runs across (measurement, field)
+    val two = series.union(
+      Seq(("m2", ts("2024-01-01 10:00:00"), "c", 99.0)).toDF(
+        "measurement", "time", "field", "value"))
+    val got = QueryBuilder.fromDataFrame(spark, () => two)
+      .stateCount(">", 10.0).appendSort("_time").build()
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(got.filter(_._1 == "m2").map(_._2) === Seq(1.0))
+    intercept[IllegalArgumentException] { qb.stateCount("!=", 1.0) }
+  }
+
+  test("timeShift: shifts _time both directions; streaming-safe") {
+    val shifted = qb.range("-1h").timeShift("1h").build()
+      .orderBy("time").collect().map(_.getTimestamp(1)).toSeq
+    assert(shifted.head === ts("2024-01-01 11:00:10"))
+    val back = qb.range("-1h").timeShift("-30m").build()
+      .orderBy("time").collect().map(_.getTimestamp(1)).toSeq
+    assert(back.head === ts("2024-01-01 09:30:10"))
+    // timeShift alone is legal on a streaming build (pure per-row map)
+    val dir = java.nio.file.Files.createTempDirectory("qbshift").toString
+    graft.solar.PointStore.write(points, dir + "/b")
+    val sdf = QueryBuilder.streaming(spark, dir + "/b").timeShift("1h").build()
+    assert(sdf.isStreaming)
+  }
+
   test("transformations render Flux text and refuse streaming builds") {
     val flux = qb
       .range("-1h")
@@ -285,6 +328,9 @@ class QueryBuilderSpec extends AnyFunSuite {
       .cumulativeSum()
       .difference(nonNegative = true)
       .elapsed("1s")
+      .stateCount(">", 250.0)
+      .stateDuration(">=", 0.5, "1h")
+      .timeShift("-1d")
       .fluxString
     assert(flux.endsWith(
       "|> aggregateWindow(every: 1m, fn: mean)" +
@@ -293,7 +339,10 @@ class QueryBuilderSpec extends AnyFunSuite {
         "\n\t|> increase()" +
         "\n\t|> cumulativeSum()" +
         "\n\t|> difference(nonNegative: true)" +
-        "\n\t|> elapsed(unit: 1s)"))
+        "\n\t|> elapsed(unit: 1s)" +
+        "\n\t|> stateCount(fn: (r) => r[\"_value\"] > 250.0)" +
+        "\n\t|> stateDuration(fn: (r) => r[\"_value\"] >= 0.5, unit: 1h)" +
+        "\n\t|> timeShift(duration: -1d)"))
     val dir = java.nio.file.Files.createTempDirectory("qbpost").toString
     graft.solar.PointStore.write(points, dir + "/b")
     intercept[IllegalArgumentException] {
