@@ -224,7 +224,17 @@ object ScaleProbe {
       "q_wav_decode" -> (() => reg("q_wav_decode").run(spark, dir)),
       "q_bmp_decode" -> (() => reg("q_bmp_decode").run(spark, dir)),
       // xN vectors: base write + batch append both scale, cells stay 16
-      "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)))
+      "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)),
+      // replica-prefixed vocab: the bigram stream AND the pair table both
+      // scale xN (no cross-replica pairs); the three margins stay
+      // map-side combined, the scoring joins touch only the >=5 pairs
+      "q_pmi" -> (() => reg("q_pmi").run(spark, dir)),
+      // narrow per-row counting + a sources-bounded rollup — wall must
+      // track the one corpus scan
+      "q_readability" -> (() => reg("q_readability").run(spark, dir)),
+      // (source, dim) aggregate collapses xN rows into the SAME
+      // sources x 64 partial table; downstream joins are sources^2
+      "q_source_centroids" -> (() => reg("q_source_centroids").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

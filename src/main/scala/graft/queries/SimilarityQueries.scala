@@ -1722,6 +1722,82 @@ object SimilarityQueries {
             col("fro2").cast("double")).as("effective_rank"))
   }
 
+  /** Per-source embedding centroids and their pairwise cosine — the
+    * corpus-composition drift monitor: two sources whose centroids sit at
+    * cosine ≈ 1 are stylistically interchangeable; a source drifting away
+    * from the rest flags a scraper change or contamination. Cosine of
+    * centroids needs no division by n (the 1/n scale cancels), so the
+    * whole computation runs on per-source integer component SUMS.
+    *
+    * Scale design: the only fact-scale work is one narrow projection +
+    * one (source, dim) hash aggregate — 64× row fan-out collapsed by
+    * map-side combine to sources×64 partials per task; everything
+    * downstream (norms, the source-pair join) touches ≤ sources² rows.
+    * Determinism: components quantize to 1e-6 fixed point, per-dim sums
+    * are exact BIGINT, cross/self products fold in DECIMAL(38,0) (sums
+    * can pass 2^63 at corpus scale), and the final ratio is one pinned
+    * double expression; round(6) absorbs the sqrt/cast last ulp. */
+  val qSourceCentroids: Q = Q.sql(
+    "q_source_centroids",
+    s"""WITH e AS (
+       |  SELECT d.source, CAST(t.i AS BIGINT) AS i,
+       |    CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i) t),
+       |s AS (SELECT source, i, CAST(sum(xq) AS BIGINT) AS sq FROM e GROUP BY 1, 2),
+       |n AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id GROUP BY 1),
+       |nrm AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS n2
+       |  FROM s GROUP BY 1),
+       |dots AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    CAST(sum(CAST(a.sq AS DECIMAL(19,0)) * CAST(b.sq AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS dp
+       |  FROM s a JOIN s b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT dt.s1, dt.s2, na.n AS n1, nb.n AS n2,
+       |  CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN NULL
+       |    ELSE round(CAST(dt.dp AS DOUBLE) /
+       |      (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))), 6) END AS cos_centroid
+       |FROM dots dt
+       |JOIN nrm x ON x.source = dt.s1 JOIN nrm y ON y.source = dt.s2
+       |JOIN n na ON na.source = dt.s1 JOIN n nb ON nb.source = dt.s2
+       |ORDER BY s1, s2""".stripMargin,
+    doc = "per-source embedding centroids: pairwise centroid cosine drift matrix") { (s, d) =>
+    val withSource = embeddings(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .join(
+        documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id") === col("vec_id"))
+    val e = withSource.select(
+      col("source"),
+      posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("i", "xq")))
+    val sums = e.groupBy("source", "i").agg(sum(col("xq")).cast("long").as("sq"))
+    val n = withSource.groupBy("source").agg(count(lit(1)).as("n"))
+    val sqd = col("sq").cast("decimal(19,0)")
+    val nrm = sums.groupBy("source")
+      .agg(sum(sqd * sqd).cast("decimal(38,0)").as("n2"))
+    val dots = sums.as("a")
+      .join(sums.as("b"), col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(col("a.sq").cast("decimal(19,0)") * col("b.sq").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("dp"))
+    dots
+      .join(broadcast(nrm.select(col("source").as("s1"), col("n2").as("x2"))), "s1")
+      .join(broadcast(nrm.select(col("source").as("s2"), col("n2").as("y2"))), "s2")
+      .join(broadcast(n.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(n.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        when(col("x2") === 0 || col("y2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dp").cast("double") /
+            (sqrt(col("x2").cast("double")) * sqrt(col("y2").cast("double"))), 6))
+          .as("cos_centroid"))
+      .orderBy("s1", "s2")
+  }
+
   /** Grid cell width for [[qDbscanGrid]] (embedding dims span ~[−0.4, 0.4],
     * so ~16×16 occupied cells). */
   val DbscanCellW = 0.05
@@ -1826,5 +1902,5 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch)
+      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids)
 }

@@ -1452,11 +1452,126 @@ object TextQueries {
         .orderBy("media_id")
   }
 
+  /** Pointwise mutual information of adjacent word pairs (Church & Hanks
+    * 1990) — THE collocation detector: pmi = ln(c(a,b)·N / (c(a,·)·c(·,b)))
+    * over the corpus bigram stream, reported for pairs seen ≥ 5 times,
+    * top 50 by score. High-PMI pairs are multi-word expressions ("new
+    * york"), the unit a tokenizer or phrase-mining pass wants to keep
+    * whole.
+    *
+    * Scale design: the fact-scale work is ONE bigram explode feeding
+    * three hash aggregates (pair / left-margin / right-margin counts,
+    * all map-side combined); the scoring joins run on the aggregated
+    * (vocab²-bounded) pair table, never the corpus. Determinism: all
+    * counts are exact BIGINTs ≤ 2^53, so the ln argument is one exact
+    * double ratio; round(6) absorbs the library-ln last ulp (the
+    * [[qTfidf]] convention); output order keys on the ROUNDED score. */
+  val qPmi: Q = {
+    val bigramsSql =
+      s"list_transform(generate_series(1, len($tokensSql) - 1), i -> $tokensSql[i] || ' ' || $tokensSql[i+1])"
+    Q.sql(
+      "q_pmi",
+      s"""WITH bg AS (
+         |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+         |  FROM (SELECT unnest($bigramsSql) AS b FROM documents) _u
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+         |ab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+         |lm AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1)
+         |SELECT w1, w2, c_ab, c1, c2,
+         |  round(ln(CAST(c_ab AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+         |FROM ab JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT 50""".stripMargin,
+      doc = "PMI collocations: top-50 adjacent word pairs by pointwise mutual information") {
+      (s, d) =>
+        val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+        val bg = docs
+          .select(tokens(col("text")).as("w"))
+          .select(explode(
+            when(size(col("w")) >= 2,
+              transform(
+                sequence(lit(1), size(col("w")) - 1),
+                i => struct(
+                  element_at(col("w"), i).as("w1"),
+                  element_at(col("w"), i + 1).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val n = bg.agg(count(lit(1)).as("n"))
+        val ab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val lm = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val rm = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+        ab.filter(col("c_ab") >= 5)
+          .join(lm, "w1")
+          .join(rm, "w2")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c_ab"), col("c1"), col("c2"),
+            round(log(col("c_ab").cast("double") * col("n") /
+              (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(50)
+    }
+  }
+
+  /** Flesch reading ease per source (Flesch 1948): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated as vowel-group runs per token (min 1) — the standard
+    * dictionary-free heuristic. A corpus-curation quality signal: a
+    * source whose score collapses is boilerplate or OCR noise.
+    *
+    * Scale design: per-document counting is a narrow codegen map (one
+    * regex count per token inside a higher-order fold, no UDF); the
+    * per-source rollup is one map-side-combined aggregate over exact
+    * BIGINT component sums, so the final score is three IEEE ops on
+    * identical operands in both engines (pinned association order). */
+  val qReadability: Q = Q.sql(
+    "q_readability",
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len($tokensSql) AS BIGINT) AS w,
+       |    greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS s,
+       |    CAST(list_sum(list_transform($tokensSql,
+       |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS y
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS words,
+       |  CAST(sum(s) AS BIGINT) AS sentences,
+       |  CAST(sum(y) AS BIGINT) AS syllables,
+       |  round(206.835 - 1.015 * (CAST(sum(w) AS DOUBLE) / sum(s))
+       |    - 84.6 * (CAST(sum(y) AS DOUBLE) / sum(w)), 6) AS flesch
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Flesch reading ease per source (vowel-group syllable heuristic)") { (s, d) =>
+    documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("source"), tokens(col("text")).as("wArr"),
+        greatest(lit(1L),
+          length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")).as("s"))
+      .select(col("source"), size(col("wArr")).cast("long").as("w"), col("s"),
+        aggregate(
+          transform(col("wArr"),
+            t => greatest(lit(1), regexp_count(t, lit("[aeiouy]+"))).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("y"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"),
+        sum(col("y")).as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"), col("sentences"), col("syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("sentences"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words")), 6).as("flesch"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
-      qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash)
+      qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash,
+      qPmi, qReadability)
 }

@@ -117,7 +117,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bmp_decode",      // header parse over zero media rows
     "q_bmp_dhash",       // perceptual hash over zero decoded images
     "q_qb_quantile",     // per-window P90 with no windows
-    "q_ivf_index_update")// incremental append of an empty batch
+    "q_ivf_index_update",// incremental append of an empty batch
+    "q_qb_state_count",  // run counting over zero points
+    "q_qb_state_duration", // run timing over zero points
+    "q_pmi",             // collocations over an empty bigram stream
+    "q_readability",     // Flesch with zero docs (no 0-division group)
+    "q_source_centroids")// centroid cosine over zero sources
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
