@@ -524,7 +524,158 @@ object SolarQueries {
       qbProject(qbBase(s, d).stateDuration(">", 250.0, "1h").build())
   }
 
+  /** Flux `aggregateWindow(fn: stddev)` + `createEmpty` + `fill(value:
+    * −1)` — per-series daily variability with a dense grid where empty
+    * (and single-point, stddev-undefined) days read −1, the dashboard's
+    * "no signal" sentinel. Determinism: the stddev folds 1e-6 fixed-point
+    * INTEGER sums (exact in any partition order — see
+    * `QueryBuilder.aggregateFn`), leaving one division + one sqrt on
+    * identical operands; the oracle replays the identical integer
+    * algebra in HUGEINT. */
+  val qQbStddev: Q = Q.sql(
+    "q_qb_stddev",
+    s"""WITH $qbPtsSql, agg AS (
+       |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+       |    field,
+       |    CASE WHEN count(*) >= 2 THEN
+       |      sqrt(CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq) AS DOUBLE)
+       |        / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1000000.0
+       |    END AS value
+       |  FROM (SELECT *, CAST(round(value * 1000000) AS HUGEINT) AS xq FROM pts) _q
+       |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2, 3
+       |), grid AS (
+       |  SELECT measurement, field,
+       |    unnest(generate_series(min(window_end_s), max(window_end_s), 86400)) AS window_end_s
+       |  FROM agg GROUP BY 1, 2
+       |)
+       |SELECT g.measurement, g.window_end_s, g.field, coalesce(a.value, -1.0) AS value
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.measurement = g.measurement AND a.field = g.field
+       |  AND a.window_end_s = g.window_end_s
+       |ORDER BY g.measurement, g.window_end_s, g.field""".stripMargin,
+    doc = "Flux aggregateWindow(stddev) + createEmpty + fill(value: -1): daily variability grid") {
+    (s, d) =>
+      qbProject(
+        qbBuilder(s, d).appendAggregate("1d", "stddev", createEmpty = true)
+          .fillValue(-1.0).appendSort("_time").build())
+  }
+
+  /** Flux `top(n: 3)` — the three highest daily means per series, ties
+    * toward the earlier day. Plans as a rank window Spark rewrites to
+    * WindowGroupLimit: per-task 3-row heaps on the per-series shuffle the
+    * aggregation already produced — no per-series sort at scale. */
+  val qQbTop: Q = Q.sql(
+    "q_qb_top",
+    s"""$qbBaseSql
+       |SELECT measurement, window_end_s, field, value FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY measurement, field ORDER BY value DESC, window_end_s) AS rn
+       |  FROM m) _x
+       |WHERE rn <= 3
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux top(n: 3): three highest daily means per series via WindowGroupLimit") { (s, d) =>
+    qbProject(qbBase(s, d).top(3).build())
+  }
+
+  /** Flux `unique(column: "_value")` over daily point COUNTS — the first
+    * day each distinct per-day sample count appeared per series (the
+    * ingest-cardinality change log: a new count value means the fleet's
+    * reporting cadence changed). Counts are exact integers, so the
+    * distinct-value grouping is float-free. */
+  val qQbUnique: Q = Q.sql(
+    "q_qb_unique",
+    s"""WITH $qbPtsSql, m AS (
+       |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+       |    field, CAST(count(value) AS DOUBLE) AS value
+       |  FROM pts
+       |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT measurement, window_end_s, field, value FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY measurement, field, value ORDER BY window_end_s) AS rn
+       |  FROM m) _x
+       |WHERE rn = 1
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux unique(): first day each distinct daily sample count appeared per series") {
+    (s, d) =>
+      qbProject(
+        qbBuilder(s, d).appendAggregate("1d", "count").unique().appendSort("_time").build())
+  }
+
+  /** Histogram bin upper bounds shared by [[qQbHistogram]] and
+    * [[qQbHistQuantile]] (battery telemetry spans [0, 500)). */
+  private val qbBins = Seq(100.0, 200.0, 300.0, 400.0, 500.0)
+  private def qbBinsSql(cum: String): String =
+    qbBins.zipWithIndex.map { case (b, i) =>
+      s"SELECT measurement, field, CAST($b AS DOUBLE) AS le, $cum$i AS count FROM c"
+    }.mkString("\n  UNION ALL ")
+
+  /** Flux `histogram(bins)` — per-series CUMULATIVE counts of raw points
+    * ≤ each bin bound (the Prometheus-style `le` convention Flux uses).
+    * One conditional aggregate with |bins| exact-integer sums per series,
+    * map-side combined; output is series × 5 rows regardless of corpus
+    * size. */
+  val qQbHistogram: Q = Q.sql(
+    "q_qb_histogram",
+    s"""WITH $qbPtsSql, c AS (
+       |  SELECT measurement, field,
+       |    ${qbBins.zipWithIndex.map { case (b, i) =>
+            s"CAST(sum(CASE WHEN value <= $b THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+          }.mkString(",\n    ")}
+       |  FROM pts WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  ${qbBinsSql("c")}
+       |) _u
+       |ORDER BY measurement, field, le""".stripMargin,
+    doc = "Flux histogram(bins): per-series cumulative le-bin counts of raw points") { (s, d) =>
+    qbBuilder(s, d).histogram(qbBins)
+      .orderBy("measurement", "field", "le")
+  }
+
+  /** Flux `histogramQuantile(quantile: 0.9)` — P90 estimated from the
+    * cumulative histogram by linear interpolation inside the crossing
+    * bin (first bin's lower edge at 0, Flux's convention). Rank algebra
+    * runs on the series × 5 histogram frame; the interpolation is one
+    * pinned-order double expression, round(6) both sides. */
+  val qQbHistQuantile: Q = Q.sql(
+    "q_qb_hist_quantile",
+    s"""WITH $qbPtsSql, c AS (
+       |  SELECT measurement, field,
+       |    ${qbBins.zipWithIndex.map { case (b, i) =>
+            s"CAST(sum(CASE WHEN value <= $b THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+          }.mkString(",\n    ")}
+       |  FROM pts WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2
+       |), h AS (
+       |  SELECT * FROM (
+       |  ${qbBinsSql("c")}
+       |  ) _u
+       |), r AS (
+       |  SELECT measurement, field, le, count,
+       |    0.9 * CAST(max(count) OVER (PARTITION BY measurement, field) AS DOUBLE) AS rank,
+       |    coalesce(lag(le) OVER w, 0.0) AS prev_le,
+       |    coalesce(lag(count) OVER w, 0) AS prev_c
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY measurement, field ORDER BY le)
+       |)
+       |SELECT measurement, field,
+       |  round(prev_le + (rank - CAST(prev_c AS DOUBLE)) / CAST(count - prev_c AS DOUBLE)
+       |    * (le - prev_le), 6) AS value
+       |FROM r
+       |WHERE CAST(prev_c AS DOUBLE) < rank AND CAST(count AS DOUBLE) >= rank
+       |ORDER BY measurement, field""".stripMargin,
+    doc = "Flux histogramQuantile(0.9): P90 interpolated from cumulative le-bin counts") {
+    (s, d) =>
+      qbBuilder(s, d).histogramQuantile(0.9, qbBins)
+        .orderBy("measurement", "field")
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
     qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
-    qQbPivot, qQbQuantile, qQbStateCount, qQbStateDuration)
+    qQbPivot, qQbQuantile, qQbStateCount, qQbStateDuration,
+    qQbStddev, qQbTop, qQbUnique, qQbHistogram, qQbHistQuantile)
 }

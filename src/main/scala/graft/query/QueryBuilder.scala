@@ -96,6 +96,12 @@ final class QueryBuilder private (
     * (last-observation-carried-forward). Leading NULLs stay NULL. */
   def fillPrevious(): QueryBuilder = copyWith(fillMode = Some("previous"))
 
+  /** Flux `fill(value: v)`: NULL window values (from a `createEmpty`
+    * dense grid) take the constant `v`. A pure per-row map — unlike
+    * [[fillPrevious]] it needs no ordered history, so it also composes
+    * with a streaming build's observed windows. */
+  def fillValue(v: Double): QueryBuilder = copyWith(fillMode = Some(s"value:$v"))
+
   /** Flux `derivative(unit, nonNegative)`: per-series rate of change,
     * (v − v_prev) / (t − t_prev) scaled to `unit` ("1s", "5m", "1h", …).
     * The first point of each series is dropped (no predecessor), and the
@@ -166,6 +172,31 @@ final class QueryBuilder private (
   def timeShift(duration: String): QueryBuilder =
     copyWith(postOps = postOps :+ TimeShift(duration))
 
+  /** Flux `top(n)`: the n largest-value points per series (Flux sorts
+    * each table by `_value` desc and keeps the first n; a table is one
+    * series in the grouped stream). Ties break toward the EARLIER point
+    * so the kept set is deterministic on any cluster layout. Plans as a
+    * rank window Spark rewrites to WindowGroupLimit — each task keeps an
+    * n-row heap per series, no full sort. Batch only. */
+  def top(n: Int): QueryBuilder = {
+    require(n >= 1, s"top needs n >= 1, got $n")
+    copyWith(postOps = postOps :+ TopN(n, bottom = false))
+  }
+
+  /** Flux `bottom(n)`: the n smallest-value points per series — the
+    * [[top]] mirror, same deterministic tie-break and WindowGroupLimit
+    * plan. Batch only. */
+  def bottom(n: Int): QueryBuilder = {
+    require(n >= 1, s"bottom needs n >= 1, got $n")
+    copyWith(postOps = postOps :+ TopN(n, bottom = true))
+  }
+
+  /** Flux `unique(column: "_value")`: the FIRST point (by time) of each
+    * distinct value per series — the alert-dedup pipe ("show each level
+    * once"). One rank window on the per-series shuffle key. Batch
+    * only. */
+  def unique(): QueryBuilder = copyWith(postOps = postOps :+ Unique)
+
   def appendSort(field: String, desc: Boolean = false): QueryBuilder =
     copyWith(sortSpec = Some((field, desc)))
 
@@ -185,6 +216,59 @@ final class QueryBuilder private (
     build()
       .groupBy(col("measurement"), col("time"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Flux `histogram(bins: [...])` — per-series CUMULATIVE counts of
+    * values ≤ each bin upper bound `le` (Flux's Prometheus-style
+    * cumulative convention). The bin list is explicit and sorted; values
+    * above the last bound fall in no bin, exactly as Flux drops them.
+    * One map-side-combined conditional aggregate (|bins| exact-integer
+    * sums per series) — no explode, no extra shuffle; the output is
+    * series × |bins| rows no matter the corpus. Terminal (schema leaves
+    * the point shape). */
+  def histogram(bins: Seq[Double]): DataFrame = {
+    require(bins.nonEmpty && bins == bins.sorted && bins.distinct == bins,
+      s"histogram bins must be non-empty, sorted, distinct: $bins")
+    val aggs = bins.zipWithIndex.map { case (b, i) =>
+      sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"c$i")
+    }
+    build()
+      .groupBy(col("measurement"), col("field"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("measurement"), col("field"),
+        posexplode(array(bins.indices.map(i => col(s"c$i")): _*)).as(Seq("i__", "count")))
+      .select(col("measurement"), col("field"),
+        element_at(
+          array(bins.map(b => lit(b)): _*), col("i__") + 1).as("le"),
+        col("count"))
+  }
+
+  /** Flux `histogramQuantile(quantile: q)` over [[histogram]]'s
+    * cumulative counts: linear interpolation inside the bin where the
+    * cumulative count crosses q·total, with the first bin's lower edge
+    * at 0 (Flux's convention). All rank arithmetic happens on the
+    * bins-bounded histogram frame (series × |bins| rows); the
+    * interpolation is a pinned-order double expression, rounded to 6
+    * decimals for cross-engine parity. Terminal. */
+  def histogramQuantile(q: Double, bins: Seq[Double]): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("measurement"), col("field")).orderBy(col("le"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("measurement"), col("field"))
+    histogram(bins)
+      .withColumn("total__", max(col("count")).over(wAll))
+      .withColumn("rank__", lit(q) * col("total__").cast("double"))
+      .withColumn("prev_le__", coalesce(lag(col("le"), 1).over(wB), lit(0.0)))
+      .withColumn("prev_c__", coalesce(lag(col("count"), 1).over(wB), lit(0L)))
+      .filter(col("total__") > 0 &&
+        col("prev_c__").cast("double") < col("rank__") &&
+        col("count").cast("double") >= col("rank__"))
+      .select(col("measurement"), col("field"),
+        round(col("prev_le__") +
+          (col("rank__") - col("prev_c__").cast("double")) /
+          (col("count") - col("prev_c__")).cast("double") *
+          (col("le") - col("prev_le__")), 6).as("value"))
   }
 
   /** Assemble the DataFrame in the reference's canonical operator order. */
@@ -245,12 +329,17 @@ final class QueryBuilder private (
         df = grid.join(df, Seq("measurement", "field", "time"), "left")
           .select(col("measurement"), col("time"), col("field"), col("value"))
       }
-      if (!df.isStreaming) fillMode.foreach { case "previous" =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("measurement"), col("field"))
-          .orderBy(col("time"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        df = df.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      fillMode.foreach {
+        case "previous" if !df.isStreaming =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("measurement"), col("field"))
+            .orderBy(col("time"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          df = df.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+        case v if v.startsWith("value:") =>
+          df = df.withColumn("value",
+            coalesce(col("value"), lit(v.stripPrefix("value:").toDouble)))
+        case _ => // fill(usePrevious) on a stream: observed windows only
       }
     }
 
@@ -267,8 +356,8 @@ final class QueryBuilder private (
       }
       require(!df.isStreaming || !needsHistory,
         "Flux transformation pipes (derivative/movingAverage/increase/cumulativeSum/" +
-          "difference/elapsed/stateCount/stateDuration) need ordered per-series " +
-          "history — batch builds only (timeShift alone is streaming-safe)")
+          "difference/elapsed/stateCount/stateDuration/top/bottom/unique) need ordered " +
+          "per-series history — batch builds only (timeShift alone is streaming-safe)")
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy(col("measurement"), col("field")).orderBy(col("time"))
       postOps.foreach {
@@ -355,6 +444,26 @@ final class QueryBuilder private (
             if (duration.startsWith("-")) ("-", duration.substring(1)) else ("", duration)
           df = df.withColumn("time",
             col("time") + expr(s"INTERVAL $sign${toSparkInterval(mag)}"))
+        // top/bottom/unique: rank windows Spark rewrites to
+        // WindowGroupLimit — per-task n-row heaps, no per-series sort
+        case TopN(n, bot) =>
+          val order =
+            if (bot) Seq(col("value").asc, col("time").asc)
+            else Seq(col("value").desc, col("time").asc)
+          val wR = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("measurement"), col("field")).orderBy(order: _*)
+          df = df
+            .withColumn("rn__", row_number().over(wR))
+            .filter(col("rn__") <= n)
+            .drop("rn__")
+        case Unique =>
+          val wU = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("measurement"), col("field"), col("value"))
+            .orderBy(col("time"))
+          df = df
+            .withColumn("rn__", row_number().over(wU))
+            .filter(col("rn__") === 1)
+            .drop("rn__")
       }
     }
 
@@ -397,7 +506,10 @@ final class QueryBuilder private (
       if (createEmpty) sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn, createEmpty: true)")
       else sb.append(s"\n\t|> aggregateWindow(every: $w, fn: $fn)")
     }
-    fillMode.foreach { case "previous" => sb.append("\n\t|> fill(usePrevious: true)") }
+    fillMode.foreach {
+      case "previous" => sb.append("\n\t|> fill(usePrevious: true)")
+      case v => sb.append(s"\n\t|> fill(value: ${v.stripPrefix("value:")})")
+    }
     postOps.foreach {
       case Derivative(u, nn) => sb.append(s"\n\t|> derivative(unit: $u, nonNegative: $nn)")
       case MovingAverage(n) => sb.append(s"\n\t|> movingAverage(n: $n)")
@@ -410,6 +522,9 @@ final class QueryBuilder private (
       case StateDuration(op, thr, u) =>
         sb.append(s"""\n\t|> stateDuration(fn: (r) => r["_value"] $op $thr, unit: $u)""")
       case TimeShift(d) => sb.append(s"\n\t|> timeShift(duration: $d)")
+      case TopN(n, false) => sb.append(s"\n\t|> top(n: $n)")
+      case TopN(n, true) => sb.append(s"\n\t|> bottom(n: $n)")
+      case Unique => sb.append("\n\t|> unique(column: \"_value\")")
     }
     sortSpec.foreach { case (f, desc) =>
       sb.append(s"""\n\t|> sort(columns: ["$f"], desc: $desc)""")
@@ -467,6 +582,8 @@ object QueryBuilder {
   final case class StateCount(op: String, threshold: Double) extends PostOp
   final case class StateDuration(op: String, threshold: Double, unit: String) extends PostOp
   final case class TimeShift(duration: String) extends PostOp
+  final case class TopN(n: Int, bottom: Boolean) extends PostOp
+  case object Unique extends PostOp
 
   private val StateOps = Set(">", ">=", "<", "<=", "==")
   private[query] def requireStateOp(op: String): String = {
@@ -598,6 +715,22 @@ object QueryBuilder {
       val p = q.stripPrefix("quantile_").toDouble
       require(p >= 0.0 && p <= 1.0, s"quantile out of [0,1]: $p")
       percentile(col("value"), lit(p))
+    // Flux stddev(mode: "sample"): computed on 1e-6 fixed-point integer
+    // sums — sqrt((n·Σx² − (Σx)²) / (n(n−1))) with both sums exact in
+    // DECIMAL(38,0), so the only float ops are one division and one sqrt
+    // on identical operands in any engine / partition order (a native
+    // stddev_samp folds doubles in partition order and diverges at the
+    // last ulp). Telemetry values are ≤ 6-dp fixed point, so the 1e6
+    // quantization is lossless; the integer sums bound the window at
+    // ~10^25 point-value-squared units — far past any real occupancy.
+    case "stddev" =>
+      val xi = round(col("value") * 1e6).cast("decimal(19,0)")
+      val n = count(col("value")).cast("decimal(19,0)")
+      val s1 = sum(xi).cast("decimal(38,0)")
+      val s2 = sum((xi * xi).cast("decimal(38,0)"))
+      when(n >= 2,
+        sqrt((n * s2 - s1 * s1).cast("double") /
+          (n * (n - lit(1).cast("decimal(19,0)"))).cast("double")) / 1e6)
     case other => throw new IllegalArgumentException(s"unknown aggregate fn: $other")
   }
 }

@@ -122,7 +122,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_qb_state_duration", // run timing over zero points
     "q_pmi",             // collocations over an empty bigram stream
     "q_readability",     // Flesch with zero docs (no 0-division group)
-    "q_source_centroids")// centroid cosine over zero sources
+    "q_source_centroids",// centroid cosine over zero sources
+    "q_qb_stddev",       // stddev grid over zero points (no grid rows)
+    "q_qb_top",          // top-3 rank over zero series
+    "q_qb_unique",       // distinct-value dedup over zero series
+    "q_qb_histogram",    // cumulative bins with no series
+    "q_qb_hist_quantile")// histogram quantile with no crossing row
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -632,4 +632,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
       "only the 1-row nv/tot extent may cross")
   }
+
+  test("q_qb_top: the top-3 rank window plans as WindowGroupLimit") {
+    val p = plan(SolarQueries.qQbTop)
+    assert(p.contains("WindowGroupLimit"),
+      "rn<=3 must push a per-series group limit below the window (no full per-series rank)")
+  }
+
+  test("q_qb_histogram: bin counts are ONE map-side-combined aggregate, no explode") {
+    val p = plan(SolarQueries.qQbHistogram)
+    assert(p.contains("partial_"), "per-bin conditional sums must map-side combine")
+    assert(!p.contains("Generate explode(") || p.contains("posexplode"),
+      "fact rows must not explode; only the 5-cell partial unpivots")
+  }
 }

@@ -350,4 +350,87 @@ class QueryBuilderSpec extends AnyFunSuite {
         .derivative().build()
     }
   }
+
+  test("top / bottom / unique: per-series semantics, deterministic ties") {
+    import spark.implicits._
+    val series = Seq(
+      ("m", ts("2024-01-01 10:00:00"), "c", 30.0),
+      ("m", ts("2024-01-01 10:01:00"), "c", 10.0),
+      ("m", ts("2024-01-01 10:02:00"), "c", 30.0), // tie with 10:00
+      ("m", ts("2024-01-01 10:03:00"), "c", 20.0),
+      ("m2", ts("2024-01-01 10:00:00"), "c", 1.0) // second series must not bleed
+    ).toDF("measurement", "time", "field", "value")
+    def run(f: QueryBuilder => QueryBuilder): Seq[(String, java.sql.Timestamp, Double)] =
+      f(QueryBuilder.fromDataFrame(spark, () => series))
+        .appendSort("_time").build().collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3))).toSeq
+    // top 2: both 30s beat 20; the tie keeps BOTH (they're the top 2)
+    assert(run(_.top(2)).filter(_._1 == "m").map(_._3) === Seq(30.0, 30.0))
+    // top 1 on a tie keeps the EARLIER point
+    assert(run(_.top(1)).filter(_._1 == "m").map(_._2) === Seq(ts("2024-01-01 10:00:00")))
+    assert(run(_.top(1)).filter(_._1 == "m2").map(_._3) === Seq(1.0))
+    // bottom 2: 10 and 20
+    assert(run(_.bottom(2)).filter(_._1 == "m").map(_._3).sorted === Seq(10.0, 20.0))
+    // unique: first occurrence of each distinct value, in time order
+    assert(run(_.unique()).filter(_._1 == "m").map(_._3) === Seq(30.0, 10.0, 20.0))
+    intercept[IllegalArgumentException] { qb.top(0) }
+    // flux text
+    assert(qb.top(3).bottom(2).unique().fluxString.endsWith(
+      "\n\t|> top(n: 3)" + "\n\t|> bottom(n: 2)" + "\n\t|> unique(column: \"_value\")"))
+    // full-series pipes refuse streaming builds
+    val dir = java.nio.file.Files.createTempDirectory("qbtop").toString
+    graft.solar.PointStore.write(points, dir + "/b")
+    intercept[IllegalArgumentException] {
+      QueryBuilder.streaming(spark, dir + "/b").top(3).build()
+    }
+  }
+
+  test("aggregateWindow stddev: exact vs BigDecimal recompute; fill(value)") {
+    import spark.implicits._
+    val vals = Seq(251.3, 250.1, 249.8, 250.0, 252.7)
+    val series = vals.zipWithIndex.map { case (v, i) =>
+      ("m", ts(f"2024-01-01 10:0$i:00"), "c", v)
+    }.toDF("measurement", "time", "field", "value")
+    val got = QueryBuilder.fromDataFrame(spark, () => series)
+      .appendAggregate("1h", "stddev").build()
+      .collect().map(_.getDouble(3)).toSeq
+    // reference: integer fixed-point algebra in BigInt, one sqrt
+    val xi = vals.map(v => BigInt(math.round(v * 1e6)))
+    val n = BigInt(xi.size)
+    val num = n * xi.map(x => x * x).sum - xi.sum * xi.sum
+    val den = n * (n - 1)
+    val want = math.sqrt(num.toDouble / den.toDouble) / 1e6
+    assert(got === Seq(want))
+    // a single-point window has no sample stddev -> null -> fill(value)
+    val one = Seq(("m", ts("2024-01-01 10:00:00"), "c", 5.0))
+      .toDF("measurement", "time", "field", "value")
+    val filled = QueryBuilder.fromDataFrame(spark, () => one)
+      .appendAggregate("1h", "stddev").fillValue(-1.0).build()
+      .collect().map(_.getDouble(3)).toSeq
+    assert(filled === Seq(-1.0))
+    assert(QueryBuilder.fromDataFrame(spark, () => one)
+      .appendAggregate("1h", "stddev").fillValue(-1.0).fluxString
+      .endsWith("\n\t|> fill(value: -1.0)"))
+  }
+
+  test("histogram / histogramQuantile: cumulative le counts, interpolated P50") {
+    import spark.implicits._
+    val series = (1 to 10).map { i =>
+      ("m", ts(f"2024-01-01 10:${i - 1}%02d:00"), "c", i * 10.0) // 10..100
+    }.toDF("measurement", "time", "field", "value")
+    val qb2 = QueryBuilder.fromDataFrame(spark, () => series)
+    val hist = qb2.histogram(Seq(25.0, 50.0, 100.0))
+      .orderBy("le").collect().map(r => (r.getDouble(2), r.getLong(3))).toSeq
+    assert(hist === Seq((25.0, 2L), (50.0, 5L), (100.0, 10L))) // cumulative
+    // P50: rank = 5 -> crossing bin is (25, 50]: prev_c=2, c=5 -> exactly at le
+    val p50 = qb2.histogramQuantile(0.5, Seq(25.0, 50.0, 100.0))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(p50 === Seq(50.0))
+    // P25: rank = 2.5 -> bin (25, 50]: 25 + 0.5/3 * 25
+    val p25 = qb2.histogramQuantile(0.25, Seq(25.0, 50.0, 100.0))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(p25 === Seq(BigDecimal(25.0 + 0.5 / 3.0 * 25.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    intercept[IllegalArgumentException] { qb2.histogram(Seq(2.0, 1.0)) }
+  }
 }
