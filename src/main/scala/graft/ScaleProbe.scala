@@ -234,7 +234,10 @@ object ScaleProbe {
       "q_readability" -> (() => reg("q_readability").run(spark, dir)),
       // (source, dim) aggregate collapses xN rows into the SAME
       // sources x 64 partial table; downstream joins are sources^2
-      "q_source_centroids" -> (() => reg("q_source_centroids").run(spark, dir)))
+      "q_source_centroids" -> (() => reg("q_source_centroids").run(spark, dir)),
+      // xN fact rows collapse into the SAME <=550-cell grid per group;
+      // all pair algebra is domain-bounded — wall must track the one scan
+      "q_kendall_tau" -> (() => reg("q_kendall_tau").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

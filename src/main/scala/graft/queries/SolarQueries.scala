@@ -674,8 +674,58 @@ object SolarQueries {
         .orderBy("measurement", "field")
   }
 
+  /** Flux `holtWinters(n: 3, interval: 1d)` (trend-only) — three
+    * forecast days per series from Holt's linear method over the daily
+    * means, with α=0.5 / β=0.3 PINNED (documented delta: Flux fits them
+    * by Nelder-Mead, whose optimizer trajectory no second engine can
+    * replay; a fixed recurrence is bit-exact in both). The fold is
+    * inherently sequential per series, so it runs as one `aggregate` HOF
+    * over each series' collected WINDOW array — buffer bounded by window
+    * count (aggregation output, never raw points), series stay the
+    * parallel unit. Oracle replays the identical recurrence as a
+    * recursive CTE; 1−β is computed as a subtraction in BOTH engines
+    * (the literal 0.7 is a round-to-even tie away from 1−0.3 in
+    * binary64). */
+  val qQbHoltWinters: Q = Q.sql(
+    "q_qb_holt_winters",
+    s"""WITH RECURSIVE $qbPtsSql, m AS (
+       |  SELECT measurement, CAST((CAST(t_s AS BIGINT) // 86400 + 1) * 86400 AS BIGINT) AS window_end_s,
+       |    field, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS value
+       |  FROM pts
+       |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
+       |  GROUP BY 1, 2, 3
+       |), series AS (
+       |  SELECT measurement, field,
+       |    list(struct_pack(t := window_end_s, v := value) ORDER BY window_end_s) AS vs
+       |  FROM m GROUP BY 1, 2
+       |), hw AS (
+       |  SELECT measurement, field, vs, len(vs) AS m, 2 AS i,
+       |    vs[2].v AS l, vs[2].v - vs[1].v AS b
+       |  FROM series WHERE len(vs) >= 2
+       |  UNION ALL
+       |  SELECT measurement, field, vs, m, i + 1,
+       |    CAST(0.5 AS DOUBLE) * vs[i+1].v + (1.0 - CAST(0.5 AS DOUBLE)) * (l + b),
+       |    CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * vs[i+1].v
+       |      + (1.0 - CAST(0.5 AS DOUBLE)) * (l + b)) - l)
+       |      + (1.0 - CAST(0.3 AS DOUBLE)) * b
+       |  FROM hw WHERE i < m
+       |), fin AS (
+       |  SELECT measurement, field, vs[m].t AS t_last, l, b FROM hw WHERE i = m
+       |)
+       |SELECT measurement, t_last + h * 86400 AS window_end_s, field,
+       |  round(l + CAST(h AS DOUBLE) * b, 6) AS value
+       |FROM fin CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) _h
+       |ORDER BY measurement, window_end_s, field""".stripMargin,
+    doc = "Flux holtWinters(n: 3, interval: 1d): pinned-parameter Holt trend forecast per series") {
+    (s, d) =>
+      qbBase(s, d).holtWinters(3, "1d")
+        .select(col("measurement"), unix_timestamp(col("time")).as("window_end_s"),
+          col("field"), col("value"))
+        .orderBy("measurement", "window_end_s", "field")
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
     qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
     qQbPivot, qQbQuantile, qQbStateCount, qQbStateDuration,
-    qQbStddev, qQbTop, qQbUnique, qQbHistogram, qQbHistQuantile)
+    qQbStddev, qQbTop, qQbUnique, qQbHistogram, qQbHistQuantile, qQbHoltWinters)
 }

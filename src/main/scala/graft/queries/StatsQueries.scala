@@ -1105,6 +1105,91 @@ object StatsQueries {
         .orderBy("l_returnflag")
   }
 
+  /** Kendall rank correlation (tau-b, Kendall 1938) of quantity vs
+    * discount per return flag — the pairwise-concordance complement to
+    * [[qSpearman]]'s rank-Pearson, with exact tie correction (tau-b's
+    * denominator discounts both marginal tie counts).
+    *
+    * Scale design — never pair fact rows: both variables have BOUNDED
+    * domains (50 quantities × 11 discounts), so the corpus collapses to
+    * a ≤550-cell contingency grid per group in ONE map-side-combined
+    * aggregate, and all pair algebra runs on the grid — concordant /
+    * discordant sums are Σ c_i·c_j over cell pairs with x_i<x_j (a
+    * domain-bounded self-join, ≤550²/2 pairs per group regardless of
+    * corpus size; the same value-domain move as [[qLenHist]] and
+    * [[InferenceQueries.qMannWhitney]]). Every count is exact BIGINT,
+    * every product folds in DECIMAL(38,0) (DuckDB: HUGEINT), and tau-b
+    * is one division over two correctly-rounded sqrts of exact-integer
+    * casts — identical IEEE trees, rounded to 9. */
+  val qKendallTau: Q = Q.sql(
+    "q_kendall_tau",
+    """WITH cells AS (
+      |  SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2, 3
+      |), cd AS (
+      |  SELECT a.g,
+      |    CAST(sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT) AS conc,
+      |    CAST(sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT) AS disc
+      |  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+      |  GROUP BY 1
+      |), marg AS (
+      |  SELECT g, CAST(sum(cx) AS HUGEINT) AS n,
+      |    CAST(sum(cx * (cx - 1)) AS HUGEINT) AS tx2
+      |  FROM (SELECT g, x, CAST(sum(c) AS HUGEINT) AS cx FROM cells GROUP BY 1, 2) _m
+      |  GROUP BY 1
+      |), margy AS (
+      |  SELECT g, CAST(sum(cy * (cy - 1)) AS HUGEINT) AS ty2
+      |  FROM (SELECT g, y, CAST(sum(c) AS HUGEINT) AS cy FROM cells GROUP BY 1, 2) _m
+      |  GROUP BY 1
+      |)
+      |SELECT m.g AS l_returnflag, CAST(m.n AS BIGINT) AS n,
+      |  CAST(cd.conc AS BIGINT) AS concordant, CAST(cd.disc AS BIGINT) AS discordant,
+      |  round(CAST(cd.conc - cd.disc AS DOUBLE)
+      |    / (sqrt(CAST(m.n * (m.n - 1) - m.tx2 AS DOUBLE) / 2.0)
+      |       * sqrt(CAST(m.n * (m.n - 1) - my.ty2 AS DOUBLE) / 2.0)), 9) AS kendall_tau_b
+      |FROM marg m JOIN margy my ON m.g = my.g JOIN cd ON cd.g = m.g
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "Kendall tau-b per return flag on the domain-bounded quantity x discount grid") {
+    (s, d) =>
+      val dec = "decimal(38,0)"
+      val cells = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+          col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val cd = cells.as("a")
+        .join(cells.as("b"), col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+        .groupBy(col("a.g").as("g"))
+        .agg(
+          sum(when(col("a.y") < col("b.y"),
+            col("a.c").cast("decimal(19,0)") * col("b.c").cast("decimal(19,0)"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).cast(dec).as("conc"),
+          sum(when(col("a.y") > col("b.y"),
+            col("a.c").cast("decimal(19,0)") * col("b.c").cast("decimal(19,0)"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).cast(dec).as("disc"))
+      def tieSum(v: String, out: String) = cells
+        .groupBy(col("g"), col(v))
+        .agg(sum(col("c")).cast("decimal(19,0)").as("cv"))
+        .groupBy(col("g").as(s"g_$out"))
+        .agg(sum(col("cv") * (col("cv") - 1)).cast(dec).as(out))
+      val n = cells.groupBy(col("g").as("g_n"))
+        .agg(sum(col("c")).cast(dec).as("n"))
+      cd
+        .join(n, col("g") === col("g_n"))
+        .join(tieSum("x", "tx2"), col("g") === col("g_tx2"))
+        .join(tieSum("y", "ty2"), col("g") === col("g_ty2"))
+        .select(
+          col("g").as("l_returnflag"),
+          col("n").cast("long").as("n"),
+          col("conc").cast("long").as("concordant"),
+          col("disc").cast("long").as("discordant"),
+          round((col("conc") - col("disc")).cast("double")
+            / (sqrt((col("n") * (col("n") - 1) - col("tx2")).cast("double") / 2.0)
+               * sqrt((col("n") * (col("n") - 1) - col("ty2")).cast("double") / 2.0)), 9)
+            .as("kendall_tau_b"))
+        .orderBy("l_returnflag")
+  }
+
   /** HyperLogLog register width: 2^[[HllP]] registers. */
   val HllP = 8
   private val HllM = 1 << HllP // 256
@@ -1185,5 +1270,6 @@ object StatsQueries {
   val all: Seq[Q] =
     Seq(qPercentiles, qCorrStats, qFeatureScale, qLenHist, qKmvDistinct, qRegrTrend, qDqAudit,
       qKsDrift, qSourceOverlap, qMadOutliers, qPsiDrift, qCmsTopk, qWinsorize, qKmvRollup,
-      qKmvRetention, qHistRollup, qAbTest, qWeightedQuantile, qSpearman, qHllDistinct)
+      qKmvRetention, qHistRollup, qAbTest, qWeightedQuantile, qSpearman, qHllDistinct,
+      qKendallTau)
 }

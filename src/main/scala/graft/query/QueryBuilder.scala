@@ -271,6 +271,64 @@ final class QueryBuilder private (
           (col("le") - col("prev_le__")), 6).as("value"))
   }
 
+  /** Flux `holtWinters(n, interval)` (trend-only, seasonality: 0) —
+    * per-series n-step-ahead forecasts from Holt's linear method:
+    * l_t = α·v_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
+    * (1−β)b_{t−1}, initialized l₂=v₂, b₂=v₂−v₁; forecast_h = l_m + h·b_m
+    * at t_m + h·interval. DELTA vs Flux: α/β are FIXED parameters
+    * (documented 0.5/0.3 defaults) where Flux fits them by Nelder-Mead —
+    * an optimizer's float trajectory is not reproducible across engines,
+    * a pinned recurrence is bit-exact in both. Series shorter than 2
+    * points emit nothing.
+    *
+    * Scale shape: the recurrence is inherently sequential per series, so
+    * each series' windows are folded in ONE `aggregate` HOF over its
+    * collected window array — the buffer is bounded by the series' window
+    * COUNT (the aggregation output, not raw points), and series remain
+    * the parallel unit. Terminal (emits forecast rows in point shape). */
+  def holtWinters(
+      n: Int,
+      interval: String,
+      alpha: Double = 0.5,
+      beta: Double = 0.3): DataFrame = {
+    require(n >= 1, s"holtWinters needs n >= 1, got $n")
+    val vs = array_sort(collect_list(struct(col("time"), col("value"))))
+    val base = build()
+      .groupBy(col("measurement"), col("field"))
+      .agg(vs.as("vs"))
+      .filter(size(col("vs")) >= 2)
+    // one fold over windows 3..m; l' is written twice in b' — identical
+    // ops on identical operands, so the doubles agree bit-for-bit with an
+    // engine that names the intermediate
+    def lNext(acc: Column, x: Column): Column =
+      lit(alpha) * x.getField("value") +
+        lit(1 - alpha) * (acc.getField("l") + acc.getField("b"))
+    val v1 = element_at(col("vs"), 1).getField("value")
+    val v2 = element_at(col("vs"), 2).getField("value")
+    // fully qualified: the builder's `aggregate` field shadows functions._
+    val state = org.apache.spark.sql.functions.aggregate(
+      expr("slice(vs, 3, greatest(size(vs) - 2, 0))"),
+      struct(v2.as("l"), (v2 - v1).as("b")),
+      (acc, x) => struct(
+        lNext(acc, x).as("l"),
+        (lit(beta) * (lNext(acc, x) - acc.getField("l")) +
+          lit(1 - beta) * acc.getField("b")).as("b")))
+    base
+      .select(
+        col("measurement"), col("field"),
+        element_at(col("vs"), -1).getField("time").as("t_last"),
+        state.getField("l").as("l"), state.getField("b").as("b"))
+      .select(
+        col("measurement"), col("field"), col("t_last"), col("l"), col("b"),
+        posexplode(sequence(lit(1), lit(n))).as(Seq("i__", "h")))
+      .select(
+        col("measurement"),
+        (col("t_last") + expr(s"INTERVAL ${QueryBuilder.toSparkInterval(interval)}") *
+          col("h")).as("time"),
+        col("field"),
+        round(col("l") + col("h").cast("double") * col("b"), 6).as("value"))
+  }
+
   /** Assemble the DataFrame in the reference's canonical operator order. */
   def build(): DataFrame = {
     var df = from()

@@ -127,7 +127,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_qb_top",          // top-3 rank over zero series
     "q_qb_unique",       // distinct-value dedup over zero series
     "q_qb_histogram",    // cumulative bins with no series
-    "q_qb_hist_quantile")// histogram quantile with no crossing row
+    "q_qb_hist_quantile",// histogram quantile with no crossing row
+    "q_qb_holt_winters", // Holt fold over zero series (len>=2 filter)
+    "q_kendall_tau")     // concordance grid with zero cells
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

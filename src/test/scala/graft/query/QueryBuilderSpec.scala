@@ -433,4 +433,36 @@ class QueryBuilderSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     intercept[IllegalArgumentException] { qb2.histogram(Seq(2.0, 1.0)) }
   }
+
+  test("holtWinters: fold matches a plain-var recurrence; short series emit nothing") {
+    import spark.implicits._
+    val vals = Seq(10.0, 12.0, 13.5, 15.1, 14.2, 16.9)
+    val series = vals.zipWithIndex.map { case (v, i) =>
+      ("m", ts(f"2024-01-0${i + 1} 00:00:00"), "c", v)
+    }.toDF("measurement", "time", "field", "value")
+    val got = QueryBuilder.fromDataFrame(spark, () => series)
+      .holtWinters(2, "1d")
+      .orderBy("time").collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(3))).toSeq
+    // plain-var replay of the pinned recurrence
+    val (alpha, beta) = (0.5, 0.3)
+    var l = vals(1); var b = vals(1) - vals(0)
+    for (x <- vals.drop(2)) {
+      val l2 = alpha * x + (1 - alpha) * (l + b)
+      b = beta * (l2 - l) + (1 - beta) * b
+      l = l2
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._2) === Seq(r6(l + b), r6(l + 2 * b)))
+    assert(got.map(_._1) ===
+      Seq(ts("2024-01-07 00:00:00"), ts("2024-01-08 00:00:00")))
+    // a 1-point series has no trend -> no forecast rows
+    val one = Seq(("m", ts("2024-01-01 00:00:00"), "c", 5.0))
+      .toDF("measurement", "time", "field", "value")
+    assert(QueryBuilder.fromDataFrame(spark, () => one).holtWinters(3, "1d").count() === 0)
+    intercept[IllegalArgumentException] {
+      QueryBuilder.fromDataFrame(spark, () => one).holtWinters(0, "1d")
+    }
+  }
 }
