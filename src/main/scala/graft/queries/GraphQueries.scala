@@ -582,5 +582,84 @@ object GraphQueries {
             .as("assortativity"))
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred, qAssortativity)
+  /** BFS hop cap shared by the Spark frontier loop and the oracle's
+    * recursive CTE — both clip at the same depth, so the reached sets
+    * are identical by construction. */
+  val BfsMaxHops = 8
+
+  /** Single-source BFS hop-distance profile over the repeat-co-purchase
+    * part graph (pairs sharing ≥ 2 orders), from the highest-degree hub
+    * (ties → lowest id) — the reachability primitive missing next to
+    * PageRank / components / k-core / triangles: "how much of the graph
+    * is within k hops of the hub" is the expansion curve a
+    * recommendation or fraud traversal budget is sized from.
+    *
+    * Scale design — frontier BFS, never per-pair paths: edges come from
+    * the same in-row pair generation as [[qAssortativity]] (linear in
+    * orders, no fact self-join) with the ≥2-shared-orders filter; the
+    * adjacency is checkpointed ONCE and reused by every round; each
+    * round is one frontier⋈adjacency equi-join + one anti-join against
+    * the settled set (first discovery = min distance, so no
+    * min-aggregate over revisits), with `localCheckpoint` truncating
+    * the loop's lineage (NOTES lesson 10). Rounds are capped at
+    * [[BfsMaxHops]]; per-round work is frontier-edge-bounded. The
+    * oracle replays the traversal as a recursive CTE with the same
+    * cap and a min-per-node collapse. All-integer output. */
+  val qBfsHops: Q = Q.sql(
+    "q_bfs_hops",
+    s"""WITH RECURSIVE e AS (
+       |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2
+       |), adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
+       |src AS (SELECT u FROM deg ORDER BY dg DESC, u LIMIT 1),
+       |walk AS (
+       |  SELECT (SELECT u FROM src) AS node, 0 AS dist
+       |  UNION
+       |  SELECT adj.v, walk.dist + 1
+       |  FROM walk JOIN adj ON adj.u = walk.node
+       |  WHERE walk.dist < $BfsMaxHops
+       |), d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
+       |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "BFS hop-distance histogram from the co-purchase hub (frontier loop vs recursive CTE)") {
+    (s, d) =>
+      val e = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("a"), col("b"))
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      val src = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("u")).limit(1)
+      var dist = src.select(col("u").as("node"), lit(0).as("dist")).localCheckpoint(true)
+      var frontier = dist
+      var r = 1
+      while (r <= BfsMaxHops && !frontier.isEmpty) {
+        val next = frontier.join(adj, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(r).as("dist"))
+          .localCheckpoint(true)
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+        r += 1
+      }
+      dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("dist").cast("int").as("dist"), col("n_nodes"))
+        .orderBy("dist")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred, qAssortativity,
+    qBfsHops)
 }
