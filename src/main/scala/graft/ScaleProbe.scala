@@ -237,7 +237,14 @@ object ScaleProbe {
       "q_source_centroids" -> (() => reg("q_source_centroids").run(spark, dir)),
       // xN fact rows collapse into the SAME <=550-cell grid per group;
       // all pair algebra is domain-bounded — wall must track the one scan
-      "q_kendall_tau" -> (() => reg("q_kendall_tau").run(spark, dir)))
+      "q_kendall_tau" -> (() => reg("q_kendall_tau").run(spark, dir)),
+      // N disjoint replica graphs: BFS explores ONE replica's component
+      // (the hub's), so frontier work is replica-bounded — only the edge
+      // distillation scales xN
+      "q_bfs_hops" -> (() => reg("q_bfs_hops").run(spark, dir)),
+      // xN users over xN days: the user collapse scales xN, the
+      // event-time frame stays day-bounded — wall tracks the two scans
+      "q_kaplan_meier" -> (() => reg("q_kaplan_meier").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

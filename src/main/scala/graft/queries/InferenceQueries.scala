@@ -377,5 +377,88 @@ object InferenceQueries {
       .orderBy("pri", "st")
   }
 
-  val all: Seq[Q] = Seq(qBenford, qGini, qJackknifeCi, qMannWhitney, qChi2)
+  /** Kaplan-Meier survival estimate (Kaplan & Meier 1958) of
+    * time-to-first-purchase per user, right-censored at study end — the
+    * product-limit curve behind every retention / conversion-lag report:
+    * S(t) = Π_{uᵢ ≤ t} (1 − dᵢ/nᵢ) over event times, where users who
+    * never purchase are censored at the last observed day.
+    *
+    * Scale design: the corpus collapses to user grain in ONE aggregate
+    * (min day, min purchase day), then to the DAY-BOUNDED event-time
+    * frame (≤ study-days rows) where risk sets are a suffix sum and the
+    * product-limit fold is a cumulative window — no window ever touches
+    * fact or user grain. Exactness: dᵢ/nᵢ ratios divide exact BIGINTs;
+    * the product folds as exp(Σ ln(·)) in EVENT-TIME ORDER (cumulative
+    * frame, not an unordered float sum) with an explicit integer guard
+    * that pins S = 0 exactly once a risk set is exhausted (ln(0) is an
+    * error in DuckDB, an −Inf in Spark); round(6) absorbs the libm
+    * ln/exp last ulp, the [[TextQueries.qPmi]] convention. */
+  val qKaplanMeier: Q = Q.sql(
+    "q_kaplan_meier",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS d0,
+      |    CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END)) / 86400) AS BIGINT) AS dp,
+      |    (SELECT CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) FROM events) AS dend
+      |  FROM events GROUP BY user_id
+      |), tt AS (
+      |  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dend - d0 END AS t,
+      |    (dp IS NOT NULL) AS observed
+      |  FROM u
+      |), dtab AS (
+      |  SELECT t, CAST(count(*) FILTER (WHERE observed) AS BIGINT) AS d,
+      |    CAST(count(*) FILTER (WHERE NOT observed) AS BIGINT) AS c
+      |  FROM tt GROUP BY t
+      |), r AS (
+      |  SELECT t, d, c, sum(d + c) OVER (ORDER BY t DESC) AS n_risk FROM dtab
+      |), s AS (
+      |  SELECT t, d, c, n_risk,
+      |    sum(CASE WHEN d < n_risk THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0.0 END)
+      |      OVER (ORDER BY t) AS lnsum,
+      |    sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t) AS zeros
+      |  FROM r
+      |)
+      |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+      |  CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+      |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+    doc = "Kaplan-Meier survival of time-to-first-purchase, censored at study end") { (s, d) =>
+    val ev = events(s, d).select(
+      col("user_id"), col("event_type"),
+      floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+    val dend = ev.agg(max(col("day")).as("dend"))
+    val u = ev.groupBy("user_id")
+      .agg(
+        min(col("day")).as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+      .crossJoin(broadcast(dend))
+    val tt = u.select(
+      when(col("dp").isNotNull, col("dp") - col("d0"))
+        .otherwise(col("dend") - col("d0")).as("t"),
+      col("dp").isNotNull.as("observed"))
+    val dtab = tt.groupBy("t").agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("observed"), 1L).otherwise(0L)).as("c"))
+    // suffix/prefix windows run over the day-bounded event-time frame
+    // (≤ study days), never user or fact grain
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = dtab.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+    val sCum = r
+      .withColumn("lnsum",
+        sum(when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0.0))).over(wAsc))
+      .withColumn("zeros",
+        sum(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wAsc))
+    sCum
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk").cast("long").as("n_risk"), col("d"), col("c"),
+        when(col("zeros") > 0, lit(0.0)).otherwise(round(exp(col("lnsum")), 6))
+          .as("survival"))
+      .orderBy("t")
+  }
+
+  val all: Seq[Q] = Seq(qBenford, qGini, qJackknifeCi, qMannWhitney, qChi2, qKaplanMeier)
 }

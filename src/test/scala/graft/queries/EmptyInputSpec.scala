@@ -129,7 +129,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_qb_histogram",    // cumulative bins with no series
     "q_qb_hist_quantile",// histogram quantile with no crossing row
     "q_qb_holt_winters", // Holt fold over zero series (len>=2 filter)
-    "q_kendall_tau")     // concordance grid with zero cells
+    "q_kendall_tau",     // concordance grid with zero cells
+    "q_bfs_hops",        // frontier loop with an empty source
+    "q_kaplan_meier")    // survival curve with zero users
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
