@@ -244,7 +244,10 @@ object ScaleProbe {
       "q_bfs_hops" -> (() => reg("q_bfs_hops").run(spark, dir)),
       // xN users over xN days: the user collapse scales xN, the
       // event-time frame stays day-bounded — wall tracks the two scans
-      "q_kaplan_meier" -> (() => reg("q_kaplan_meier").run(spark, dir)))
+      "q_kaplan_meier" -> (() => reg("q_kaplan_meier").run(spark, dir)),
+      // xN events collapse into the SAME 24-cell profile per type; the
+      // quadratic DP runs on |types|^2 bounded pairs — wall tracks the scan
+      "q_dtw_profiles" -> (() => reg("q_dtw_profiles").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

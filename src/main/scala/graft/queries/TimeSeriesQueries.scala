@@ -1864,11 +1864,89 @@ object TimeSeriesQueries {
       .orderBy("channel")
   }
 
+  /** Sakoe-Chiba band width for [[qDtwProfiles]] — shared with the oracle
+    * so both engines prune the identical cell set. */
+  val DtwBand = 6
+
+  /** Band-limited DTW distance between event-type DIURNAL profiles — the
+    * alignment-tolerant "which activity types share a daily rhythm,
+    * possibly phase-shifted" similarity that plain correlation (which
+    * [[qXcorrLeadlag]] handles for single lags) misses for non-uniform
+    * warps. Profiles are 24-cell hour-of-day value sums in 1e-3 fixed
+    * point; distance is the exact integer DTW of
+    * `expressions/DtwDist.scala` (rolling two-row DP, |i−j| ≤ [[DtwBand]]
+    * Sakoe-Chiba pruning).
+    *
+    * Scale design — DTW is quadratic per pair, so the inputs are BOUNDED
+    * by construction: the corpus collapses to (type, hour) in ONE
+    * map-side-combined aggregate (24 cells per type regardless of fact
+    * volume), the dense profile is a 24-row grid join, and the pair join
+    * is |types|²-bounded. The oracle replays the DP recurrence as a
+    * recursive CTE over the linearized cell grid — all-integer, so the
+    * gate hash-proves the codegen kernel cell-for-cell. */
+  val qDtwProfiles: Q = Q.sql(
+    "q_dtw_profiles", {
+      val inf = graft.expressions.DtwDist.Inf
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS h,
+         |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS xq
+         |  FROM events GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT t.event_type, g.h
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g
+         |), prof AS (
+         |  SELECT g.event_type, list(coalesce(x.xq, 0) ORDER BY g.h) AS p
+         |  FROM grid g LEFT JOIN hourly x ON x.event_type = g.event_type AND x.h = g.h
+         |  GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.event_type AS t1, b.event_type AS t2, a.p AS xs, b.p AS ys
+         |  FROM prof a JOIN prof b ON a.event_type < b.event_type
+         |), st AS (
+         |  SELECT t1, t2, xs, ys, 0 AS k, [CAST(0 AS BIGINT)] AS dp FROM pairs
+         |  UNION ALL
+         |  SELECT t1, t2, xs, ys, k + 1,
+         |    list_append(dp, CASE
+         |      WHEN (k + 1) % 25 = 0 OR (k + 1) // 25 = 0 THEN CAST($inf AS BIGINT)
+         |      WHEN abs((k + 1) // 25 - (k + 1) % 25) > $DtwBand THEN CAST($inf AS BIGINT)
+         |      ELSE least(dp[k - 23], dp[k + 1], dp[k - 24])
+         |        + abs(xs[(k + 1) // 25] - ys[(k + 1) % 25])
+         |    END)
+         |  FROM st WHERE k < 25 * 25 - 1
+         |)
+         |SELECT t1, t2, dp[25 * 25] AS dtw_dist
+         |FROM st WHERE k = 25 * 25 - 1
+         |ORDER BY t1, t2""".stripMargin
+    },
+    doc = "band-limited integer DTW between event-type hour-of-day profiles") { (s, d) =>
+    val ev = events(s, d).select(
+      col("event_type"),
+      ((floor(unix_timestamp(col("ts"))).cast("long") / 3600).cast("long") % 24)
+        .cast("int").as("h"),
+      round(col("value") * 1000).cast("long").as("vq"))
+    val hourly = ev.groupBy("event_type", "h").agg(sum(col("vq")).as("xq"))
+    val grid = ev.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(23))).as("h"))
+    val prof = grid
+      .join(hourly, Seq("event_type", "h"), "left")
+      .groupBy("event_type")
+      .agg(transform(
+        array_sort(collect_list(struct(col("h"), coalesce(col("xq"), lit(0L)).as("xq")))),
+        s => s.getField("xq")).as("p"))
+    prof.as("a")
+      .join(prof.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("t1"),
+        col("b.event_type").as("t2"),
+        graft.expressions.DtwDist.dtwDist(col("a.p"), col("b.p"), DtwBand).as("dtw_dist"))
+      .orderBy("t1", "t2")
+  }
+
   val all: Seq[Q] =
     Seq(qRangeScan, qFilterBands, qAggWindow, qSortDesc, qPivotWide, qSessionize, qConcurrency,
       qDerivative, qMovingAvg, qRangeFrame, qEwma, qSessionWindow, qSlidingWindow, qNtile,
       qBinEquidepth, qIntegral, qInterpLinear, qFunnel, qCohortRetention, qAnomaly, qRankFuncs,
       qRunningDistinct, qDownsampleMm, qSeasonal, qGapReport, qAcf, qAttribution, qWindowFunnel,
       qSeqMining, qChangepoint, qMarkovTransition, qCohortLtv, qXcorrLeadlag, qTheilSen,
-      qSaxMotifs, qTwa, qAttributionPosition)
+      qSaxMotifs, qTwa, qAttributionPosition, qDtwProfiles)
 }

@@ -131,7 +131,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_qb_holt_winters", // Holt fold over zero series (len>=2 filter)
     "q_kendall_tau",     // concordance grid with zero cells
     "q_bfs_hops",        // frontier loop with an empty source
-    "q_kaplan_meier")    // survival curve with zero users
+    "q_kaplan_meier",    // survival curve with zero users
+    "q_dtw_profiles")    // DTW pair join over zero profiles
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
