@@ -247,7 +247,10 @@ object ScaleProbe {
       "q_kaplan_meier" -> (() => reg("q_kaplan_meier").run(spark, dir)),
       // xN events collapse into the SAME 24-cell profile per type; the
       // quadratic DP runs on |types|^2 bounded pairs — wall tracks the scan
-      "q_dtw_profiles" -> (() => reg("q_dtw_profiles").run(spark, dir)))
+      "q_dtw_profiles" -> (() => reg("q_dtw_profiles").run(spark, dir)),
+      // xN docs widen the distinct-score frame sub-linearly; the PAVA
+      // array is score-grain — wall must track the classifier scan
+      "q_isotonic" -> (() => reg("q_isotonic").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

@@ -1161,8 +1161,82 @@ object RankQueries {
       .orderBy("lang")
   }
 
+  /** Isotonic score calibration by pool-adjacent-violators — the
+    * monotone calibration map every production classifier ships with
+    * (Zadrozny & Elkan 2002): fit the nondecreasing probability-of-
+    * positive over the classifier score that minimizes squared error,
+    * by pooling adjacent violating score blocks
+    * (`expressions/IsotonicPpm.scala`). The binned reliability table
+    * ([[qCalibration]]) DESCRIBES miscalibration; this FIXES it.
+    *
+    * Scale design: the only doc-scale work is [[evalBase]]'s classifier
+    * aggregate — PAVA runs over the DISTINCT-SCORE frame collected into
+    * one bounded array (the Mann-Whitney grain move; the pooling is
+    * inherently sequential, same contract as the BPE merge fold).
+    * ALL-INTEGER: violation tests are BigInt cross-multiplications
+    * (block means never become floats), output is half-up ppm; the
+    * oracle replays the pooling as a recursive HUGEINT state machine
+    * and hash-matches exactly. */
+  val qIsotonic: Q = Q.sql(
+    "q_isotonic",
+    s"""${evalBaseSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |ord AS (SELECT s, pos, cnt, row_number() OVER (ORDER BY s) AS rn FROM g),
+       |arrs AS (
+       |  SELECT list(pos ORDER BY s) AS ps, list(cnt ORDER BY s) AS cs,
+       |    CAST(count(*) AS INT) AS n
+       |  FROM ord),
+       |pav AS (
+       |  SELECT 0 AS i, CAST([] AS STRUCT(p HUGEINT, c HUGEINT, k BIGINT)[]) AS stk,
+       |    0 AS step, ps, cs, n
+       |  FROM arrs
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN viol THEN i ELSE i + 1 END,
+       |    CASE WHEN viol THEN list_append(stk[1:len(stk) - 2],
+       |        struct_pack(p := stk[-2].p + stk[-1].p, c := stk[-2].c + stk[-1].c,
+       |          k := stk[-2].k + stk[-1].k))
+       |      ELSE list_append(stk,
+       |        struct_pack(p := CAST(ps[i + 1] AS HUGEINT), c := CAST(cs[i + 1] AS HUGEINT),
+       |          k := CAST(1 AS BIGINT))) END,
+       |    step + 1, ps, cs, n
+       |  FROM (SELECT *,
+       |      (len(stk) >= 2 AND stk[-2].p * stk[-1].c > stk[-1].p * stk[-2].c) AS viol
+       |    FROM pav) _v
+       |  WHERE viol OR i < n
+       |),
+       |fin AS (SELECT stk FROM pav QUALIFY step = max(step) OVER ()),
+       |blocks AS (
+       |  SELECT unnest(stk) AS b, generate_subscripts(stk, 1) AS bi FROM fin),
+       |bnd AS (
+       |  SELECT b.p AS p, b.c AS c,
+       |    sum(b.k) OVER (ORDER BY bi) AS hi,
+       |    sum(b.k) OVER (ORDER BY bi) - b.k AS lo
+       |  FROM blocks)
+       |SELECT o.s, o.pos, o.cnt,
+       |  CAST((2000000 * b.p + b.c) // (2 * b.c) AS BIGINT) AS iso_ppm
+       |FROM ord o JOIN bnd b ON o.rn > b.lo AND o.rn <= b.hi
+       |ORDER BY o.s""".stripMargin,
+    doc = "isotonic (PAVA) score calibration: monotone fitted ppm per distinct score") { (s, d) =>
+    val (g, _) = evalBase(s, d)
+    val packed = g.agg(
+      array_sort(collect_list(struct(col("s"), col("pos"), col("cnt")))).as("a"))
+      .select(
+        transform(col("a"), x => x.getField("s")).as("ss"),
+        transform(col("a"), x => x.getField("pos")).as("ps"),
+        transform(col("a"), x => x.getField("cnt")).as("cs"))
+      .select(col("ss"), col("ps"), col("cs"),
+        graft.expressions.IsotonicPpm.isotonicPpm(col("ps"), col("cs")).as("fit"))
+    packed
+      .select(posexplode(arrays_zip(col("ss"), col("ps"), col("cs"), col("fit")))
+        .as(Seq("i__", "z")))
+      .select(
+        col("z.ss").as("s"), col("z.ps").as("pos"), col("z.cs").as("cnt"),
+        col("z.fit").as("iso_ppm"))
+      .orderBy("s")
+  }
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
       qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey,
-      qCalibration, qGainCurve, qNdcg)
+      qCalibration, qGainCurve, qNdcg, qIsotonic)
 }
