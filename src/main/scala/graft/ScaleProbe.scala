@@ -250,7 +250,10 @@ object ScaleProbe {
       "q_dtw_profiles" -> (() => reg("q_dtw_profiles").run(spark, dir)),
       // xN docs widen the distinct-score frame sub-linearly; the PAVA
       // array is score-grain — wall must track the classifier scan
-      "q_isotonic" -> (() => reg("q_isotonic").run(spark, dir)))
+      "q_isotonic" -> (() => reg("q_isotonic").run(spark, dir)),
+      // xN vectors fold into the SAME <= cells x labels contingency;
+      // only the broadcast assignment scan scales
+      "q_ari" -> (() => reg("q_ari").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

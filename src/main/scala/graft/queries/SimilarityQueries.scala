@@ -1898,9 +1898,102 @@ object SimilarityQueries {
         .orderBy(col("n_points").desc, col("cluster_id"))
   }
 
+  /** Clustering quality against ground truth — adjusted Rand index
+    * (Hubert & Arabie 1985) and purity of the IVF cell assignment vs
+    * the embeddings' labels: the external-validation readout every
+    * clustering pass (kmeans, DBSCAN, IVF partitioning) is judged by.
+    *
+    * ALL-INTEGER: ARI reduces to pair-count algebra on the bounded
+    * cells × labels contingency table — with doubled pair counts
+    * I₂ = Σnᵢⱼ(nᵢⱼ−1), A₂ = Σaᵢ(aᵢ−1), B₂ = Σbⱼ(bⱼ−1), N₂ = n(n−1):
+    * ARI = 2(N₂I₂ − A₂B₂) / (N₂(A₂+B₂) − 2A₂B₂) — every product folds
+    * in DECIMAL(38,0)/HUGEINT (exact to ~10⁹ rows; beyond, scale the
+    * counts), the statistic is ONE division, round(9). Purity is a
+    * half-up ppm of Σ per-cell max label count.
+    *
+    * Scale design: the only fact-scale work is the broadcast centroid
+    * assignment + ONE (cell, label) aggregate; all pair algebra runs on
+    * the ≤ cells·labels contingency frame. */
+  val qAri: Q = Q.sql(
+    "q_ari",
+    s"""WITH vecs AS ($vecsSqlNested),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $IvfCells),
+       |scored AS (
+       |  SELECT q.vec_id, c.cid,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY (${dotSql("q", "c").replace("c.v[", "c.cv[")}) / (q.nrm * c.cnrm) DESC, c.cid)
+       |      AS BIGINT) AS crank
+       |  FROM vecs q JOIN cents c ON true
+       |),
+       |ct AS (
+       |  SELECT s.cid AS cell, e.label, CAST(count(*) AS HUGEINT) AS nij
+       |  FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  WHERE s.crank = 1
+       |  GROUP BY 1, 2
+       |), rows_ AS (SELECT cell, CAST(sum(nij) AS HUGEINT) AS ai FROM ct GROUP BY 1),
+       |cols_ AS (SELECT label, CAST(sum(nij) AS HUGEINT) AS bj FROM ct GROUP BY 1),
+       |pmax AS (SELECT cell, max(nij) AS mx FROM ct GROUP BY 1),
+       |agg AS (
+       |  SELECT
+       |    (SELECT CAST(coalesce(sum(nij), 0) AS HUGEINT) FROM ct) AS n,
+       |    (SELECT CAST(coalesce(sum(nij * (nij - 1)), 0) AS HUGEINT) FROM ct) AS i2,
+       |    (SELECT CAST(coalesce(sum(ai * (ai - 1)), 0) AS HUGEINT) FROM rows_) AS a2,
+       |    (SELECT CAST(coalesce(sum(bj * (bj - 1)), 0) AS HUGEINT) FROM cols_) AS b2,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_clusters,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cols_) AS n_labels,
+       |    (SELECT CAST(coalesce(sum(mx), 0) AS HUGEINT) FROM pmax) AS pm
+       |)
+       |SELECT CAST(n AS BIGINT) AS n, n_clusters, n_labels,
+       |  CASE WHEN n * (n - 1) * (a2 + b2) - 2 * a2 * b2 = 0 THEN NULL
+       |    ELSE round(CAST(2 * (n * (n - 1) * i2 - a2 * b2) AS DOUBLE)
+       |      / CAST(n * (n - 1) * (a2 + b2) - 2 * a2 * b2 AS DOUBLE), 9) END AS ari,
+       |  CASE WHEN n = 0 THEN NULL
+       |    ELSE CAST((2000000 * pm + n) // (2 * n) AS BIGINT) END AS purity_ppm
+       |FROM agg""".stripMargin,
+    doc = "adjusted Rand index + purity of the IVF cell clustering vs embedding labels") {
+    (s, d) =>
+      val dec = "decimal(38,0)"
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val assigned = ivfScored(all, cents).filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val ct = assigned
+        .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cell", "label")
+        .agg(count(lit(1)).cast("decimal(19,0)").as("nij"))
+      val rowsS = ct.groupBy("cell").agg(sum(col("nij")).cast("decimal(19,0)").as("ai"))
+      val colsS = ct.groupBy("label").agg(sum(col("nij")).cast("decimal(19,0)").as("bj"))
+      val pmax = ct.groupBy("cell").agg(max(col("nij")).as("mx"))
+      val agg = ct.agg(
+        coalesce(sum(col("nij")), lit(0)).cast(dec).as("n"),
+        coalesce(sum(col("nij") * (col("nij") - 1)), lit(0)).cast(dec).as("i2"))
+        .crossJoin(broadcast(rowsS.agg(
+          coalesce(sum(col("ai") * (col("ai") - 1)), lit(0)).cast(dec).as("a2"),
+          count(lit(1)).cast("long").as("n_clusters"))))
+        .crossJoin(broadcast(colsS.agg(
+          coalesce(sum(col("bj") * (col("bj") - 1)), lit(0)).cast(dec).as("b2"),
+          count(lit(1)).cast("long").as("n_labels"))))
+        .crossJoin(broadcast(pmax.agg(
+          coalesce(sum(col("mx")), lit(0)).cast(dec).as("pm"))))
+      val n2 = col("n") * (col("n") - 1)
+      val den = n2 * (col("a2") + col("b2")) - lit(2) * col("a2") * col("b2")
+      agg.select(
+        col("n").cast("long").as("n"), col("n_clusters"), col("n_labels"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round((lit(2) * (n2 * col("i2") - col("a2") * col("b2"))).cast("double")
+            / den.cast("double"), 9)).as("ari"),
+        when(col("n") === 0, lit(null).cast("long"))
+          // integer DIV (the qCalibration convention) — decimal `/` would
+          // round at its result scale before a truncating cast
+          .otherwise(expr(
+            "CAST((2000000 * CAST(pm AS BIGINT) + CAST(n AS BIGINT)) " +
+              "DIV (2 * CAST(n AS BIGINT)) AS BIGINT)")).as("purity_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids)
+      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids, qAri)
 }

@@ -133,7 +133,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bfs_hops",        // frontier loop with an empty source
     "q_kaplan_meier",    // survival curve with zero users
     "q_dtw_profiles",    // DTW pair join over zero profiles
-    "q_isotonic")        // PAVA over an empty score frame
+    "q_isotonic",        // PAVA over an empty score frame
+    "q_ari")             // contingency algebra with zero vectors
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
