@@ -724,8 +724,43 @@ object SolarQueries {
         .orderBy("measurement", "window_end_s", "field")
   }
 
+  /** Flux `cov(x, y, on: ["_time"])` + `pearsonr` — sample covariance
+    * and Pearson correlation between the two battery series' daily
+    * means, joined on the window key: the cross-sensor coupling
+    * readout. Five co-moment sums fold as exact 1e-6 fixed-point
+    * integers (DECIMAL(38,0)/HUGEINT), so both statistics are pinned
+    * IEEE trees over identical operands. */
+  val qQbCov: Q = Q.sql(
+    "q_qb_cov",
+    s"""$qbBaseSql, x AS (
+       |  SELECT window_end_s, CAST(round(value * 1000000) AS HUGEINT) AS xq
+       |  FROM m WHERE measurement = 'fx-1' AND field = 'battery_voltage'
+       |), y AS (
+       |  SELECT window_end_s, CAST(round(value * 1000000) AS HUGEINT) AS yq
+       |  FROM m WHERE measurement = 'mx-1' AND field = 'bat_voltage'
+       |), a AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(xq) AS HUGEINT) AS sx, CAST(sum(yq) AS HUGEINT) AS sy,
+       |    CAST(sum(xq * yq) AS HUGEINT) AS sxy,
+       |    CAST(sum(xq * xq) AS HUGEINT) AS sxx,
+       |    CAST(sum(yq * yq) AS HUGEINT) AS syy
+       |  FROM x JOIN y USING (window_end_s)
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n < 2 THEN NULL
+       |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * (n - 1) AS DOUBLE) / 1e12, 9) END AS cov,
+       |  CASE WHEN n < 2 THEN NULL
+       |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) END AS pearson_r
+       |FROM a""".stripMargin,
+    doc = "Flux cov + pearsonr between the two battery series' daily means") { (s, d) =>
+    qbBase(s, d).covPearson(("fx-1", "battery_voltage"), ("mx-1", "bat_voltage"))
+  }
+
   val all: Seq[Q] = Seq(qSolarIngest, qStatusGate, qQueryBuilder, qGapfill,
     qQbDerivative, qQbMovingAvg, qQbIncrease, qQbCumsum, qQbDifference, qQbElapsed,
     qQbPivot, qQbQuantile, qQbStateCount, qQbStateDuration,
-    qQbStddev, qQbTop, qQbUnique, qQbHistogram, qQbHistQuantile, qQbHoltWinters)
+    qQbStddev, qQbTop, qQbUnique, qQbHistogram, qQbHistQuantile, qQbHoltWinters, qQbCov)
 }

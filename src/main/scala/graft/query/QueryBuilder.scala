@@ -329,6 +329,47 @@ final class QueryBuilder private (
         round(col("l") + col("h").cast("double") * col("b"), 6).as("value"))
   }
 
+  /** Flux `cov(x, y, on: ["_time"])` + `pearsonr(x, y, on: ["_time"])` —
+    * sample covariance and Pearson correlation of two series joined on
+    * time: the cross-sensor coupling readout ("do the two battery banks
+    * move together"). One row out: n, cov, pearson_r.
+    *
+    * Determinism: joined values quantize to 1e-6 fixed point, the five
+    * co-moment sums fold in DECIMAL(38,0) (exact in any partition
+    * order), and the statistics are single divisions / two
+    * correctly-rounded sqrts of exact-integer casts — identical IEEE
+    * trees in any engine; round(9) absorbs nothing but the final
+    * formatting ulp. Scale: one equi-join on the post-aggregation
+    * window key + ONE map-side-combined aggregate. */
+  def covPearson(
+      s1: (String, String),
+      s2: (String, String)): DataFrame = {
+    val base = build()
+    def series(mf: (String, String), out: String) = base
+      .filter(col("measurement") === mf._1 && col("field") === mf._2)
+      .select(col("time"), round(col("value") * 1e6).cast("decimal(19,0)").as(out))
+    val dec = "decimal(38,0)"
+    val j = series(s1, "xq").join(series(s2, "yq"), "time")
+    val a = j.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("xq")).cast(dec).as("sx"), sum(col("yq")).cast(dec).as("sy"),
+      sum(col("xq") * col("yq")).cast(dec).as("sxy"),
+      sum(col("xq") * col("xq")).cast(dec).as("sxx"),
+      sum(col("yq") * col("yq")).cast(dec).as("syy"))
+    a.select(
+      col("n").cast("long").as("n"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double") / 1e12, 9)).as("cov"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 9))
+        .as("pearson_r"))
+  }
+
   /** Assemble the DataFrame in the reference's canonical operator order. */
   def build(): DataFrame = {
     var df = from()

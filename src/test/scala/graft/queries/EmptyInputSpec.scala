@@ -134,7 +134,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_kaplan_meier",    // survival curve with zero users
     "q_dtw_profiles",    // DTW pair join over zero profiles
     "q_isotonic",        // PAVA over an empty score frame
-    "q_ari")             // contingency algebra with zero vectors
+    "q_ari",             // contingency algebra with zero vectors
+    "q_qb_cov")          // co-moment sums over an empty join
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {

@@ -434,6 +434,40 @@ class QueryBuilderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { qb2.histogram(Seq(2.0, 1.0)) }
   }
 
+  test("covPearson: co-moments match a BigInt recompute; n<2 yields null stats") {
+    import spark.implicits._
+    val xs = Seq(251.3, 250.1, 249.8, 252.7)
+    val ys = Seq(125.0, 126.4, 124.1, 127.9)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      ("m1", ts(f"2024-01-01 10:0$i:00"), "f1", v)
+    } ++ ys.zipWithIndex.map { case (v, i) =>
+      ("m2", ts(f"2024-01-01 10:0$i:00"), "f2", v)
+    }
+    val df = rows.toDF("measurement", "time", "field", "value")
+    val got = QueryBuilder.fromDataFrame(spark, () => df)
+      .covPearson(("m1", "f1"), ("m2", "f2")).collect().head
+    val xq = xs.map(v => BigInt(math.round(v * 1e6)))
+    val yq = ys.map(v => BigInt(math.round(v * 1e6)))
+    val n = BigInt(4)
+    val (sx, sy) = (xq.sum, yq.sum)
+    val sxy = xq.zip(yq).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xq.map(a => a * a).sum, yq.map(a => a * a).sum)
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === 4L)
+    assert(got.getDouble(1) ===
+      r9((n * sxy - sx * sy).toDouble / (n * (n - 1)).toDouble / 1e12))
+    assert(got.getDouble(2) ===
+      r9((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))))
+    // a single shared window has no sample covariance
+    val one = Seq(
+      ("m1", ts("2024-01-01 10:00:00"), "f1", 1.0),
+      ("m2", ts("2024-01-01 10:00:00"), "f2", 2.0)).toDF("measurement", "time", "field", "value")
+    val r = QueryBuilder.fromDataFrame(spark, () => one)
+      .covPearson(("m1", "f1"), ("m2", "f2")).collect().head
+    assert(r.getLong(0) === 1L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("holtWinters: fold matches a plain-var recurrence; short series emit nothing") {
     import spark.implicits._
     val vals = Seq(10.0, 12.0, 13.5, 15.1, 14.2, 16.9)
