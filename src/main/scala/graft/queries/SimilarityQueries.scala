@@ -1914,9 +1914,24 @@ object SimilarityQueries {
     * Scale design: the only fact-scale work is the broadcast centroid
     * assignment + ONE (cell, label) aggregate; all pair algebra runs on
     * the ≤ cells·labels contingency frame. */
-  val qAri: Q = Q.sql(
-    "q_ari",
-    s"""WITH vecs AS ($vecsSqlNested),
+  /** Shared cells × labels contingency for [[qAri]] / [[qVmeasure]]:
+    * IVF cell assignment joined to the embedding labels, counted — the
+    * only fact-scale work either external-validation gate does. */
+  private def cellLabelCounts(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfScored(all, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).cast("decimal(19,0)").as("nij"))
+  }
+
+  /** The matching oracle CTEs: `ct(cell, label, nij)` in HUGEINT. */
+  private val cellLabelCountsSql: String =
+    s"""vecs AS ($vecsSqlNested),
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $IvfCells),
        |scored AS (
        |  SELECT q.vec_id, c.cid,
@@ -1930,7 +1945,12 @@ object SimilarityQueries {
        |  FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
        |  WHERE s.crank = 1
        |  GROUP BY 1, 2
-       |), rows_ AS (SELECT cell, CAST(sum(nij) AS HUGEINT) AS ai FROM ct GROUP BY 1),
+       |)""".stripMargin
+
+  val qAri: Q = Q.sql(
+    "q_ari",
+    s"""WITH $cellLabelCountsSql,
+       |rows_ AS (SELECT cell, CAST(sum(nij) AS HUGEINT) AS ai FROM ct GROUP BY 1),
        |cols_ AS (SELECT label, CAST(sum(nij) AS HUGEINT) AS bj FROM ct GROUP BY 1),
        |pmax AS (SELECT cell, max(nij) AS mx FROM ct GROUP BY 1),
        |agg AS (
@@ -1953,15 +1973,7 @@ object SimilarityQueries {
     doc = "adjusted Rand index + purity of the IVF cell clustering vs embedding labels") {
     (s, d) =>
       val dec = "decimal(38,0)"
-      val all = vecs(s, d)
-      val cents = all.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = ivfScored(all, cents).filter(col("crank") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val ct = assigned
-        .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
-        .groupBy("cell", "label")
-        .agg(count(lit(1)).cast("decimal(19,0)").as("nij"))
+      val ct = cellLabelCounts(s, d)
       val rowsS = ct.groupBy("cell").agg(sum(col("nij")).cast("decimal(19,0)").as("ai"))
       val colsS = ct.groupBy("label").agg(sum(col("nij")).cast("decimal(19,0)").as("bj"))
       val pmax = ct.groupBy("cell").agg(max(col("nij")).as("mx"))
@@ -1995,5 +2007,82 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids, qAri)
+      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids, qAri, qVmeasure)
+
+  /** V-measure clustering validation (Rosenberg & Hirschberg 2007) —
+    * homogeneity h = I/H(labels), completeness c = I/H(cells), and
+    * their harmonic mean V = 2I/(H(labels)+H(cells)), the
+    * entropy-based complement to [[qAri]]'s pair counting (ARI rewards
+    * agreement; V separates "each cell is pure" from "each label is
+    * gathered").
+    *
+    * Determinism: entropies and mutual information are sums of ln
+    * terms over the bounded contingency — each term is computed on
+    * EXACT integer counts (identical ln arguments in both engines) and
+    * quantized to 1e-12 fixed point BEFORE the fold (the
+    * [[StatsQueries.qPsiDrift]] convention) so summation order can
+    * never flip a bit; the three final ratios are round(6). Same
+    * fact-scale profile as qAri: one broadcast assignment + one
+    * aggregate, everything else on the cells×labels frame. */
+  lazy val qVmeasure: Q = Q.sql(
+    "q_vmeasure",
+    s"""WITH $cellLabelCountsSql,
+       |rows_ AS (SELECT cell, CAST(sum(nij) AS HUGEINT) AS ai FROM ct GROUP BY 1),
+       |cols_ AS (SELECT label, CAST(sum(nij) AS HUGEINT) AS bj FROM ct GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(nij), 0) AS HUGEINT) AS n FROM ct),
+       |terms AS (
+       |  SELECT
+       |    (SELECT coalesce(sum(CAST(round(
+       |        (CAST(nij AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) * nij / (ai * bj)) * 1e12)
+       |        AS BIGINT)), 0)
+       |     FROM ct JOIN rows_ USING (cell) JOIN cols_ USING (label) CROSS JOIN tot) AS mi_q,
+       |    (SELECT coalesce(sum(CAST(round(
+       |        -(CAST(bj AS DOUBLE) / n) * ln(CAST(bj AS DOUBLE) / n) * 1e12) AS BIGINT)), 0)
+       |     FROM cols_ CROSS JOIN tot) AS hl_q,
+       |    (SELECT coalesce(sum(CAST(round(
+       |        -(CAST(ai AS DOUBLE) / n) * ln(CAST(ai AS DOUBLE) / n) * 1e12) AS BIGINT)), 0)
+       |     FROM rows_ CROSS JOIN tot) AS hc_q,
+       |    (SELECT CAST(n AS BIGINT) FROM tot) AS n
+       |)
+       |SELECT n,
+       |  round(mi_q / 1e12, 6) AS mi_nats,
+       |  CASE WHEN hl_q = 0 THEN NULL ELSE round(CAST(mi_q AS DOUBLE) / hl_q, 6) END AS homogeneity,
+       |  CASE WHEN hc_q = 0 THEN NULL ELSE round(CAST(mi_q AS DOUBLE) / hc_q, 6) END AS completeness,
+       |  CASE WHEN hl_q + hc_q = 0 THEN NULL
+       |    ELSE round(2.0 * mi_q / (CAST(hl_q AS DOUBLE) + hc_q), 6) END AS v_measure
+       |FROM terms""".stripMargin,
+    doc = "V-measure (homogeneity/completeness) of the IVF cell clustering vs labels") {
+    (s, d) =>
+      val ct = cellLabelCounts(s, d)
+      val rowsS = ct.groupBy("cell").agg(sum(col("nij")).cast("decimal(19,0)").as("ai"))
+      val colsS = ct.groupBy("label").agg(sum(col("nij")).cast("decimal(19,0)").as("bj"))
+      val tot = ct.agg(coalesce(sum(col("nij")), lit(0)).cast("decimal(19,0)").as("n"))
+      def q12(c: Column): Column = round(c * 1e12).cast("long")
+      val nD = col("n").cast("double")
+      val mi = ct
+        .join(rowsS, "cell").join(colsS, "label").crossJoin(broadcast(tot))
+        .agg(coalesce(sum(q12(
+          (col("nij").cast("double") / nD)
+            * log(nD * col("nij").cast("double")
+              / (col("ai") * col("bj")).cast("double")))), lit(0L)).as("mi_q"))
+      def entropy(m: org.apache.spark.sql.DataFrame, cnt: String, out: String) = m
+        .crossJoin(broadcast(tot))
+        .agg(coalesce(sum(q12(
+          -(col(cnt).cast("double") / nD) * log(col(cnt).cast("double") / nD))),
+          lit(0L)).as(out))
+      mi
+        .crossJoin(broadcast(entropy(colsS, "bj", "hl_q")))
+        .crossJoin(broadcast(entropy(rowsS, "ai", "hc_q")))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("n").cast("long").as("n"),
+          round(col("mi_q") / 1e12, 6).as("mi_nats"),
+          when(col("hl_q") === 0, lit(null).cast("double"))
+            .otherwise(round(col("mi_q").cast("double") / col("hl_q"), 6)).as("homogeneity"),
+          when(col("hc_q") === 0, lit(null).cast("double"))
+            .otherwise(round(col("mi_q").cast("double") / col("hc_q"), 6)).as("completeness"),
+          when(col("hl_q") + col("hc_q") === 0, lit(null).cast("double"))
+            .otherwise(round(lit(2.0) * col("mi_q")
+              / (col("hl_q").cast("double") + col("hc_q")), 6)).as("v_measure"))
+  }
 }

@@ -135,7 +135,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_dtw_profiles",    // DTW pair join over zero profiles
     "q_isotonic",        // PAVA over an empty score frame
     "q_ari",             // contingency algebra with zero vectors
-    "q_qb_cov")          // co-moment sums over an empty join
+    "q_qb_cov",          // co-moment sums over an empty join
+    "q_vmeasure")        // entropies over an empty contingency
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
