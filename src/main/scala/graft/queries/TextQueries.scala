@@ -1566,6 +1566,99 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Tokenizer fertility per language — tokens/word and chars/token of
+    * the corpus-trained BPE vocabulary, the multilingual-equity report
+    * every tokenizer ships with (a language with 2× fertility pays 2×
+    * the context budget; Scao et al. 2022 §3.2 report exactly this
+    * table for BLOOM). Reuses [[qBpeEncode]]'s greedy top-[[BpeVocab]]
+    * merge encoding (the `BpeTokens` codegen kernel) and rolls it up to
+    * language grain.
+    *
+    * Exactness: word/alpha/token counts per doc are exact BIGINTs, the
+    * per-language rollup is one map-side-combined aggregate of those,
+    * and both ratios are single divisions of exact integer sums,
+    * round(6). Fact-scale work: one vocab count shuffle + one narrow
+    * per-doc kernel walk + one lang-grain aggregate. */
+  val qFertility: Q = Q.sql(
+    "q_fertility",
+    s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(t)-1), i -> substr(t, i, 2))) AS pair
+       |  FROM tok WHERE length(t) >= 2),
+       |pc AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair),
+       |vocab AS (SELECT list(pair) AS vs FROM (
+       |  SELECT pair FROM pc ORDER BY cnt DESC, pair LIMIT $BpeVocab) _v),
+       |tokd AS (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents),
+       |wstats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(count(*) FILTER (WHERE length(t) > 0) AS BIGINT) AS words,
+       |    CAST(sum(length(t)) AS BIGINT) AS n_alpha
+       |  FROM tokd GROUP BY 1, 2),
+       |tokd2 AS (
+       |  SELECT doc_id, unnest($tokensSql) AS t,
+       |    generate_subscripts($tokensSql, 1) AS wi
+       |  FROM documents),
+       |posv0 AS (
+       |  SELECT doc_id, wi, t, unnest(generate_series(1, length(t) - 1)) AS p
+       |  FROM tokd2 WHERE length(t) >= 2),
+       |posv AS (
+       |  SELECT doc_id, wi, p FROM posv0 CROSS JOIN vocab
+       |  WHERE list_contains(vs, substr(t, p, 2))),
+       |isl AS (
+       |  SELECT doc_id, wi, p,
+       |    p - row_number() OVER (PARTITION BY doc_id, wi ORDER BY p) AS grp
+       |  FROM posv),
+       |runs AS (SELECT doc_id, wi, grp, count(*) AS k FROM isl GROUP BY 1, 2, 3),
+       |m AS (SELECT doc_id, CAST(sum((k + 1) // 2) AS BIGINT) AS merges FROM runs GROUP BY doc_id),
+       |perdoc AS (
+       |  SELECT w.lang, w.words, w.n_alpha,
+       |    w.n_alpha - coalesce(m.merges, 0) AS n_tokens
+       |  FROM wstats w LEFT JOIN m ON w.doc_id = m.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(words) AS BIGINT) AS words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |  round(CAST(sum(n_tokens) AS DOUBLE) / nullif(sum(words), 0), 6) AS fertility,
+       |  round(CAST(sum(n_alpha) AS DOUBLE) / nullif(sum(n_tokens), 0), 6) AS chars_per_token
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    doc = s"tokenizer fertility per language: BPE tokens/word + chars/token") { (s, d) =>
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    val pc = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = pc
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeVocab)
+      .agg(collect_list(col("pair")).as("vs"))
+    val lw = col("lw")
+    // same whitespace normalization contract as qBpeEncode (the kernel
+    // treats only ' ' as a delimiter; the oracle tokenizes on \s+)
+    val perdoc = docs
+      .select(col("lang"), tokens(col("text")).as("w"),
+        regexp_replace(lower(col("text")), "\\s", " ").as("lw"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("lang"),
+        size(filter(col("w"), t => length(t) > 0)).cast("long").as("words"),
+        length(replace(lw, lit(" "), lit(""))).cast("long").as("n_alpha"),
+        graft.expressions.BpeTokens.bpeTokens(lw, col("vs")).as("n_tokens"))
+    perdoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        round(sum(col("n_tokens")).cast("double")
+          / nullif(sum(col("words")), lit(0)), 6).as("fertility"),
+        round(sum(col("n_alpha")).cast("double")
+          / nullif(sum(col("n_tokens")), lit(0)), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qSimhash, qMultimodalMeta,
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
@@ -1573,5 +1666,5 @@ object TextQueries {
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
       qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
       qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash,
-      qPmi, qReadability)
+      qPmi, qReadability, qFertility)
 }

@@ -136,7 +136,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_isotonic",        // PAVA over an empty score frame
     "q_ari",             // contingency algebra with zero vectors
     "q_qb_cov",          // co-moment sums over an empty join
-    "q_vmeasure")        // entropies over an empty contingency
+    "q_vmeasure",        // entropies over an empty contingency
+    "q_fertility")       // fertility rollup with zero docs
 
   for (name <- probes)
     test(s"$name evaluates on an all-empty corpus") {
