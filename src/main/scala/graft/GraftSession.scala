@@ -54,6 +54,39 @@ object GraftSession {
       // code budget that DOES silently degrade is the JVM code cache —
       // see ReservedCodeCacheSize in build.sbt.)
       .config("spark.sql.codegen.cache.maxEntries", "3000")
+      // Generated class names embed the codegen stage id by default
+      // (GeneratedIteratorForCodegenStage<N>) — but under AQE the ids are
+      // assigned in runtime stage-COMPLETION order, which is
+      // nondeterministic, so the same physical stage can be named Stage1
+      // on one execution and Stage2 on the next. The codegen cache keys
+      // on source TEXT, so every renamed stage is a fresh janino compile
+      // + C2 JIT: measured 50 recompiles on pass 2 of a single solo
+      // q_mad_outliers run (r10 battery: 484 timed-pass recompiles across
+      // 47 queries, with the C2 churn bleeding into neighbors' numbers —
+      // the r10 "battery-scale pressure" regressions). With the id kept
+      // in a comment instead (comments are excluded from cache-key
+      // equality), re-executions hit the cache, and structurally
+      // identical stages across DIFFERENT queries dedupe too — the same
+      // reason a long-lived production session serving a query workload
+      // wants this off. Measured (CodegenAudit, q_mad_outliers solo,
+      // cold/warm/warm): 189/50/2 compiles → 85/0/0 — warm passes fully
+      // cache-hit, and the COLD pass halves because structurally
+      // identical stages now dedupe across the query too. Debuggability
+      // cost is nil (the id still prints in the comment header and in
+      // explain output).
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      // Partition discovery above 32 dirs defaults to a DISTRIBUTED
+      // listing job with one task per directory — the right call against
+      // an object store (each LIST is a ~50 ms network round trip), but
+      // on a local filesystem each listing is a ~20 µs syscall and the
+      // job is pure scheduler overhead: the 2,499-day small-files
+      // fixture cost a 2,499-task, 3.5 s listing job per q_compaction_exec
+      // pass (53% of the gate; measured with CompactionProfile's
+      // per-job listener) where the driver lists the same tree in well
+      // under a second. Deployment-matched tuning, same class as
+      // shuffle.partitions=32: a cluster reading S3/ABFS keeps the
+      // default 32.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .config("spark.ui.enabled", "false")
       // Catalyst extensions: the edit-distance prefilter rewrite (a sound
       // length-difference bound ahead of every levenshtein<=k predicate)

@@ -253,7 +253,14 @@ object ScaleProbe {
       "q_isotonic" -> (() => reg("q_isotonic").run(spark, dir)),
       // xN vectors fold into the SAME <= cells x labels contingency;
       // only the broadcast assignment scan scales
-      "q_ari" -> (() => reg("q_ari").run(spark, dir)))
+      "q_ari" -> (() => reg("q_ari").run(spark, dir)),
+      // persisted IVF-PQ serve: the build amortizes (first run pays it),
+      // search reads only the probed cells' code files — at 10x the
+      // candidate join grows with cell occupancy, never the corpus scan
+      "q_ivfpq_index_search" -> (() => reg("q_ivfpq_index_search").run(spark, dir)),
+      // xN docs -> xN independent encode+inflate+unfilter pipelines:
+      // narrow per-row codegen work, wall must track the corpus scan
+      "q_png_decode" -> (() => reg("q_png_decode").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

@@ -30,6 +30,12 @@ case class DtwDist(left: Expression, right: Expression, band: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "dtw_dist"
 
+  // NULL when no warp path exists (an empty side, or |n − m| > band makes
+  // the end cell unreachable): surfacing the 2^60 Inf sentinel as an
+  // ordinary distance would let a caller ranking on dtw_dist treat an
+  // impossible alignment as a huge-but-real one.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(LongType, _) => true
@@ -41,12 +47,16 @@ case class DtwDist(left: Expression, right: Expression, band: Int)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    DtwDist.dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], band)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val d = DtwDist.dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], band)
+    if (d >= DtwDist.Inf) null else d
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.expressions.DtwDist.dist($l, $r, $band);")
+      s"""${ev.value} = graft.expressions.DtwDist.dist($l, $r, $band);
+         |if (${ev.value} >= ${DtwDist.Inf}L) { ${ev.isNull} = true; ${ev.value} = -1L; }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -55,7 +65,12 @@ case class DtwDist(left: Expression, right: Expression, band: Int)
 
 object DtwDist {
   /** Off-band / border sentinel: far above any real path cost, far below
-    * Long.MaxValue so `INF + cost` cannot wrap. */
+    * Long.MaxValue so `INF + cost` cannot wrap. A result at or above this
+    * means "no path" and surfaces as NULL from the expression. Input
+    * contract: fixed-point QUANTIZED longs (|x|, |y| ≪ 2⁶⁰), so the cell
+    * cost |xᵢ − y_j| and the path sum can never reach Inf on their own —
+    * raw unquantized extremes would overflow the subtraction before DTW
+    * semantics even apply. */
   val Inf: Long = 1L << 60
 
   def dist(xs: ArrayData, ys: ArrayData, band: Int): Long = {

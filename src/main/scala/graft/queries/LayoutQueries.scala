@@ -202,6 +202,14 @@ object LayoutQueries {
       // paying it twice doubled the gate
       val small = graft.ScratchCache.tracked(
         IndexStore.read(s, smallDir, "files", smallSchema))
+      // materialize BEFORE the fan-out (NOTES lesson 11b): the write
+      // action consumes `small` through THREE cold subtrees at once (the
+      // day grain `f`, the total `t`, and the rewrite join), and a cold
+      // persisted frame's concurrent first computations each re-pay the
+      // full 2.5k-file listing+footer scan — the dominant cost of any
+      // small-files job. One cheap count() fills the cache once; the
+      // plan, the rewrite, and the read-back proof then share it.
+      small.count()
       // the plan, computed FROM the small bucket alone
       val f = small.groupBy(col("day")).agg(count(lit(1)).as("rows_"))
       val t = f.agg(sum(col("rows_")).as("total"))

@@ -912,8 +912,12 @@ object SimilarityQueries {
     * gates pin, so `ad2` ships raw. (This variant PQ-encodes raw
     * vectors, not cell residuals — the residual refinement changes
     * codebook training, not the dataflow shape.) */
-  val qIvfPq: Q = Q.sql(
-    "q_ivfpq", {
+  /** Shared IVF-PQ oracle: coarse assignment + probes, PQ codes, query
+    * LUTs, candidate join on cell, ADC sum, top-k — used verbatim by the
+    * inline gate [[qIvfPq]] and the persisted-index gate
+    * [[qIvfPqIndexSearch]] (the stored codes/codebook/coarse-centroid
+    * tables ARE the `best`/`cents`/`icents` CTEs, materialized). */
+  private val ivfPqOracleSql: String = {
       val adcSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN ld2 END)")
         .mkString(" + ")
       s"""WITH $pqCtesSql,
@@ -957,7 +961,10 @@ object SimilarityQueries {
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ad2
          |FROM r WHERE rn <= $PqSearchK
          |ORDER BY q_id, rn""".stripMargin
-    },
+  }
+
+  val qIvfPq: Q = Q.sql(
+    "q_ivfpq", ivfPqOracleSql,
     doc = s"IVF-PQ: $IvfCells cells nprobe=$NProbe coarse prune, PQ-ADC scoring of codes only") {
     (s, d) =>
       // coarse IVF stage — same expressions q_ann_ivf pins
@@ -992,6 +999,93 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
       codes
         .join(cand, "vec_id")
+        .join(broadcast(lut), Seq("q_id", "b", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(adcSum.as("ad2"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PqSearchK)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
+        .orderBy("q_id", "rn")
+  }
+
+  /** The FULL billion-scale serving layout, persisted: IVF-PQ where the
+    * stored index is (a) ONE row per vector holding its cell id and its
+    * [[PqBlocks]] codes, partition-bucketed BY CELL — so a search reads
+    * only the probed cells' files and only codes, never corpus floats —
+    * plus (b) the tiny PQ codebook and (c) the coarse-centroid table.
+    * This closes the PQ half of the amortization story the IVF family
+    * already has ([[qIvfIndexSearch]]): [[qIvfPq]] re-derives coarse
+    * assignment and code assignment inline per query, which a real
+    * 100 TB corpus would never do. Search-time work is: score the live
+    * query vectors against the stored coarse centroids (broadcast,
+    * tiny), compute the query LUT against the stored codebook
+    * (broadcast, tiny), then one equi-join of the broadcast probe list
+    * against the cell-partitioned code table and the ADC rank — output
+    * row-identical to [[qIvfPq]] (same oracle verbatim; equality
+    * spec-pinned in Round11OpsSpec). Freshness/crash-safety via the
+    * [[graft.operators.IndexStore]] stamp meta, like the IVF index. */
+  val qIvfPqIndexSearch: Q = Q.sql(
+    "q_ivfpq_index_search",
+    ivfPqOracleSql,
+    doc = s"IVF-PQ ADC top-$PqSearchK served from the persisted cell-bucketed code index") {
+    (s, d) =>
+      import graft.operators.IndexStore
+      val dir = IndexStore.dirFor(d, "ivfpq")
+      val stamp = IndexStore.sourceStamp(s"$d/embeddings.parquet")
+      val centCos =
+        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
+      if (!IndexStore.isFresh(s, dir, stamp)) {
+        val n = embeddings(s, d).count()
+        val all = vecs(s, d)
+        val icents = all.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("icid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val iassigned = all.crossJoin(broadcast(icents))
+          .select(col("vec_id"), col("icid"), centCos.as("ccos"))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("icid").as("cell"))
+        val vecsAll = pqVecs(s, d)
+        val cents = pqCentsOf(vecsAll)
+        val codeCols = (0 until PqBlocks).map(b =>
+          max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
+        val wideCodes = pqBest(
+          pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x"), cents)
+          .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+          .join(iassigned, "vec_id")
+          .repartition(col("cell"))
+        IndexStore.publish(s, dir, n, Seq(
+          ("codes", wideCodes, Seq("cell")),
+          ("codebook", cents, Nil),
+          ("icentroids", icents, Nil)), stamp)
+      }
+      val codeDdl = "vec_id LONG, " +
+        (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ") + ", cell LONG"
+      val wide = IndexStore.read(s, dir, "codes", codeDdl)
+      val codebook = IndexStore.read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
+      val storedIcents = IndexStore
+        .read(s, dir, "icentroids", "icid LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+      val queries = vecs(s, d).filter(col("vec_id") < PqSearchQueries)
+      val iprobes = queries.crossJoin(broadcast(storedIcents))
+        .select(col("vec_id"), col("icid"), centCos.as("ccos"))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
+      val lut = pqBlockify(pqVecs(s, d).filter(col("vec_id") < PqSearchQueries), "q_id")
+        .withColumnRenamed("s", "x")
+        .join(codebook, "b")
+        .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
+      // candidate pull: broadcast probe list against the cell-bucketed
+      // code table — only probed cells' partitions are read, codes only
+      val cand = broadcast(iprobes)
+        .join(wide, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      val codes = cand.select(col("q_id"), col("vec_id"),
+        explode(array((0 until PqBlocks).map(b =>
+          struct(lit(b).as("b"), col(s"c$b").as("cid"))): _*)).as("e"))
+        .select(col("q_id"), col("vec_id"), col("e.b").as("b"), col("e.cid").as("cid"))
+      val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+      codes
         .join(broadcast(lut), Seq("q_id", "b", "cid"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(adcSum.as("ad2"))
@@ -1822,6 +1916,23 @@ object SimilarityQueries {
     * min-label CTE over the same (tiny) core-cell graph. Floor parity:
     * float→double cast is exact, /0.05 is one correctly-rounded IEEE op
     * on identical operands in both engines. */
+  /** Packed 1-D grid key for a (`cx`, `cy`) cell pair. The key spans
+    * ±2²⁰ cells per axis (±52k embedding units at 0.05 width) and FAILS
+    * LOUDLY beyond it in both engines — a silent collision would merge
+    * unrelated clusters (the Quantiles-guard convention: the assert is
+    * folded into the value so column pruning can't skip it). Factored
+    * out so OverflowBoundarySpec can drive the production guard at and
+    * past the packing boundary. */
+  private[queries] def dbscanPackedCell: Column = {
+    val inRange = abs(col("cx")) < (1L << 20) && abs(col("cy")) < (1L << 20)
+    val cellGuard = coalesce(
+      assert_true(inRange,
+        concat(lit("grid cell coordinate out of packing range (|c| >= 2^20): ("),
+          col("cx"), lit(","), col("cy"), lit(")"))).cast("long"),
+      lit(0L))
+    (col("cx") + (1L << 20)) * (1L << 21) + (col("cy") + (1L << 20)) + cellGuard
+  }
+
   val qDbscanGrid: Q = Q.sql(
     "q_dbscan_grid",
     s"""WITH RECURSIVE pts AS (
@@ -1861,19 +1972,8 @@ object SimilarityQueries {
         col("vec_id"),
         floor(element_at(col("embedding"), 1).cast("double") / DbscanCellW).cast("long").as("cx"),
         floor(element_at(col("embedding"), 2).cast("double") / DbscanCellW).cast("long").as("cy"))
-      // packed key spans ±2^20 cells per axis (±52k embedding units at
-      // 0.05 width) and FAILS LOUDLY beyond it in both engines — a silent
-      // collision would merge unrelated clusters (the Quantiles-guard
-      // convention: assert folded into the value so pruning can't skip it)
-      val inRange = abs(col("cx")) < (1L << 20) && abs(col("cy")) < (1L << 20)
-      val cellGuard = coalesce(
-        assert_true(inRange,
-          concat(lit("grid cell coordinate out of packing range (|c| >= 2^20): ("),
-            col("cx"), lit(","), col("cy"), lit(")"))).cast("long"),
-        lit(0L))
       val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
-        .select(col("cx"), col("cy"), col("cnt"),
-          ((col("cx") + (1L << 20)) * (1L << 21) + (col("cy") + (1L << 20)) + cellGuard).as("c"))
+        .select(col("cx"), col("cy"), col("cnt"), dbscanPackedCell.as("c"))
       val n = pts.agg(count(lit(1)).as("n"))
       val core = cells.crossJoin(broadcast(n))
         .filter(col("cnt") >= greatest(lit(3L), expr("n DIV 200")))
@@ -2007,7 +2107,7 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch, qSourceCentroids, qAri, qVmeasure)
+      qIvfIndexUpdate, qPqIndexSearch, qIvfPqIndexSearch, qSourceCentroids, qAri, qVmeasure)
 
   /** V-measure clustering validation (Rosenberg & Hirschberg 2007) —
     * homogeneity h = I/H(labels), completeness c = I/H(cells), and

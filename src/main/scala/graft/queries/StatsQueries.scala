@@ -1023,6 +1023,26 @@ object StatsQueries {
         .orderBy("lang")
   }
 
+  /** The five co-moment sums of two doubled-rank columns (`g`, `rx2`,
+    * `ry2`), exact at any scale: the operands are cast to DECIMAL(19,0)
+    * BEFORE the products so the per-row product and the running sum
+    * genuinely fold in DECIMAL(38,0) — a BIGINT rx·ry sum would wrap
+    * once ranks reach ~3·10⁹ (a ~1.5·10⁹-row group, i.e. exactly the
+    * 100 TB case). Factored out so OverflowBoundarySpec can drive the
+    * production fold with ranks past the 2⁶³ product boundary. */
+  private[queries] def rankMoments(j: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val rx = col("rx2").cast("decimal(19,0)")
+    val ry = col("ry2").cast("decimal(19,0)")
+    j.groupBy("g").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(rx).cast(dec).as("sx"), sum(ry).cast(dec).as("sy"),
+      sum(rx * rx).cast(dec).as("sxx"),
+      sum(ry * ry).cast(dec).as("syy"),
+      sum(rx * ry).cast(dec).as("sxy"))
+  }
+
   /** Spearman rank correlation of quantity vs extended price per return
     * flag — the robust (monotone-invariant) complement to [[qCorrStats]]'s
     * Pearson, with EXACT tie handling via average ranks.
@@ -1085,17 +1105,7 @@ object StatsQueries {
         .join(rankMap("x"), col("g") === col("g_x") && col("x") === col("v_x"))
         .join(rankMap("y"), col("g") === col("g_y") && col("y") === col("v_y"))
         .select(col("g"), col("r2_x").as("rx2"), col("r2_y").as("ry2"))
-      val dec = "decimal(38,0)"
-      // cast BEFORE the products/sums: decimal(19,0)×decimal(19,0) →
-      // decimal(38,0) per row, so the fold never touches BIGINT overflow
-      val rx = col("rx2").cast("decimal(19,0)")
-      val ry = col("ry2").cast("decimal(19,0)")
-      val a = j.groupBy("g").agg(
-        count(lit(1)).cast(dec).as("n"),
-        sum(rx).cast(dec).as("sx"), sum(ry).cast(dec).as("sy"),
-        sum(rx * rx).cast(dec).as("sxx"),
-        sum(ry * ry).cast(dec).as("syy"),
-        sum(rx * ry).cast(dec).as("sxy"))
+      val a = rankMoments(j)
       a.select(
           col("g").as("l_returnflag"), col("n").cast("long").as("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")

@@ -1740,6 +1740,19 @@ object TimeSeriesQueries {
     * and the fold is order-independent in DECIMAL/HUGEINT; the result is
     * two divisions of exact sums, round(6). One per-series lead window +
     * one aggregate. */
+  /** The TWA integral numerator Σ vq·dt over (`vq`, `dt`) columns, exact
+    * at any scale: the integrand operands are cast to decimal BEFORE the
+    * product so the fold genuinely accumulates in DECIMAL(38,0) — a
+    * BIGINT vq·dt sum would wrap once per-series integrals near 2⁶³
+    * (large values × long gaps × many points), silently diverging from
+    * the oracle's HUGEINT. Factored out so OverflowBoundarySpec can
+    * drive the production fold past the 2⁶³ per-term boundary. */
+  private[queries] def twaNumerator: org.apache.spark.sql.Column = {
+    val term = col("vq").cast("decimal(19,0)") * col("dt").cast("decimal(19,0)")
+    sum(when(col("dt").isNull, lit(0).cast("decimal(38,0)")).otherwise(term))
+      .cast("decimal(38,0)")
+  }
+
   val qTwa: Q = Q.sql(
     "q_twa",
     """WITH p AS (
@@ -1771,18 +1784,11 @@ object TimeSeriesQueries {
       val w = Window.partitionBy(col("event_type")).orderBy(col("t_s"), col("event_id"))
       val g = p.select(col("event_type"), col("vq"), col("t_s"),
         (lead(col("t_s"), 1).over(w) - col("t_s")).as("dt"))
-      val dec = "decimal(38,0)"
-      // cast the integrand operands to decimal BEFORE the product so the
-      // fold genuinely accumulates in DECIMAL(38,0) — a BIGINT vq*dt sum
-      // would wrap once per-series integrals near 2^63 (large values ×
-      // long gaps × many points), silently diverging from HUGEINT
-      val term = col("vq").cast("decimal(19,0)") * col("dt").cast("decimal(19,0)")
       g.groupBy("event_type")
         .agg(
           count(lit(1)).cast("long").as("n"),
-          sum(when(col("dt").isNull, lit(0).cast("decimal(38,0)")).otherwise(term))
-            .cast(dec).as("num"),
-          (max(col("t_s")) - min(col("t_s"))).cast(dec).as("span_s"))
+          TimeSeriesQueries.twaNumerator.as("num"),
+          (max(col("t_s")) - min(col("t_s"))).cast("decimal(38,0)").as("span_s"))
         .select(col("event_type"), col("n"),
           when(col("span_s") === 0, lit(null).cast("double"))
             .otherwise(round(col("num").cast("double") / 1000000.0

@@ -340,7 +340,13 @@ final class QueryBuilder private (
     * correctly-rounded sqrts of exact-integer casts — identical IEEE
     * trees in any engine; round(9) absorbs nothing but the final
     * formatting ulp. Scale: one equi-join on the post-aggregation
-    * window key + ONE map-side-combined aggregate. */
+    * window key + ONE map-side-combined aggregate.
+    *
+    * Input contract: per-series times must be UNIQUE (guaranteed
+    * downstream of aggregateWindow, the reference's producer for cov).
+    * A raw fromDataFrame input with duplicate times fans the time
+    * equi-join out to all same-time pairs — deterministic, but n and the
+    * co-moments then count pairs, not points; aggregate first. */
   def covPearson(
       s1: (String, String),
       s2: (String, String)): DataFrame = {
@@ -506,13 +512,18 @@ final class QueryBuilder private (
         // sum over the same per-series shuffle key every other pipe uses —
         // a row's run id is the count of non-matching rows at-or-before it
         // (the run's own resetting row leads the run, so rank/time-origin
-        // corrections are local to the run partition). Requires unique
-        // per-series times (guaranteed downstream of aggregateWindow).
+        // corrections are local to the run partition). Per-series times
+        // are unique downstream of aggregateWindow (the reference's only
+        // producer); for a raw fromDataFrame input with DUPLICATE times
+        // the run windows below break ties on (value, m__) so run ids and
+        // counts stay DETERMINISTIC — without the tie-break, equal-time
+        // rows could land on either side of a run boundary per execution.
         case StateCount(op, thr) =>
-          val run = wS.rowsBetween(
+          val run = wS.orderBy(col("time"), col("value")).rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
           val wG = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("measurement"), col("field"), col("g__")).orderBy(col("time"))
+            .partitionBy(col("measurement"), col("field"), col("g__"))
+            .orderBy(col("time"), col("value"))
           df = df
             .withColumn("m__", statePredicate(op, thr))
             .withColumn("g__", sum(when(col("m__"), 0L).otherwise(1L)).over(run))
@@ -523,10 +534,11 @@ final class QueryBuilder private (
                 .otherwise(lit(-1.0)))
             .drop("m__", "g__")
         case StateDuration(op, thr, unit) =>
-          val run = wS.rowsBetween(
+          val run = wS.orderBy(col("time"), col("value")).rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
           val wG = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("measurement"), col("field"), col("g__")).orderBy(col("time"))
+            .partitionBy(col("measurement"), col("field"), col("g__"))
+            .orderBy(col("time"), col("value"))
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
           df = df
             .withColumn("m__", statePredicate(op, thr))

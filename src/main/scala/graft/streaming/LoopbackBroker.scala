@@ -27,6 +27,9 @@ final class LoopbackBroker(user: String, password: String) {
     def send(header: Int, body: Array[Byte]): Unit =
       out.synchronized { MqttWire.write(out, header, body) }
     val subs = new ConcurrentLinkedQueue[String]()
+    /** QoS-2 inbound pids delivered but not yet PUBREL'd (receiver-side
+      * exactly-once state for publishes FROM this client). */
+    val inboundUnreleased = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     def matches(topic: String): Boolean = subs.asScala.exists { f =>
       if (f.endsWith("/#")) topic.startsWith(f.dropRight(1)) || topic == f.dropRight(2)
       else f == topic
@@ -92,6 +95,43 @@ final class LoopbackBroker(user: String, password: String) {
               s.close()
             case MqttWire.PINGREQ =>
               conn.send(MqttWire.PINGRESP, Array.emptyByteArray)
+            case MqttWire.PUBLISH =>
+              // CLIENT → broker publish (the client's outbound-QoS
+              // ladder under test): record the delivery, answer per QoS,
+              // and honor the drop-counters that simulate lost acks
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              val topic = MqttWire.readStr(b)
+              val qos = pkt.publishQos
+              val pid = if (qos > 0) b.readUnsignedShort() else 0
+              val payload = new Array[Byte](b.available())
+              b.readFully(payload)
+              inboundCopies.incrementAndGet()
+              if (qos == 2) {
+                // deliver-on-PUBLISH with pid tracking (spec §4.3.3):
+                // a DUP re-send of an unreleased pid must NOT re-deliver
+                if (conn.inboundUnreleased.add(pid))
+                  inbound.add(topic -> new String(payload, "UTF-8"))
+                if (dropPubrecs.get() > 0) dropPubrecs.decrementAndGet()
+                else conn.send(MqttWire.PUBREC, MqttWire.packetId(pid))
+              } else {
+                // QoS 0/1: at-most/at-least-once — every copy delivers
+                // (a QoS-1 DUP whose PUBACK was lost IS a duplicate
+                // delivery; that is the at-least-once contract the
+                // exactly-once spec contrasts against)
+                inbound.add(topic -> new String(payload, "UTF-8"))
+                if (qos == 1) {
+                  if (dropPubacks.get() > 0) dropPubacks.decrementAndGet()
+                  else conn.send(MqttWire.PUBACK, MqttWire.packetId(pid))
+                }
+              }
+            case MqttWire.PUBREL_TYPE =>
+              // QoS-2 leg 3 from a publishing client: release the pid
+              // and complete the flow; PUBCOMP answers every PUBREL
+              val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
+              val pid = b.readUnsignedShort()
+              conn.inboundUnreleased.remove(pid)
+              rels.add(pid)
+              conn.send(MqttWire.PUBCOMP, MqttWire.packetId(pid))
             case MqttWire.PUBACK =>
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               acks.add(b.readUnsignedShort())
@@ -124,6 +164,20 @@ final class LoopbackBroker(user: String, password: String) {
       try c.send(MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
       catch { case _: IOException => () }
     }
+
+  /** Client-published messages ACCEPTED for delivery (exactly one entry
+    * per QoS-2 flow regardless of DUP re-sends; every copy at QoS 0/1),
+    * in arrival order — the assertion surface for outbound-QoS specs. */
+  val inbound = new ConcurrentLinkedQueue[(String, String)]()
+  /** Raw inbound PUBLISH frames seen, INCLUDING DUP re-sends. */
+  val inboundCopies = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** PUBREL packet ids received from publishing clients. */
+  val rels = new ConcurrentLinkedQueue[Int]()
+  /** Fault injection: swallow the next N PUBACKs / PUBRECs the broker
+    * would send to a publishing client — the lost-ack paths that force
+    * the client's DUP-resend ladder deterministically. */
+  val dropPubacks = new java.util.concurrent.atomic.AtomicInteger(0)
+  val dropPubrecs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** PUBACK packet ids received from clients, in arrival order. */
   val acks = new ConcurrentLinkedQueue[Int]()

@@ -41,6 +41,15 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
   @volatile private var closing = false
   private val subs = new ConcurrentLinkedQueue[String]()
   private val packetIds = new AtomicInteger(1)
+  // outbound-publish in-flight state, keyed by packet id: `pubDone` holds
+  // pids whose flow completed (PUBACK at QoS 1, PUBCOMP at QoS 2),
+  // `pubRecd` pids whose PUBREC arrived but whose PUBCOMP is pending —
+  // the state that decides whether a resend is PUBLISH+DUP (leg 1 lost)
+  // or PUBREL (leg 2/3 lost). The reader thread populates both and
+  // notifies `pubSignal`; [[publish]] blocks on it.
+  private val pubDone = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  private val pubRecd = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  private val pubSignal = new Object
 
   override def isConnected: Boolean = connected
 
@@ -159,6 +168,25 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
               // PUBCOMP answers EVERY PUBREL, including a retransmitted
               // one whose pid we already released (spec §4.3.3)
               send(myOut, MqttWire.PUBCOMP, MqttWire.packetId(pid))
+            // ---- outbound-publish acks (this client as SENDER) ----
+            case MqttWire.PUBACK =>
+              val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
+              pubDone.add(s.readUnsignedShort())
+              pubSignal.synchronized(pubSignal.notifyAll())
+            case MqttWire.PUBREC =>
+              // QoS-2 sender leg 2→3: every PUBREC (including a
+              // retransmission) is answered with PUBREL (spec §4.3.3)
+              val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
+              val pid = s.readUnsignedShort()
+              pubRecd.add(pid)
+              send(myOut, MqttWire.PUBREL, MqttWire.packetId(pid))
+              pubSignal.synchronized(pubSignal.notifyAll())
+            case MqttWire.PUBCOMP =>
+              val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
+              val pid = s.readUnsignedShort()
+              pubRecd.remove(pid)
+              pubDone.add(pid)
+              pubSignal.synchronized(pubSignal.notifyAll())
             case MqttWire.SUBACK =>
               val qos = if (p.body.length >= 3) p.body(2).toInt else 0
               callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)
@@ -184,6 +212,56 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     }, s"mqtt-reader-$clientId")
     t.setDaemon(true)
     t.start()
+  }
+
+  /** Outbound publish at QoS 0/1/2 — the SENDER half of the ladder the
+    * reader's receiver half mirrors, so the demo pipeline
+    * (SolarSynth → broker) can be exactly-once end to end instead of
+    * QoS-0 fire-and-forget. QoS 0 returns immediately; QoS 1 blocks for
+    * PUBACK, re-sending PUBLISH+DUP on timeout (at-least-once); QoS 2
+    * runs the four-leg flow — PUBLISH → PUBREC → PUBREL → PUBCOMP —
+    * where a timeout resend is PUBLISH+DUP while leg 1 is unconfirmed
+    * but PUBREL once PUBREC arrived (re-publishing after PUBREC could
+    * make a compliant receiver deliver twice; spec §4.3.3). The reader
+    * answers PUBREC with PUBREL automatically, so this method only waits
+    * for the completion mark and drives timeouts.
+    *
+    * @return true when the flow completed (always, for QoS 0); false on
+    *         timeout after `maxResends` retransmissions or disconnect. */
+  def publish(
+      topic: String,
+      payload: Array[Byte],
+      qos: Int = 0,
+      ackTimeoutMs: Long = 1000,
+      maxResends: Int = 2): Boolean = {
+    if (!connected) return false
+    if (qos == 0) {
+      send(out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
+      return true
+    }
+    val pid = packetIds.getAndIncrement() & 0xffff
+    val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
+    def await(deadline: Long): Boolean = {
+      pubSignal.synchronized {
+        while (!pubDone.contains(pid) && System.nanoTime() < deadline && connected)
+          pubSignal.wait(20)
+      }
+      pubDone.contains(pid)
+    }
+    var attempt = 0
+    var ok = false
+    while (!ok && attempt <= maxResends && connected) {
+      val dup = if (attempt > 0) 0x08 else 0
+      if (qos == 2 && pubRecd.contains(pid))
+        send(out, MqttWire.PUBREL, MqttWire.packetId(pid)) // legs 1-2 done; PUBCOMP lost
+      else
+        send(out, MqttWire.PUBLISH | (qos << 1) | dup, body)
+      ok = await(System.nanoTime() + ackTimeoutMs * 1000000L)
+      attempt += 1
+    }
+    pubDone.remove(pid)
+    pubRecd.remove(pid)
+    ok
   }
 
   override def subscribe(topic: String, qos: Int): Unit = if (connected) {

@@ -112,10 +112,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ivf_index_build", // persisted index of an empty corpus (schema-only read)
     "q_ivf_index_search",// probe an empty persisted index
     "q_pq_index_search", // ADC over an empty code table
+    "q_ivfpq_index_search", // cell-bucketed codes of an empty corpus
     "q_compaction_exec", // rewrite zero small files into zero groups
     "q_wav_decode",      // container decode over zero media rows
     "q_bmp_decode",      // header parse over zero media rows
     "q_bmp_dhash",       // perceptual hash over zero decoded images
+    "q_png_decode",      // PNG inflate+unfilter over zero media rows
     "q_qb_quantile",     // per-window P90 with no windows
     "q_ivf_index_update",// incremental append of an empty batch
     "q_qb_state_count",  // run counting over zero points

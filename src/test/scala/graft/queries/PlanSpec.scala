@@ -562,6 +562,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ivfpq_index_search: codes scan the persisted cell-bucketed index, probes+LUT broadcast") {
+    val p = plan(SimilarityQueries.qIvfPqIndexSearch)
+    assert(p.contains("graft_store"), "codes must come from the persisted index parquet")
+    assert(p.contains("BroadcastHashJoin"), "the probe list and query LUT must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_compaction_exec: the rollup reads the compacted files, map-side combined") {
     val p = plan(LayoutQueries.qCompactionExec)
     assert(p.contains("graft_store"), "the rollup must scan the rewritten layout")

@@ -211,4 +211,58 @@ class MqttSocketClientSpec extends AnyFunSuite {
       client.disconnect()
     } finally broker.close()
   }
+
+  test("outbound QoS 0/1: publish returns; a lost PUBACK forces a DUP re-send (at-least-once)") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      assert(client.connect(cfgFor(broker), new MqttCallbacks {}) === MqttReturnCode.Accepted)
+
+      assert(client.publish("sensors/a", "m0".getBytes, qos = 0))
+      assert(await()(broker.inbound.asScala.exists(_._2 == "m0")), "QoS-0 publish lost")
+
+      // clean QoS 1: one copy, one PUBACK
+      assert(client.publish("sensors/a", "m1".getBytes, qos = 1, ackTimeoutMs = 2000))
+      assert(broker.inbound.asScala.count(_._2 == "m1") === 1)
+
+      // lost-PUBACK path: the broker swallows the first PUBACK, the
+      // client must re-send PUBLISH+DUP and succeed on the second —
+      // and at-least-once means the broker ACCEPTS BOTH copies
+      broker.dropPubacks.set(1)
+      assert(client.publish("sensors/a", "m2".getBytes, qos = 1, ackTimeoutMs = 300))
+      assert(await()(broker.inbound.asScala.count(_._2 == "m2") === 2),
+        "QoS-1 redelivery after a lost PUBACK must produce a duplicate (at-least-once)")
+      client.disconnect()
+    } finally broker.close()
+  }
+
+  test("outbound QoS 2: four legs complete; a lost PUBREC re-sends DUP but delivers exactly once") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      assert(client.connect(cfgFor(broker), new MqttCallbacks {}) === MqttReturnCode.Accepted)
+
+      // clean four-leg flow
+      val copies0 = broker.inboundCopies.get()
+      assert(client.publish("sensors/b", "x1".getBytes, qos = 2, ackTimeoutMs = 2000))
+      assert(broker.inbound.asScala.count(_._2 == "x1") === 1)
+      assert(await()(broker.rels.size >= 1), "client must send PUBREL after PUBREC")
+      assert(broker.inboundCopies.get() - copies0 === 1)
+
+      // lost-PUBREC path: the broker swallows its first PUBREC, so the
+      // client re-sends the SAME pid as PUBLISH+DUP; the broker sees two
+      // copies on the wire but must accept exactly ONE delivery — that
+      // is the exactly-once contract the four-leg flow exists for
+      broker.dropPubrecs.set(1)
+      val copies1 = broker.inboundCopies.get()
+      val rels1 = broker.rels.size
+      assert(client.publish("sensors/b", "x2".getBytes, qos = 2, ackTimeoutMs = 300))
+      assert(broker.inboundCopies.get() - copies1 >= 2,
+        "a lost PUBREC must force at least one DUP re-send")
+      assert(broker.inbound.asScala.count(_._2 == "x2") === 1,
+        "QoS-2 DUP re-send of an unreleased pid must deliver exactly once")
+      assert(await()(broker.rels.size > rels1), "the release leg must still complete")
+      client.disconnect()
+    } finally broker.close()
+  }
 }
