@@ -258,6 +258,9 @@ object ScaleProbe {
       // search reads only the probed cells' code files — at 10x the
       // candidate join grows with cell occupancy, never the corpus scan
       "q_ivfpq_index_search" -> (() => reg("q_ivfpq_index_search").run(spark, dir)),
+      // incremental variant: base build + batch append against the
+      // stored tables — cost is two bounded builds, serve is identical
+      "q_ivfpq_index_update" -> (() => reg("q_ivfpq_index_update").run(spark, dir)),
       // xN docs -> xN independent encode+inflate+unfilter pipelines:
       // narrow per-row codegen work, wall must track the corpus scan
       "q_png_decode" -> (() => reg("q_png_decode").run(spark, dir)))

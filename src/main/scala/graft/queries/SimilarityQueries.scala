@@ -1024,6 +1024,78 @@ object SimilarityQueries {
     * row-identical to [[qIvfPq]] (same oracle verbatim; equality
     * spec-pinned in Round11OpsSpec). Freshness/crash-safety via the
     * [[graft.operators.IndexStore]] stamp meta, like the IVF index. */
+  private val IvfPqCodeDdl = "vec_id LONG, " +
+    (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ") + ", cell LONG"
+
+  /** Coarse IVF cell assignment against a (broadcastable) centroid
+    * table: (vec_id, cell) — same expressions q_ann_ivf pins. */
+  private def ivfPqAssignCells(df: DataFrame, icents: DataFrame): DataFrame = {
+    val centCos =
+      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
+    df.crossJoin(broadcast(icents))
+      .select(col("vec_id"), col("icid"), centCos.as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("icid").as("cell"))
+  }
+
+  /** Wide PQ code rows for a vector subset against a (possibly stored)
+    * codebook, joined with their coarse cell: (vec_id, c0..c7, cell). */
+  private def ivfPqWideCodes(
+      vecsSub: DataFrame, cents: DataFrame, iassigned: DataFrame): DataFrame = {
+    val codeCols = (0 until PqBlocks).map(b =>
+      max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
+    pqBest(pqBlockify(vecsSub, "vec_id").withColumnRenamed("s", "x"), cents)
+      .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+      .join(iassigned, "vec_id")
+  }
+
+  /** Search the persisted IVF-PQ index at `dir`: live query vectors are
+    * coarse-scored against the STORED centroids (broadcast), the query
+    * LUT computed against the STORED codebook (broadcast), candidates
+    * pulled from the cell-bucketed code table by one equi-join — only
+    * probed cells' files are read, never corpus floats. */
+  private def ivfPqServe(s: org.apache.spark.sql.SparkSession, d: String, dir: String)
+      : DataFrame = {
+    import graft.operators.IndexStore
+    val wide = IndexStore.read(s, dir, "codes", IvfPqCodeDdl)
+    val codebook = IndexStore.read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
+    val storedIcents = IndexStore
+      .read(s, dir, "icentroids", "icid LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+    val centCos =
+      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
+    val queries = vecs(s, d).filter(col("vec_id") < PqSearchQueries)
+    val iprobes = queries.crossJoin(broadcast(storedIcents))
+      .select(col("vec_id"), col("icid"), centCos.as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
+    val lut = pqBlockify(pqVecs(s, d).filter(col("vec_id") < PqSearchQueries), "q_id")
+      .withColumnRenamed("s", "x")
+      .join(codebook, "b")
+      .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
+    // candidate pull: broadcast probe list against the cell-bucketed
+    // code table — only probed cells' partitions are read, codes only
+    val cand = broadcast(iprobes)
+      .join(wide, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+    val codes = cand.select(col("q_id"), col("vec_id"),
+      explode(array((0 until PqBlocks).map(b =>
+        struct(lit(b).as("b"), col(s"c$b").as("cid"))): _*)).as("e"))
+      .select(col("q_id"), col("vec_id"), col("e.b").as("b"), col("e.cid").as("cid"))
+    val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("q_id", "b", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(adcSum.as("ad2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= PqSearchK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
+      .orderBy("q_id", "rn")
+  }
+
   val qIvfPqIndexSearch: Q = Q.sql(
     "q_ivfpq_index_search",
     ivfPqOracleSql,
@@ -1032,67 +1104,72 @@ object SimilarityQueries {
       import graft.operators.IndexStore
       val dir = IndexStore.dirFor(d, "ivfpq")
       val stamp = IndexStore.sourceStamp(s"$d/embeddings.parquet")
-      val centCos =
-        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
       if (!IndexStore.isFresh(s, dir, stamp)) {
         val n = embeddings(s, d).count()
         val all = vecs(s, d)
         val icents = all.filter(col("vec_id") < IvfCells)
           .select(col("vec_id").as("icid"), col("v").as("cv"), col("nrm").as("cnrm"))
-        val iassigned = all.crossJoin(broadcast(icents))
-          .select(col("vec_id"), col("icid"), centCos.as("ccos"))
-          .withColumn("crank", row_number().over(wAssign))
-          .filter(col("crank") === 1)
-          .select(col("vec_id"), col("icid").as("cell"))
-        val vecsAll = pqVecs(s, d)
-        val cents = pqCentsOf(vecsAll)
-        val codeCols = (0 until PqBlocks).map(b =>
-          max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
-        val wideCodes = pqBest(
-          pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x"), cents)
-          .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
-          .join(iassigned, "vec_id")
+        val cents = pqCentsOf(pqVecs(s, d))
+        val wideCodes = ivfPqWideCodes(pqVecs(s, d), cents, ivfPqAssignCells(all, icents))
           .repartition(col("cell"))
         IndexStore.publish(s, dir, n, Seq(
           ("codes", wideCodes, Seq("cell")),
           ("codebook", cents, Nil),
           ("icentroids", icents, Nil)), stamp)
       }
-      val codeDdl = "vec_id LONG, " +
-        (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ") + ", cell LONG"
-      val wide = IndexStore.read(s, dir, "codes", codeDdl)
-      val codebook = IndexStore.read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
-      val storedIcents = IndexStore
-        .read(s, dir, "icentroids", "icid LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE")
-      val queries = vecs(s, d).filter(col("vec_id") < PqSearchQueries)
-      val iprobes = queries.crossJoin(broadcast(storedIcents))
-        .select(col("vec_id"), col("icid"), centCos.as("ccos"))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") <= NProbe)
-        .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
-      val lut = pqBlockify(pqVecs(s, d).filter(col("vec_id") < PqSearchQueries), "q_id")
-        .withColumnRenamed("s", "x")
-        .join(codebook, "b")
-        .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
-      // candidate pull: broadcast probe list against the cell-bucketed
-      // code table — only probed cells' partitions are read, codes only
-      val cand = broadcast(iprobes)
-        .join(wide, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
-      val codes = cand.select(col("q_id"), col("vec_id"),
-        explode(array((0 until PqBlocks).map(b =>
-          struct(lit(b).as("b"), col(s"c$b").as("cid"))): _*)).as("e"))
-        .select(col("q_id"), col("vec_id"), col("e.b").as("b"), col("e.cid").as("cid"))
-      val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
-      codes
-        .join(broadcast(lut), Seq("q_id", "b", "cid"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(adcSum.as("ad2"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= PqSearchK)
-        .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
-        .orderBy("q_id", "rn")
+      ivfPqServe(s, d, dir)
+  }
+
+  /** INCREMENTAL IVF-PQ maintenance — the compressed-index counterpart
+    * of [[qIvfIndexUpdate]], completing the operational story for the
+    * billion-scale layout: the index is built once over the base corpus
+    * (75%, vec_id % 4 ≠ 3), then the remaining 25% arrives as a batch,
+    * is coarse-assigned AND PQ-encoded against the STORED (frozen)
+    * centroid + codebook tables — the maintenance job only has the
+    * index — and APPENDED into the existing cell partitions; nothing is
+    * rewritten. Both assignments depend only on the frozen tables, so
+    * the incrementally-maintained index is row-identical to a full
+    * build and the search shares [[qIvfPq]]'s oracle verbatim. Crash
+    * safety via the usual meta bracket (invalidate first, meta last). */
+  val qIvfPqIndexUpdate: Q = Q.sql(
+    "q_ivfpq_index_update",
+    ivfPqOracleSql,
+    doc = "IVF-PQ search after INCREMENTAL update (batch PQ-encoded against stored codebook)") {
+    (s, d) =>
+      import graft.operators.IndexStore
+      val dir = IndexStore.dirFor(d, "ivfpq_inc")
+      val stamp = IndexStore.sourceStamp(s"$d/embeddings.parquet")
+      if (!IndexStore.isFresh(s, dir, stamp)) {
+        val n = embeddings(s, d).count()
+        val all = vecs(s, d)
+        // frozen quantizers come from the full key space (vec_id <
+        // IvfCells / PqCents) — cells and codes accrete, neither moves
+        val icents = all.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("icid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val cents = pqCentsOf(pqVecs(s, d))
+        val isBatch = pmod(col("vec_id"), lit(4)) === 3
+        IndexStore.invalidate(dir)
+        IndexStore.write(
+          ivfPqWideCodes(pqVecs(s, d).filter(!isBatch), cents,
+            ivfPqAssignCells(all.filter(!isBatch), icents))
+            .repartition(col("cell")),
+          dir, "codes", Seq("cell"))
+        IndexStore.write(cents, dir, "codebook", Nil)
+        IndexStore.write(icents, dir, "icentroids", Nil)
+        // the incremental batch: encoded against the STORED tables (not
+        // the in-memory ones), appended into the existing cell dirs
+        val storedCents = IndexStore
+          .read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
+        val storedIcents = IndexStore
+          .read(s, dir, "icentroids", "icid LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+        IndexStore.append(
+          ivfPqWideCodes(pqVecs(s, d).filter(isBatch), storedCents,
+            ivfPqAssignCells(all.filter(isBatch), storedIcents))
+            .repartition(col("cell")),
+          dir, "codes", Seq("cell"))
+        IndexStore.writeMeta(s, dir, n, stamp)
+      }
+      ivfPqServe(s, d, dir)
   }
 
   val SemClusters = 8
@@ -2107,7 +2184,8 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch, qIvfPqIndexSearch, qSourceCentroids, qAri, qVmeasure)
+      qIvfIndexUpdate, qPqIndexSearch, qIvfPqIndexSearch, qIvfPqIndexUpdate,
+      qSourceCentroids, qAri, qVmeasure)
 
   /** V-measure clustering validation (Rosenberg & Hirschberg 2007) —
     * homogeneity h = I/H(labels), completeness c = I/H(cells), and

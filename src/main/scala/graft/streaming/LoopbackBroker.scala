@@ -109,8 +109,10 @@ final class LoopbackBroker(user: String, password: String) {
               if (qos == 2) {
                 // deliver-on-PUBLISH with pid tracking (spec §4.3.3):
                 // a DUP re-send of an unreleased pid must NOT re-deliver
-                if (conn.inboundUnreleased.add(pid))
+                if (conn.inboundUnreleased.add(pid)) {
                   inbound.add(topic -> new String(payload, "UTF-8"))
+                  route(topic, payload)
+                }
                 if (dropPubrecs.get() > 0) dropPubrecs.decrementAndGet()
                 else conn.send(MqttWire.PUBREC, MqttWire.packetId(pid))
               } else {
@@ -119,6 +121,7 @@ final class LoopbackBroker(user: String, password: String) {
                 // delivery; that is the at-least-once contract the
                 // exactly-once spec contrasts against)
                 inbound.add(topic -> new String(payload, "UTF-8"))
+                route(topic, payload)
                 if (qos == 1) {
                   if (dropPubacks.get() > 0) dropPubacks.decrementAndGet()
                   else conn.send(MqttWire.PUBACK, MqttWire.packetId(pid))
@@ -157,6 +160,21 @@ final class LoopbackBroker(user: String, password: String) {
       } finally conns.remove(conn)
     } catch { case _: IOException => () }
   }
+
+  /** Outbound QoS for ROUTED messages (client-published → subscribers):
+    * 0 = fire-and-forget, 2 = the four-leg exactly-once flow. With both
+    * ends at QoS 2 a message is exactly-once END TO END — accepted once
+    * from the publisher (pid-tracked, DUP-safe) and delivered once to
+    * each subscriber — the full demo-pipeline guarantee. */
+  @volatile var forwardQos: Int = 0
+
+  /** Route an ACCEPTED client publish to subscribed connections. */
+  private def route(topic: String, payload: Array[Byte]): Unit =
+    forwardQos match {
+      case 2 => publishQos2(topic, payload); ()
+      case 1 => publishQos1(topic, payload); ()
+      case _ => publish(topic, payload)
+    }
 
   /** Broker-side publish to every subscribed connection (QoS 0). */
   def publish(topic: String, payload: Array[Byte]): Unit =

@@ -113,6 +113,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ivf_index_search",// probe an empty persisted index
     "q_pq_index_search", // ADC over an empty code table
     "q_ivfpq_index_search", // cell-bucketed codes of an empty corpus
+    "q_ivfpq_index_update", // incremental code append of an empty batch
     "q_compaction_exec", // rewrite zero small files into zero groups
     "q_wav_decode",      // container decode over zero media rows
     "q_bmp_decode",      // header parse over zero media rows

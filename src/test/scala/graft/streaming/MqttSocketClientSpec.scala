@@ -236,6 +236,34 @@ class MqttSocketClientSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("end-to-end exactly-once over TCP: publisher QoS 2 -> broker routes QoS 2 -> subscriber") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      broker.forwardQos = 2
+      val log = s"slog-${System.nanoTime()}"
+      val sub = new MqttSocketClient(s"sub-${System.nanoTime()}")
+      val bridge = new IngestBridge(sub, log, "mate/#")
+      assert(sub.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(bridge.events.count("subscribe") === 1))
+      val pub = new MqttSocketClient(s"pub-${System.nanoTime()}")
+      assert(pub.connect(cfgFor(broker), new MqttCallbacks {}) === MqttReturnCode.Accepted)
+
+      // lost-PUBREC on the INBOUND leg: the publisher re-sends PUBLISH+DUP,
+      // the broker accepts exactly once, routes exactly once at QoS 2, and
+      // the subscriber's receiver ladder delivers exactly once — the
+      // exactly-once guarantee holds across BOTH hops
+      broker.dropPubrecs.set(1)
+      val fx = SolarSynth.encodeFx(1700000000L, 21)
+      assert(pub.publish(Topics.FxData, fx, qos = 2, ackTimeoutMs = 300))
+      assert(await()(MqttSimBroker.size(log) === 1), "message did not reach the sink")
+      Thread.sleep(80) // grace: no duplicate may trickle in from either hop
+      assert(MqttSimBroker.size(log) === 1,
+        "end-to-end QoS 2 must deliver exactly once despite the DUP re-send")
+      assert(broker.inbound.asScala.count(_._1 == Topics.FxData) === 1)
+      pub.disconnect(); sub.disconnect()
+    } finally broker.close()
+  }
+
   test("outbound QoS 2: four legs complete; a lost PUBREC re-sends DUP but delivers exactly once") {
     val broker = new LoopbackBroker("solar", "tok123")
     try {
