@@ -103,10 +103,21 @@ object Bench {
         .getMatchingBlockIds(_ => true)
       (ids.count(_.isRDD), ids.count(_.isBroadcast))
     } catch { case _: Throwable => (-1, -1) }
+    // max-over-tasks peak execution memory per pass (the ScaleProbe
+    // number, now per bench pass): a hidden per-group buffer shows up
+    // here long before it OOMs a cluster, and a pass that is slow with
+    // FLAT peak memory is contention/compilation, not a plan blowup
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          peakTaskMem.updateAndGet(p => math.max(p, t.taskMetrics.peakExecutionMemory))
+    })
 
     case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double,
         jc: Long, jitSec: Double, ccMb: Long,
-        load: Double, oldMb: Long, conc: Long, rddBlk: Int, bcastBlk: Int)
+        load: Double, oldMb: Long, conc: Long, rddBlk: Int, bcastBlk: Int,
+        peakTaskMb: Long)
     // local-iteration subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b benches just
     // those queries (unset = full battery, what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -116,6 +127,7 @@ object Bench {
         // drop caches a query persisted internally (LSH signature tables):
         // every pass must recompute, not read the previous pass's cache
         spark.catalog.clearCache()
+        peakTaskMem.set(0)
         val (gc0, cpu0, jc0, jit0, t0) =
           (gcMillis, processCpuNanos, janinoCount, jitMillis, System.nanoTime())
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -126,7 +138,7 @@ object Bench {
           if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9),
           janinoCount - jc0, if (jit0 < 0) -1 else (jitMillis - jit0) / 1e3,
           codeCacheMb, osBean.getSystemLoadAverage, oldGenMb, concGcCount,
-          rddBlk, bcastBlk)
+          rddBlk, bcastBlk, peakTaskMem.get() >> 20)
       }.drop(1) // pass 0 = warmup, untimed
       // JVM hygiene between queries: clearCache() only drops SQL-cached
       // relations — RDDs persisted by localCheckpoint (connected
@@ -182,6 +194,7 @@ object Bench {
     val concs = obj(s => s.conc.toString)
     val rddBlks = obj(s => s.rddBlk.toString)
     val bcastBlks = obj(s => s.bcastBlk.toString)
+    val peakMbs = obj(s => s.peakTaskMb.toString)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_PASSES.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -190,6 +203,7 @@ object Bench {
           f""""janino_compiles":$jcs,"jit_sec":$jits,"code_cache_mb":$ccs,""" +
           f""""load":$loads,"old_gen_mb":$oldMbs,"conc_gc":$concs,""" +
           f""""rdd_blocks":$rddBlks,"bcast_blocks":$bcastBlks,""" +
+          f""""peak_task_mb":$peakMbs,""" +
           f""""heap_after_mb":$heapAfterMb,"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
