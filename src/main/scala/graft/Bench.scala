@@ -113,6 +113,17 @@ object Bench {
         if (t.taskMetrics != null)
           peakTaskMem.updateAndGet(p => math.max(p, t.taskMetrics.peakExecutionMemory))
     })
+    // the listener bus is ASYNCHRONOUS: task-end events can straggle past
+    // the action that produced them, so without a drain the read/reset
+    // around a pass boundary misattributes one pass's peak to the next.
+    // waitUntilEmpty is private[spark] — reflection, with a small sleep
+    // fallback if the internal API moves.
+    def drainListenerBus(): Unit = try {
+      val m = spark.sparkContext.getClass.getMethod("listenerBus")
+      val bus = m.invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(50) }
 
     case class PassStats(sec: Double, gcSec: Double, cpuRatio: Double,
         jc: Long, jitSec: Double, ccMb: Long,
@@ -133,6 +144,7 @@ object Bench {
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
+        drainListenerBus() // stragglers must land on THIS pass's peak
         val (rddBlk, bcastBlk) = blockCounts
         PassStats(sec, (gcMillis - gc0) / 1e3,
           if (cpu0 < 0) -1 else (processCpuNanos - cpu0) / 1e9 / sec.max(1e-9),

@@ -59,6 +59,14 @@ object MediaCodec {
     * order included), not raw payload bytes. */
   def bmpDhash64(payload: Array[Byte]): Long = {
     val (w, h, g) = BmpCodec.grayPlane(payload)
+    dhash64Of(w, h, g(_))
+  }
+
+  /** The one dHash bit loop both codec gates share: bit (y·8 + x) set
+    * iff gray(x+1, y) > gray(x, y) over the 8×8 left grid — factored so
+    * the BMP and PNG gates can never silently diverge from the oracle
+    * grid they both replay. `g` indexes the row-major gray plane. */
+  private def dhash64Of(w: Int, h: Int, g: Int => Int): Long = {
     require(w >= 9 && h >= 8, s"dhash needs at least 9x8 pixels, got ${w}x$h")
     var bits = 0L
     var y = 0
@@ -95,18 +103,7 @@ object MediaCodec {
     * with the same neighbor rule as [[bmpDhash64]]. */
   def pngStatsRow(payload: Array[Byte]): InternalRow = {
     val (info, px) = PngCodec.decodeGray(payload)
-    val (w, h) = (info.width, info.height)
-    require(w >= 9 && h >= 8, s"dhash needs at least 9x8 pixels, got ${w}x$h")
-    var bits = 0L
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        if (px(y * w + x + 1) > px(y * w + x)) bits |= 1L << (y * 8 + x)
-        x += 1
-      }
-      y += 1
-    }
+    val bits = dhash64Of(info.width, info.height, px(_))
     new GenericInternalRow(Array[Any](
       info.width.toLong, info.height.toLong, info.bitDepth.toLong,
       info.colorType.toLong, bits))

@@ -181,9 +181,16 @@ object PngCodec {
 
   // ---- inflate (RFC 1951, all three block types) ----
   def inflate(b: Array[Byte], off: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val window = new java.util.ArrayList[Byte]() // full history (outputs are small)
-    def emit(v: Byte): Unit = { out.write(v); window.add(v); () }
+    // the output doubles as the LZ77 history window (deflate distances
+    // reach at most 32 KiB back, always within it): one unboxed growable
+    // array, amortized O(1) emit — a boxed per-byte container would cost
+    // ~16× the output size before a single real image decoded
+    var out = new Array[Byte](math.max(64, (b.length - off) * 4))
+    var n = 0
+    def emit(v: Byte): Unit = {
+      if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(n) = v; n += 1
+    }
     val br = new BitReader(b, off)
     var fin = false
     while (!fin) {
@@ -219,10 +226,14 @@ object PngCodec {
                 else if (s == 16) {
                   require(n > 0, "repeat with no previous length")
                   val r = 3 + br.readBits(2)
+                  require(n + r <= hlit + hdist, "code-length repeat overruns the table")
                   var k = 0
                   while (k < r) { lens(n) = lens(n - 1); n += 1; k += 1 }
                 } else {
                   val r = if (s == 17) 3 + br.readBits(3) else 11 + br.readBits(7)
+                  // RFC 1951 §3.2.7: a repeat past hlit+hdist is invalid —
+                  // silently truncating would accept a malformed stream
+                  require(n + r <= hlit + hdist, "code-length repeat overruns the table")
                   n += r // zeros (array pre-initialized)
                 }
               }
@@ -239,15 +250,15 @@ object PngCodec {
               val ds = dist.decode(br)
               require(ds < 30, s"invalid distance symbol $ds")
               val d = DistBase(ds) + br.readBits(DistExtra(ds))
-              require(d <= window.size, s"match distance $d beyond history ${window.size}")
+              require(d <= n, s"match distance $d beyond history $n")
               var k = 0
-              while (k < len) { emit(window.get(window.size - d)); k += 1 }
+              while (k < len) { emit(out(n - d)); k += 1 }
             }
           }
         case bt => throw new IllegalArgumentException(s"reserved deflate block type $bt")
       }
     }
-    out.toByteArray
+    java.util.Arrays.copyOf(out, n)
   }
 
   /** zlib stream (RFC 1950): 2-byte header, deflate data, BE Adler-32. */
@@ -392,7 +403,9 @@ object PngCodec {
     while (!ended) {
       require(pos + 8 <= b.length, "chunk header truncated")
       val len = be32(pos)
-      require(len >= 0 && pos + 12 + len <= b.length, "chunk data truncated")
+      // subtraction form: the additive `pos + 12 + len <= length` check
+      // overflows Int for a crafted length near 2³¹ and would pass
+      require(len >= 0 && len <= b.length - 12 - pos, "chunk data truncated")
       val typ = new String(b, pos + 4, 4, "US-ASCII")
       require(crc32(b, pos + 4, 4 + len) == be32(pos + 8 + len), s"$typ chunk CRC mismatch")
       typ match {

@@ -1027,18 +1027,25 @@ object SimilarityQueries {
   private val IvfPqCodeDdl = "vec_id LONG, " +
     (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ") + ", cell LONG"
 
-  /** Coarse IVF cell assignment against a (broadcastable) centroid
-    * table: (vec_id, cell) — same expressions q_ann_ivf pins. */
-  private def ivfPqAssignCells(df: DataFrame, icents: DataFrame): DataFrame = {
+  /** Coarse IVF scoring against a (broadcastable) centroid table: the
+    * top-`maxRank` cells per vector as (vec_id, icid) — same expressions
+    * q_ann_ivf pins. ONE definition serves both the build-side
+    * assignment (rank 1) and the query-side probe list (rank ≤ NProbe),
+    * so the tie-break order can never diverge between them. */
+  private def ivfPqCoarse(df: DataFrame, icents: DataFrame, maxRank: Int): DataFrame = {
     val centCos =
       graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
     df.crossJoin(broadcast(icents))
       .select(col("vec_id"), col("icid"), centCos.as("ccos"))
       .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("icid").as("cell"))
+      .filter(col("crank") <= maxRank)
+      .select(col("vec_id"), col("icid"))
   }
+
+  /** Coarse IVF cell assignment: (vec_id, cell). */
+  private def ivfPqAssignCells(df: DataFrame, icents: DataFrame): DataFrame =
+    ivfPqCoarse(df, icents, 1).select(col("vec_id"), col("icid").as("cell"))
 
   /** Wide PQ code rows for a vector subset against a (possibly stored)
     * codebook, joined with their coarse cell: (vec_id, c0..c7, cell). */
@@ -1063,14 +1070,8 @@ object SimilarityQueries {
     val codebook = IndexStore.read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
     val storedIcents = IndexStore
       .read(s, dir, "icentroids", "icid LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE")
-    val centCos =
-      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
     val queries = vecs(s, d).filter(col("vec_id") < PqSearchQueries)
-    val iprobes = queries.crossJoin(broadcast(storedIcents))
-      .select(col("vec_id"), col("icid"), centCos.as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= NProbe)
+    val iprobes = ivfPqCoarse(queries, storedIcents, NProbe)
       .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
     val lut = pqBlockify(pqVecs(s, d).filter(col("vec_id") < PqSearchQueries), "q_id")
       .withColumnRenamed("s", "x")

@@ -46,10 +46,25 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
   // `pubRecd` pids whose PUBREC arrived but whose PUBCOMP is pending —
   // the state that decides whether a resend is PUBLISH+DUP (leg 1 lost)
   // or PUBREL (leg 2/3 lost). The reader thread populates both and
-  // notifies `pubSignal`; [[publish]] blocks on it.
+  // notifies `pubSignal`; [[publish]] blocks on it. `pubInFlight` gates
+  // the reader's writes: a LATE ack arriving after a timed-out publish
+  // already cleaned up must not re-insert its pid — 65536 publishes
+  // later the counter wraps to the same pid, and a stale `pubRecd`
+  // entry would make the new message's first attempt a bare PUBREL
+  // (never transmitting the payload) while a stale `pubDone` entry
+  // would report success without any ack.
   private val pubDone = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
   private val pubRecd = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  private val pubInFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
   private val pubSignal = new Object
+
+  /** Next packet id, skipping 0 on wrap: MQTT 3.1.1 (MQTT-2.3.1-1)
+    * requires a NONZERO packet id on every QoS>0 PUBLISH / SUBSCRIBE. */
+  private def nextPid(): Int = {
+    var p = packetIds.getAndIncrement() & 0xffff
+    while (p == 0) p = packetIds.getAndIncrement() & 0xffff
+    p
+  }
 
   override def isConnected: Boolean = connected
 
@@ -169,24 +184,33 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
               // one whose pid we already released (spec §4.3.3)
               send(myOut, MqttWire.PUBCOMP, MqttWire.packetId(pid))
             // ---- outbound-publish acks (this client as SENDER) ----
+            // state writes are gated on pubInFlight: late acks for a
+            // timed-out (already cleaned-up) pid must not re-insert it
             case MqttWire.PUBACK =>
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
-              pubDone.add(s.readUnsignedShort())
-              pubSignal.synchronized(pubSignal.notifyAll())
+              val pid = s.readUnsignedShort()
+              if (pubInFlight.contains(pid)) {
+                pubDone.add(pid)
+                pubSignal.synchronized(pubSignal.notifyAll())
+              }
             case MqttWire.PUBREC =>
               // QoS-2 sender leg 2→3: every PUBREC (including a
-              // retransmission) is answered with PUBREL (spec §4.3.3)
+              // retransmission, or a late one for a timed-out pid) is
+              // answered with PUBREL (spec §4.3.3) so the receiver can
+              // release its state — but only a live pid records it
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
               val pid = s.readUnsignedShort()
-              pubRecd.add(pid)
+              if (pubInFlight.contains(pid)) pubRecd.add(pid)
               send(myOut, MqttWire.PUBREL, MqttWire.packetId(pid))
               pubSignal.synchronized(pubSignal.notifyAll())
             case MqttWire.PUBCOMP =>
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
               val pid = s.readUnsignedShort()
-              pubRecd.remove(pid)
-              pubDone.add(pid)
-              pubSignal.synchronized(pubSignal.notifyAll())
+              if (pubInFlight.contains(pid)) {
+                pubRecd.remove(pid)
+                pubDone.add(pid)
+                pubSignal.synchronized(pubSignal.notifyAll())
+              }
             case MqttWire.SUBACK =>
               val qos = if (p.body.length >= 3) p.body(2).toInt else 0
               callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)
@@ -239,7 +263,8 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
       send(out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
       return true
     }
-    val pid = packetIds.getAndIncrement() & 0xffff
+    val pid = nextPid()
+    pubInFlight.add(pid)
     val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
     def await(deadline: Long): Boolean = {
       pubSignal.synchronized {
@@ -250,23 +275,29 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
     }
     var attempt = 0
     var ok = false
-    while (!ok && attempt <= maxResends && connected) {
-      val dup = if (attempt > 0) 0x08 else 0
-      if (qos == 2 && pubRecd.contains(pid))
-        send(out, MqttWire.PUBREL, MqttWire.packetId(pid)) // legs 1-2 done; PUBCOMP lost
-      else
-        send(out, MqttWire.PUBLISH | (qos << 1) | dup, body)
-      ok = await(System.nanoTime() + ackTimeoutMs * 1000000L)
-      attempt += 1
+    try {
+      while (!ok && attempt <= maxResends && connected) {
+        val dup = if (attempt > 0) 0x08 else 0
+        if (qos == 2 && pubRecd.contains(pid))
+          send(out, MqttWire.PUBREL, MqttWire.packetId(pid)) // legs 1-2 done; PUBCOMP lost
+        else
+          send(out, MqttWire.PUBLISH | (qos << 1) | dup, body)
+        ok = await(System.nanoTime() + ackTimeoutMs * 1000000L)
+        attempt += 1
+      }
+      ok
+    } finally {
+      // in-flight gate FIRST: once cleared, a late ack can no longer
+      // re-insert the pid into the state sets it just left
+      pubInFlight.remove(pid)
+      pubDone.remove(pid)
+      pubRecd.remove(pid)
     }
-    pubDone.remove(pid)
-    pubRecd.remove(pid)
-    ok
   }
 
   override def subscribe(topic: String, qos: Int): Unit = if (connected) {
     subs.add(topic)
-    val id = packetIds.getAndIncrement() & 0xffff
+    val id = nextPid()
     val body = Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++
       MqttWire.str(topic) :+ qos.toByte
     send(out, MqttWire.SUBSCRIBE, body)
@@ -274,7 +305,7 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
 
   override def unsubscribe(topic: String): Unit = if (connected) {
     subs.remove(topic)
-    val id = packetIds.getAndIncrement() & 0xffff
+    val id = nextPid()
     send(out, MqttWire.UNSUBSCRIBE,
       Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte) ++ MqttWire.str(topic))
   }

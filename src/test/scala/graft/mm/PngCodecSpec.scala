@@ -95,6 +95,13 @@ class PngCodecSpec extends AnyFunSuite {
     val notPng = good.clone(); notPng(0) = 0
     assert(intercept[IllegalArgumentException](PngCodec.decodeGray(notPng))
       .getMessage.contains("not a PNG"))
+    // crafted chunk length near 2^31: the additive bounds check would
+    // overflow Int and pass; the subtraction form must fail LOUDLY
+    val overflow = good.clone()
+    overflow(8) = 0x7f.toByte; overflow(9) = 0xff.toByte
+    overflow(10) = 0xff.toByte; overflow(11) = 0xf0.toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decodeGray(overflow))
+      .getMessage.contains("truncated"))
   }
 
   test("PNG dHash bits equal the BMP gate's bits for the same seed grid") {
