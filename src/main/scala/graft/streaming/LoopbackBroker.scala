@@ -124,7 +124,10 @@ final class LoopbackBroker(user: String, password: String) {
                 route(topic, payload)
                 if (qos == 1) {
                   if (dropPubacks.get() > 0) dropPubacks.decrementAndGet()
-                  else conn.send(MqttWire.PUBACK, MqttWire.packetId(pid))
+                  else if (holdPubacks.get() > 0) {
+                    holdPubacks.decrementAndGet()
+                    heldAcks.add(conn -> pid)
+                  } else conn.send(MqttWire.PUBACK, MqttWire.packetId(pid))
                 }
               }
             case MqttWire.PUBREL_TYPE =>
@@ -196,6 +199,20 @@ final class LoopbackBroker(user: String, password: String) {
     * the client's DUP-resend ladder deterministically. */
   val dropPubacks = new java.util.concurrent.atomic.AtomicInteger(0)
   val dropPubrecs = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** HOLD the next N PUBACKs instead of sending; [[releaseHeldAcks]]
+    * delivers them later — the LATE-ack path (vs dropPubacks' lost-ack
+    * path): an ack that arrives after the publisher already timed out
+    * and cleaned up must not poison its in-flight state. */
+  val holdPubacks = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val heldAcks = new ConcurrentLinkedQueue[(Conn, Int)]()
+  def releaseHeldAcks(): Unit = {
+    var e = heldAcks.poll()
+    while (e != null) {
+      try e._1.send(MqttWire.PUBACK, MqttWire.packetId(e._2))
+      catch { case _: IOException => () }
+      e = heldAcks.poll()
+    }
+  }
 
   /** PUBACK packet ids received from clients, in arrival order. */
   val acks = new ConcurrentLinkedQueue[Int]()

@@ -58,6 +58,13 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
   private val pubInFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
   private val pubSignal = new Object
 
+  /** Outbound-ladder state cardinality, exposed for the late-ack spec:
+    * must return to 0 after every publish completes OR times out, even
+    * when the ack arrives late — a nonzero residue is exactly the
+    * pid-wrap poison the in-flight gate exists to prevent. */
+  private[streaming] def outboundStateSize: Int =
+    pubInFlight.size + pubDone.size + pubRecd.size
+
   /** Next packet id, skipping 0 on wrap: MQTT 3.1.1 (MQTT-2.3.1-1)
     * requires a NONZERO packet id on every QoS>0 PUBLISH / SUBSCRIBE. */
   private def nextPid(): Int = {

@@ -264,6 +264,30 @@ class MqttSocketClientSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("a LATE ack after a timed-out publish cannot poison in-flight state (pid-wrap guard)") {
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+      assert(client.connect(cfgFor(broker), new MqttCallbacks {}) === MqttReturnCode.Accepted)
+
+      // the broker HOLDS the PUBACK past the publisher's deadline
+      broker.holdPubacks.set(1)
+      assert(!client.publish("sensors/c", "late".getBytes, qos = 1,
+        ackTimeoutMs = 150, maxResends = 0), "held ack must time the publish out")
+      broker.releaseHeldAcks() // the ack lands AFTER publish() cleaned up
+      Thread.sleep(150)
+      assert(client.outboundStateSize === 0,
+        "a late ack must not re-insert its pid — 65536 publishes later the " +
+          "counter wraps to it and stale state silently corrupts the new flow")
+
+      // the ladder is unaffected for subsequent publishes
+      assert(client.publish("sensors/c", "next".getBytes, qos = 1, ackTimeoutMs = 2000))
+      assert(client.publish("sensors/c", "next2".getBytes, qos = 2, ackTimeoutMs = 2000))
+      assert(client.outboundStateSize === 0)
+      client.disconnect()
+    } finally broker.close()
+  }
+
   test("outbound QoS 2: four legs complete; a lost PUBREC re-sends DUP but delivers exactly once") {
     val broker = new LoopbackBroker("solar", "tok123")
     try {
