@@ -325,6 +325,12 @@ object PngCodec {
   // ---- PNG container ----
   private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Decode-size cap (raw filtered bytes, (w+1)·h): bounds the allocation
+    * a crafted IHDR can demand. 256 MiB ≫ any row this engine decodes
+    * (the synth frames are ≤64×64) while still far under a single-task
+    * heap slice; a real corpus tunes this per deployment. */
+  val MaxDecodedBytes: Long = 256L << 20
+
   private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
     def be32(v: Int): Array[Byte] = Array(
       ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
@@ -418,6 +424,14 @@ object PngCodec {
             s"only 8-bit grayscale supported, got depth=$depth colorType=$ct")
           require((b(pos + 18) & 0xff) == 0 && (b(pos + 19) & 0xff) == 0 &&
             (b(pos + 20) & 0xff) == 0, "unsupported compression/filter/interlace")
+          // dimension sanity BEFORE any size arithmetic: w/h are signed
+          // reads of unsigned fields (≤0 means 0 or ≥2³¹), and even valid
+          // positive pairs can wrap the Int products (w+1)*h / w*h below —
+          // a crafted header must fail loudly here, not as a wrapped-size
+          // ArrayIndexOutOfBounds or an attacker-sized allocation
+          require(w > 0 && h > 0, s"bad IHDR dimensions ${w}x$h")
+          require((w.toLong + 1) * h <= MaxDecodedBytes,
+            s"image ${w}x$h exceeds $MaxDecodedBytes-byte decode cap")
           info = PngInfo(w, h, depth, ct)
         case "IDAT" => idat.write(b, pos + 8, len)
         case "IEND" => ended = true
@@ -428,8 +442,10 @@ object PngCodec {
     require(info != null, "missing IHDR")
     val raw = zlibDecompress(idat.toByteArray)
     val (w, h) = (info.width, info.height)
-    require(raw.length == (w + 1) * h,
-      s"decompressed size ${raw.length} != expected ${(w + 1) * h}")
+    // Long arithmetic: the IHDR cap bounds (w+1)*h but keep the compare
+    // overflow-proof regardless
+    require(raw.length.toLong == (w.toLong + 1) * h,
+      s"decompressed size ${raw.length} != expected ${(w.toLong + 1) * h}")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -948,8 +948,13 @@ object RankQueries {
         .agg(sum(col("c")).as("c1"), count(lit(1)).as("n_follow"))
       val pre = c2.groupBy(w2of.as("pw2")).agg(count(lit(1)).as("n_precede"))
       val nb = c2.agg(count(lit(1)).as("nb"))
-      c2.join(broadcast(ctx), w1of === col("cw1"))
-        .join(broadcast(pre), w2of === col("pw2"))
+      // no broadcast hints on ctx/pre: they are VOCAB-sized (one row per
+      // distinct w1/w2) — fine to hint at test SF, an OOM at a 100×
+      // vocabulary. AQE's size threshold picks broadcast when they fit
+      // and falls back to a shuffle join when they don't; only the
+      // single-row grand total keeps an explicit hint.
+      c2.join(ctx, w1of === col("cw1"))
+        .join(pre, w2of === col("pw2"))
         .crossJoin(broadcast(nb))
         .select(
           w1of.as("w1"), w2of.as("w2"), col("c"), col("c1"),

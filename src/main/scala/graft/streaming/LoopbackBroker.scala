@@ -108,7 +108,13 @@ final class LoopbackBroker(user: String, password: String) {
               inboundCopies.incrementAndGet()
               if (qos == 2) {
                 // deliver-on-PUBLISH with pid tracking (spec §4.3.3):
-                // a DUP re-send of an unreleased pid must NOT re-deliver
+                // a DUP re-send of an unreleased pid must NOT re-deliver.
+                // A FRESH (non-DUP) PUBLISH reusing the pid means the
+                // sender abandoned the old flow (PUBRECs lost past its
+                // resend budget) and wrapped back to the id — evict the
+                // stale entry so the new message delivers instead of
+                // being silently swallowed as a phantom duplicate.
+                if (!pkt.publishDup) conn.inboundUnreleased.remove(pid)
                 if (conn.inboundUnreleased.add(pid)) {
                   inbound.add(topic -> new String(payload, "UTF-8"))
                   route(topic, payload)

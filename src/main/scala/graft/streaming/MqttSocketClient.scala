@@ -65,6 +65,39 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
   private[streaming] def outboundStateSize: Int =
     pubInFlight.size + pubDone.size + pubRecd.size
 
+  /** Reader-side ack bookkeeping, ATOMIC with [[publish]]'s cleanup:
+    * gate check and state insert run under `pubSignal`, the same monitor
+    * the finally block holds while clearing the pid — so a late ack can
+    * never observe the gate just before cleanup and insert just after
+    * (the check-then-act window that would leave a stale `pubDone`/
+    * `pubRecd` entry to poison the pid's next life after the 16-bit
+    * wrap). `complete` marks the flow done (PUBACK / PUBCOMP); false
+    * records leg-2 progress (PUBREC). Package-private so the race spec
+    * can drive the exact interleaving deterministically. */
+  private[streaming] def recordAck(pid: Int, complete: Boolean): Unit =
+    pubSignal.synchronized {
+      if (pubInFlight.contains(pid)) {
+        if (complete) { pubRecd.remove(pid); pubDone.add(pid) }
+        else pubRecd.add(pid)
+      }
+      pubSignal.notifyAll()
+    }
+
+  /** Arm a pid's in-flight gate — what [[publish]] does before its first
+    * transmission. Package-private so the race spec can reproduce the
+    * publish/reader interleaving without a socket in the loop. */
+  private[streaming] def armOutbound(pid: Int): Unit =
+    pubSignal.synchronized { pubInFlight.add(pid); () }
+
+  /** Clear a pid's outbound state after its publish completed or timed
+    * out — the other half of the [[recordAck]] atomicity contract. */
+  private[streaming] def clearOutbound(pid: Int): Unit =
+    pubSignal.synchronized {
+      pubInFlight.remove(pid)
+      pubDone.remove(pid)
+      pubRecd.remove(pid)
+    }
+
   /** Next packet id, skipping 0 on wrap: MQTT 3.1.1 (MQTT-2.3.1-1)
     * requires a NONZERO packet id on every QoS>0 PUBLISH / SUBSCRIBE. */
   private def nextPid(): Int = {
@@ -191,15 +224,15 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
               // one whose pid we already released (spec §4.3.3)
               send(myOut, MqttWire.PUBCOMP, MqttWire.packetId(pid))
             // ---- outbound-publish acks (this client as SENDER) ----
-            // state writes are gated on pubInFlight: late acks for a
-            // timed-out (already cleaned-up) pid must not re-insert it
+            // state writes are gated on pubInFlight INSIDE pubSignal:
+            // late acks for a timed-out (already cleaned-up) pid must
+            // not re-insert it, and the gate check + insert must be one
+            // atomic step against publish()'s cleanup — a bare
+            // check-then-act could read the gate just before cleanup
+            // removes it and write the stale entry just after
             case MqttWire.PUBACK =>
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
-              val pid = s.readUnsignedShort()
-              if (pubInFlight.contains(pid)) {
-                pubDone.add(pid)
-                pubSignal.synchronized(pubSignal.notifyAll())
-              }
+              recordAck(s.readUnsignedShort(), complete = true)
             case MqttWire.PUBREC =>
               // QoS-2 sender leg 2→3: every PUBREC (including a
               // retransmission, or a late one for a timed-out pid) is
@@ -207,17 +240,11 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
               // release its state — but only a live pid records it
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
               val pid = s.readUnsignedShort()
-              if (pubInFlight.contains(pid)) pubRecd.add(pid)
+              recordAck(pid, complete = false)
               send(myOut, MqttWire.PUBREL, MqttWire.packetId(pid))
-              pubSignal.synchronized(pubSignal.notifyAll())
             case MqttWire.PUBCOMP =>
               val s = new DataInputStream(new java.io.ByteArrayInputStream(p.body))
-              val pid = s.readUnsignedShort()
-              if (pubInFlight.contains(pid)) {
-                pubRecd.remove(pid)
-                pubDone.add(pid)
-                pubSignal.synchronized(pubSignal.notifyAll())
-              }
+              recordAck(s.readUnsignedShort(), complete = true)
             case MqttWire.SUBACK =>
               val qos = if (p.body.length >= 3) p.body(2).toInt else 0
               callbacks.onSubscribe(subs.asScala.lastOption.getOrElse(""), qos)
@@ -294,11 +321,9 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
       }
       ok
     } finally {
-      // in-flight gate FIRST: once cleared, a late ack can no longer
-      // re-insert the pid into the state sets it just left
-      pubInFlight.remove(pid)
-      pubDone.remove(pid)
-      pubRecd.remove(pid)
+      // atomic with recordAck (shared pubSignal monitor): a late ack
+      // can no longer slip between the gate check and its state write
+      clearOutbound(pid)
     }
   }
 

@@ -104,6 +104,33 @@ class PngCodecSpec extends AnyFunSuite {
       .getMessage.contains("truncated"))
   }
 
+  test("crafted IHDR dimensions fail loudly, not as wrapped-size allocations") {
+    // hand-assemble signature + IHDR(w, h) + IEND: the dimension check
+    // must fire during IHDR parse, before any pixel-buffer arithmetic
+    def craft(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(be32(data.length)); out.write(td)
+        out.write(be32(PngCodec.crc32(td, 0, td.length)))
+      }
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+      chunk("IHDR", ihdr); chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    // zero, negative (unsigned field read as signed), and the Int-wrap
+    // pair (2^26+1)*64 that would alias to a tiny positive product
+    for ((w, h) <- Seq((0, 4), (4, 0), (0x80000000, 4), (4, 0x80000000)))
+      assert(intercept[IllegalArgumentException](PngCodec.decodeGray(craft(w, h)))
+        .getMessage.contains("bad IHDR dimensions"), s"w=$w h=$h")
+    for ((w, h) <- Seq((1 << 26, 64), (1 << 20, 1 << 20)))
+      assert(intercept[IllegalArgumentException](PngCodec.decodeGray(craft(w, h)))
+        .getMessage.contains("decode cap"), s"w=$w h=$h")
+  }
+
   test("PNG dHash bits equal the BMP gate's bits for the same seed grid") {
     import graft.expressions.MediaCodec
     for (seed <- Seq(0L, 1L, 2L, 17L, 123L, 4096L)) {

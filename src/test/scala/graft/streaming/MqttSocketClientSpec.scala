@@ -288,6 +288,74 @@ class MqttSocketClientSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("broker evicts an abandoned QoS-2 pid when a fresh non-DUP PUBLISH reuses it") {
+    // a publisher that never PUBRELs (all its PUBRECs were lost past the
+    // resend budget) leaves the pid in the broker's unreleased set; 65536
+    // publishes later the counter wraps to it — the fresh flow must
+    // DELIVER, not be swallowed as a phantom duplicate. Raw wire keeps
+    // the pid reuse deterministic without 65k round trips.
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val s = new java.net.Socket("127.0.0.1", broker.port)
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      val in = new java.io.DataInputStream(s.getInputStream)
+      MqttWire.write(out, MqttWire.CONNECT, MqttWire.connectBody("raw",
+        MqttConnectConfig("127.0.0.1", broker.port, "solar", "tok123", useTls = false)))
+      assert(MqttWire.read(in).packetType === MqttWire.CONNACK)
+      def pub(pid: Int, payload: String, dup: Boolean = false): Unit =
+        MqttWire.write(out, MqttWire.PUBLISH | 0x04 | (if (dup) 0x08 else 0),
+          MqttWire.str("sensors/raw") ++ MqttWire.packetId(pid) ++ payload.getBytes)
+      pub(9, "first") // flow abandoned: no PUBREL ever sent
+      assert(MqttWire.read(in).packetType === MqttWire.PUBREC)
+      // a DUP re-send of the unreleased pid must still dedup...
+      pub(9, "first", dup = true)
+      assert(MqttWire.read(in).packetType === MqttWire.PUBREC)
+      // ...but a FRESH non-DUP reuse is a NEW message and must deliver
+      pub(9, "second")
+      assert(MqttWire.read(in).packetType === MqttWire.PUBREC)
+      assert(await()(broker.inbound.asScala.map(_._2).toSeq == Seq("first", "second")),
+        s"stale unreleased pid swallowed the fresh flow: ${broker.inbound.asScala.toList}")
+      s.close()
+    } finally broker.close()
+  }
+
+  test("ack recording and publish cleanup are ATOMIC under a reader/publisher race") {
+    // the check-then-act hazard: reader reads the in-flight gate just
+    // before cleanup clears it, then writes pubDone/pubRecd just after —
+    // a stale entry that poisons the pid's next life after the 16-bit
+    // wrap. recordAck/clearOutbound share one monitor, so hammering the
+    // exact interleaving from two threads must never leave residue.
+    // (The old unsynchronized gate fails this stress within a few
+    // thousand iterations.)
+    val client = new MqttSocketClient(s"c-${System.nanoTime()}")
+    val iters = 20000
+    for (kind <- Seq(true, false)) { // PUBACK/PUBCOMP and PUBREC flavors
+      val start = new java.util.concurrent.CyclicBarrier(2)
+      val done = new java.util.concurrent.CyclicBarrier(2)
+      val reader = new Thread(() => {
+        var i = 0
+        while (i < iters) {
+          start.await(); client.recordAck(7, complete = kind); done.await(); i += 1
+        }
+      })
+      reader.start()
+      var i = 0
+      while (i < iters) {
+        client.armOutbound(7)
+        start.await() // release the racing "late ack" for this round
+        client.clearOutbound(7)
+        done.await() // the ack write (if any) has fully landed by now
+        // atomicity contract: the ack either ran entirely before the
+        // clear (its entry was just removed) or entirely after (the
+        // gate was down, nothing written) — residue means it straddled
+        assert(client.outboundStateSize === 0,
+          s"stale outbound state after race round $i (complete=$kind)")
+        i += 1
+      }
+      reader.join()
+    }
+  }
+
   test("outbound QoS 2: four legs complete; a lost PUBREC re-sends DUP but delivers exactly once") {
     val broker = new LoopbackBroker("solar", "tok123")
     try {
