@@ -80,6 +80,10 @@ object ScaleProbe {
       "q_cms_topk" -> (() => reg("q_cms_topk").run(spark, dir)),
       // iterative merge training over the 10x word-frequency frame
       "q_bpe_train" -> (() => reg("q_bpe_train").run(spark, dir)),
+      // artifact build (pair count + merge training) amortizes; the
+      // serve is one corpus scan + a one-row vocab broadcast — wall
+      // must track the scan, peak memory the pair-count shuffle
+      "q_bpe_index_encode" -> (() => reg("q_bpe_index_encode").run(spark, dir)),
       // df-capped inverted index: the df cap has an ABSOLUTE term
       // (SparseDfCap=256, see qSparseCosine's Scaladoc), so hot-gram
       // pair fanout stays linear in corpus size at 10x — the purely

@@ -57,9 +57,89 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance sum over a flat per-query lookup table: given
+  * `lut` (array<double>, laid out block-major as `lut[b*cents + cid]`)
+  * and a candidate's `codes` (array<int>, one entry per block), returns
+  * `Σ_b lut[b*cents + codes[b]]` — the whole ADC score in one in-row
+  * codegen loop.
+  *
+  * Why an expression: the compositional form explodes each candidate to
+  * (block, code) rows, joins the broadcast LUT, and hash-aggregates the
+  * sum back — an 8× row blowup plus a shuffleless-but-real aggregation in
+  * the search hot path. This loop reads 8 doubles from a broadcast-local
+  * array instead; the serving join stays one row per candidate. At 100 TB
+  * the candidate stream is the dominant cost of an IVF-PQ search, so the
+  * 8× matters.
+  *
+  * Parity: blocks accumulate in order 0..n-1 starting from 0.0 — `ld2`
+  * values are squared distances (≥ 0.0), so the leading `0.0 +` term and
+  * the oracle's bare `m0 + m1 + …` chain are bit-identical. `cents` is
+  * derived as `lut.length / codes.length`; an out-of-range code fails
+  * LOUDLY rather than silently reading a neighboring block's entry.
+  *
+  * Nulls: null if either array is null (standard null-intolerant
+  * semantics). */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val nb = codes.numElements()
+    require(nb > 0 && lut.numElements() % nb == 0,
+      s"pq_adc: LUT length ${lut.numElements()} not a multiple of block count $nb")
+    val cents = lut.numElements() / nb
+    var acc = 0.0
+    var blk = 0
+    while (blk < nb) {
+      val c = codes.getInt(blk)
+      require(c >= 0 && c < cents, s"pq_adc: code $c out of range [0, $cents)")
+      acc += lut.getDouble(blk * cents + c)
+      blk += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val nb = ctx.freshName("nb")
+      val cents = ctx.freshName("cents")
+      val blk = ctx.freshName("blk")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+        |int $nb = $codes.numElements();
+        |if ($nb <= 0 || $lut.numElements() % $nb != 0) {
+        |  throw new IllegalArgumentException("pq_adc: LUT length " +
+        |    $lut.numElements() + " not a multiple of block count " + $nb);
+        |}
+        |int $cents = $lut.numElements() / $nb;
+        |double $acc = 0.0;
+        |for (int $blk = 0; $blk < $nb; $blk++) {
+        |  int $c = $codes.getInt($blk);
+        |  if ($c < 0 || $c >= $cents) {
+        |    throw new IllegalArgumentException(
+        |      "pq_adc: code " + $c + " out of range [0, " + $cents + ")");
+        |  }
+        |  $acc += $lut.getDouble($blk * $cents + $c);
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** ADC sum: see [[PqAdc]]. `lut` array<double> block-major, `codes`
+    * array<int> one code per block. */
+  def pqAdc(lut: Column, codes: Column): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(lut), GraftBridge.expression(codes)))
 
   /** L2 norm via the same sequential accumulation. */
   def l2norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))

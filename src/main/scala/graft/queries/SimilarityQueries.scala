@@ -783,21 +783,68 @@ object SimilarityQueries {
       pqAdcSearch(codes, lut)
   }
 
-  /** ADC top-k over a (vec_id, b, cid) code table and a broadcast
-    * per-query lookup table — shared by the inline and persisted-index
-    * PQ search gates. */
-  private def pqAdcSearch(codes: DataFrame, lut: DataFrame): DataFrame = {
-    val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
+  /** Fold the tall per-(q_id, b, cid) lookup table into ONE flat
+    * array<double> row per query, block-major (`lt[b*PqCents + cid]`):
+    * the broadcast payload [[graft.expressions.PqAdc]] indexes. Every
+    * (block, centroid) pair is present exactly once, so the sorted
+    * struct order IS the layout order. */
+  private def pqLutFlat(lut: DataFrame): DataFrame =
+    lut.groupBy(col("q_id")).agg(
+      transform(
+        array_sort(collect_list(struct(col("b"), col("cid"), col("ld2")))),
+        e => e.getField("ld2")).as("lt"))
+
+  /** The in-row ADC sum over a wide code row + its flat LUT column `lt`
+    * ([[graft.expressions.PqAdc]]) — no explode, no re-aggregation. */
+  private def pqAdcScore: Column =
+    graft.expressions.VectorOps.pqAdc(col("lt"),
+      array((0 until PqBlocks).map(b => col(s"c$b").cast("int")): _*))
+
+  /** Per-query top-k over in-row-scored (q_id, vec_id, ad2) rows: the
+    * rank window's running limit (WindowGroupLimit) caps every partition
+    * at k before the final merge. */
+  private def pqAdcFinish(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
-    codes
-      .join(broadcast(lut), Seq("b", "cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(adcSum.as("ad2"))
+    scored
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= PqSearchK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
       .orderBy("q_id", "rn")
   }
+
+  /** ADC rank over WIDE candidate rows (q_id, vec_id, c0..c7): joins the
+    * one-row-per-query flat LUT (broadcast, 128 doubles) and computes the
+    * whole ADC sum in-row — no explode, no re-aggregation in the serve
+    * path. Shared by the inline and persisted-index IVF-PQ search gates. */
+  private def pqAdcRank(cand: DataFrame, lut: DataFrame): DataFrame =
+    pqAdcFinish(cand
+      .join(broadcast(pqLutFlat(lut)), "q_id")
+      .select(col("q_id"), col("vec_id"), pqAdcScore.as("ad2")))
+
+  /** Pivot a tall (vec_id, b, cid) code table to one wide row per vector
+    * (vec_id, c0..c7) — the stored-index layout, derived once so the
+    * inline gates score through the same wide ADC path the serving
+    * gates use. */
+  private def pqWiden(codes: DataFrame): DataFrame = {
+    val codeCols = (0 until PqBlocks).map(b =>
+      max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
+    codes.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** ADC top-k over a (vec_id, b, cid) code table against EVERY query in
+    * `lut` (the full-corpus ADC scan, no candidate pruning) — shared by
+    * the inline and persisted-index PQ search gates. */
+  private def pqAdcSearch(codes: DataFrame, lut: DataFrame): DataFrame =
+    pqAdcSearchWide(pqWiden(codes), lut)
+
+  /** [[pqAdcSearch]] over the wide code layout directly (what the
+    * persisted index stores — no explode round-trip): the flat LUT row
+    * itself fans the corpus out per query, so the query-side subtree is
+    * built exactly once. */
+  private def pqAdcSearchWide(wide: DataFrame, lut: DataFrame): DataFrame =
+    pqAdcFinish(wide
+      .crossJoin(broadcast(pqLutFlat(lut)))
+      .select(col("q_id"), col("vec_id"), pqAdcScore.as("ad2")))
 
   /** INCREMENTAL index maintenance — the path a living 100 TB index
     * actually takes: the index is built once over the base corpus
@@ -873,26 +920,21 @@ object SimilarityQueries {
         val vecsAll = pqVecs(s, d)
         val blocked = pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
         val cents = pqCentsOf(vecsAll)
-        val codeCols = (0 until PqBlocks).map(b =>
-          max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
-        val wideCodes = pqBest(blocked, cents)
-          .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+        val wideCodes = pqWiden(pqBest(blocked, cents))
         graft.operators.IndexStore.publish(s, dir, n, Seq(
           ("codes", wideCodes, Nil), ("codebook", cents, Nil)), stamp)
       }
       val codeDdl = "vec_id LONG, " + (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ")
       val wide = graft.operators.IndexStore.read(s, dir, "codes", codeDdl)
-      val codes = wide.select(col("vec_id"),
-        explode(array((0 until PqBlocks).map(b =>
-          struct(lit(b).as("b"), col(s"c$b").as("cid"))): _*)).as("e"))
-        .select(col("vec_id"), col("e.b").as("b"), col("e.cid").as("cid"))
       val codebook = graft.operators.IndexStore
         .read(s, dir, "codebook", "cid LONG, b INT, c ARRAY<DOUBLE>")
       val lut = pqBlockify(pqVecs(s, d).filter(col("vec_id") < PqSearchQueries), "q_id")
         .withColumnRenamed("s", "x")
         .join(codebook, "b")
         .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
-      pqAdcSearch(codes, lut)
+      // stored wide rows flow straight into the in-row ADC — the serve
+      // path never explodes a candidate into per-block rows
+      pqAdcSearchWide(wide, lut)
   }
 
   /** IVF-PQ search (Jégou et al. 2011 §V, the FAISS `IVFx,PQy` index —
@@ -995,17 +1037,9 @@ object SimilarityQueries {
       val cand = broadcast(iprobes)
         .join(iassigned, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
-      val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
-      codes
-        .join(cand, "vec_id")
-        .join(broadcast(lut), Seq("q_id", "b", "cid"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(adcSum.as("ad2"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= PqSearchK)
-        .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
-        .orderBy("q_id", "rn")
+      // candidates pick up their wide code row, then the in-row ADC —
+      // the same serve shape the persisted-index gate uses
+      pqAdcRank(pqWiden(codes).join(cand, "vec_id"), lut)
   }
 
   /** The FULL billion-scale serving layout, persisted: IVF-PQ where the
@@ -1050,13 +1084,9 @@ object SimilarityQueries {
   /** Wide PQ code rows for a vector subset against a (possibly stored)
     * codebook, joined with their coarse cell: (vec_id, c0..c7, cell). */
   private def ivfPqWideCodes(
-      vecsSub: DataFrame, cents: DataFrame, iassigned: DataFrame): DataFrame = {
-    val codeCols = (0 until PqBlocks).map(b =>
-      max(when(col("b") === b, col("cid").cast("long"))).as(s"c$b"))
-    pqBest(pqBlockify(vecsSub, "vec_id").withColumnRenamed("s", "x"), cents)
-      .groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+      vecsSub: DataFrame, cents: DataFrame, iassigned: DataFrame): DataFrame =
+    pqWiden(pqBest(pqBlockify(vecsSub, "vec_id").withColumnRenamed("s", "x"), cents))
       .join(iassigned, "vec_id")
-  }
 
   /** Search the persisted IVF-PQ index at `dir`: live query vectors are
     * coarse-scored against the STORED centroids (broadcast), the query
@@ -1078,23 +1108,12 @@ object SimilarityQueries {
       .join(codebook, "b")
       .select(col("q_id"), col("b"), col("cid"), pqD2.as("ld2"))
     // candidate pull: broadcast probe list against the cell-bucketed
-    // code table — only probed cells' partitions are read, codes only
+    // code table — only probed cells' partitions are read, codes only;
+    // each candidate row then carries its 8 codes straight into the
+    // in-row ADC sum (no per-block explode, no re-aggregation)
     val cand = broadcast(iprobes)
       .join(wide, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
-    val codes = cand.select(col("q_id"), col("vec_id"),
-      explode(array((0 until PqBlocks).map(b =>
-        struct(lit(b).as("b"), col(s"c$b").as("cid"))): _*)).as("e"))
-      .select(col("q_id"), col("vec_id"), col("e.b").as("b"), col("e.cid").as("cid"))
-    val adcSum = (0 until PqBlocks).map(b => max(when(col("b") === b, col("ld2")))).reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
-    codes
-      .join(broadcast(lut), Seq("q_id", "b", "cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(adcSum.as("ad2"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= PqSearchK)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("ad2"))
-      .orderBy("q_id", "rn")
+    pqAdcRank(cand, lut)
   }
 
   val qIvfPqIndexSearch: Q = Q.sql(

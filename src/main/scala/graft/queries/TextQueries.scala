@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.text.TextFunctions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -852,8 +852,11 @@ object TextQueries {
     * merge by maximality), so n_tokens = Σ_word (len − Σ_runs ⌈k/2⌉) —
     * pure explode/window/aggregate SQL, bit-exact vs the walk (equality
     * verified against a reference walk on every document). */
-  val qBpeEncode: Q = Q.sql(
-    "q_bpe_encode",
+  /** Shared BPE-encode oracle: vocab training + the run-length
+    * reformulation of the greedy walk — used verbatim by the inline gate
+    * [[qBpeEncode]] and the persisted-artifact gate [[qBpeIndexEncode]]
+    * (the stored vocab table IS the `vocab` CTE, materialized). */
+  private val bpeEncodeOracleSql: String =
     s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
        |pairs AS (
        |  SELECT unnest(list_transform(generate_series(1, length(t)-1), i -> substr(t, i, 2))) AS pair
@@ -884,44 +887,59 @@ object TextQueries {
        |FROM documents d
        |JOIN stats s ON d.doc_id = s.doc_id
        |LEFT JOIN m ON d.doc_id = m.doc_id
-       |ORDER BY d.doc_id""".stripMargin,
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The adjacent-pair count table over word types — the training input
+    * both BPE-vocab consumers share. */
+  private def bpePairCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(tokens(col("text"))).as("t"))
+    .filter(length(col("t")) >= 2)
+    .select(explode(transform(
+      sequence(lit(1), length(col("t")) - 1),
+      i => col("t").substr(i, lit(2)))).as("pair"))
+    .groupBy(col("pair"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** The greedy encode walk over a ONE-ROW broadcast vocab frame
+    * (column `vs` array<string>) — shared by the inline and
+    * persisted-artifact encode gates so their outputs are identical by
+    * construction. */
+  private def bpeEncodeWalk(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val lw = col("lw")
+    // normalize ALL whitespace to ' ' before the walk: the kernel and
+    // n_alpha treat only ' ' as a delimiter, while the oracle tokenizes
+    // on \s+ — a tab/newline in a document would otherwise count as a
+    // token character on the Spark side only. \s matches single chars,
+    // so n_chars (= length) is invariant under the rewrite.
+    docs
+      .select(col("doc_id"), regexp_replace(lower(col("text")), "\\s", " ").as("lw"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        length(lw).cast("long").as("n_chars"),
+        length(replace(lw, lit(" "), lit(""))).cast("long").as("n_alpha"),
+        graft.expressions.BpeTokens.bpeTokens(lw, col("vs")).as("n_tokens"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        // explicit degenerate-case guard: an empty/all-whitespace doc
+        // has n_tokens = 0, where Spark's non-ANSI 0.0/0 yields NULL
+        // but DuckDB's IEEE division yields NaN — agree by construction
+        when(col("n_tokens") > 0, col("n_alpha").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val qBpeEncode: Q = Q.sql(
+    "q_bpe_encode",
+    bpeEncodeOracleSql,
     doc = s"BPE apply: greedy top-$BpeVocab pair-merge encoding, one narrow fold per doc") {
     (s, d) =>
       val docs = documents(s, d).transform(graft.Tables.spread(s, _))
-      val pc = docs
-        .select(explode(tokens(col("text"))).as("t"))
-        .filter(length(col("t")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), length(col("t")) - 1),
-          i => col("t").substr(i, lit(2)))).as("pair"))
-        .groupBy(col("pair"))
-        .agg(count(lit(1)).as("cnt"))
-      val vocab = pc
+      val vocab = bpePairCounts(docs)
         .orderBy(col("cnt").desc, col("pair"))
         .limit(BpeVocab)
         .agg(collect_list(col("pair")).as("vs"))
-      val lw = col("lw")
-      // normalize ALL whitespace to ' ' before the walk: the kernel and
-      // n_alpha treat only ' ' as a delimiter, while the oracle tokenizes
-      // on \s+ — a tab/newline in a document would otherwise count as a
-      // token character on the Spark side only. \s matches single chars,
-      // so n_chars (= length) is invariant under the rewrite.
-      docs
-        .select(col("doc_id"), regexp_replace(lower(col("text")), "\\s", " ").as("lw"))
-        .crossJoin(broadcast(vocab))
-        .select(
-          col("doc_id"),
-          length(lw).cast("long").as("n_chars"),
-          length(replace(lw, lit(" "), lit(""))).cast("long").as("n_alpha"),
-          graft.expressions.BpeTokens.bpeTokens(lw, col("vs")).as("n_tokens"))
-        .select(
-          col("doc_id"), col("n_chars"), col("n_tokens"),
-          // explicit degenerate-case guard: an empty/all-whitespace doc
-          // has n_tokens = 0, where Spark's non-ANSI 0.0/0 yields NULL
-          // but DuckDB's IEEE division yields NaN — agree by construction
-          when(col("n_tokens") > 0, col("n_alpha").cast("double") / col("n_tokens"))
-            .as("chars_per_token"))
-        .orderBy("doc_id")
+      bpeEncodeWalk(docs, vocab)
   }
 
   /** Unigram-distribution entropy and type-token ratio per language — the
@@ -997,6 +1015,61 @@ object TextQueries {
       .toDF()
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"), col("freq"))
       .orderBy("rank")
+  }
+
+  /** PERSISTED tokenizer artifacts — the operational half of the BPE
+    * triptych: a real corpus trains a tokenizer ONCE and applies it for
+    * months, so the trained tables must live on disk with the same
+    * stamp/meta discipline as the ANN indexes, not be retrained inline
+    * wherever they're consumed. The store holds two tables under one
+    * freshness bracket:
+    *   - `vocab`  — the top-[[BpeVocab]] adjacent-pair list WITH its
+    *     training rank, the table [[qBpeEncode]]'s greedy walk consumes;
+    *   - `merges` — the full iterative merge table
+    *     ([[graft.operators.BpeTrain]], rank/left/right/freq), the
+    *     [[qBpeTrain]] artifact a production encoder would replay.
+    * Serving re-assembles the walk's vocab array FROM THE STORED TABLE
+    * in rank order (sorted-struct fold, no driver collect) and runs the
+    * same [[bpeEncodeWalk]] — output row-identical to the inline gate by
+    * construction, so the oracle is shared verbatim; identity plus
+    * stored-artifact equality are pinned in Round12OpsSpec. Crash safety
+    * via the usual meta bracket (invalidate first, meta last). */
+  val qBpeIndexEncode: Q = Q.sql(
+    "q_bpe_index_encode",
+    bpeEncodeOracleSql,
+    doc = s"BPE apply served from the persisted vocab+merges tokenizer artifact") {
+    (s, d) =>
+      import graft.operators.IndexStore
+      import s.implicits._
+      val dir = IndexStore.dirFor(d, "bpe")
+      val stamp = IndexStore.sourceStamp(s"$d/documents.parquet")
+      if (!IndexStore.isFresh(s, dir, stamp)) {
+        val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+        val n = documents(s, d).count()
+        // vocab with its training rank: the rank IS the array position
+        // the walk consumes, so serving never depends on file order
+        val vocabTbl = bpePairCounts(docs)
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(BpeVocab)
+          .select(
+            (row_number().over(Window.orderBy(col("cnt").desc, col("pair"))) - 1)
+              .cast("long").as("rank"),
+            col("pair"), col("cnt"))
+        val words = docs
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val mergesTbl = graft.operators.BpeTrain.train(words, BpeTrainMerges)
+          .toDF()
+          .select(col("rank").cast("long").as("rank"), col("left"), col("right"), col("freq"))
+        IndexStore.publish(s, dir, n, Seq(
+          ("vocab", vocabTbl, Nil), ("merges", mergesTbl, Nil)), stamp)
+      }
+      // serve: rebuild the rank-ordered pair array from the STORED table
+      val vocab = IndexStore.read(s, dir, "vocab", "rank LONG, pair STRING, cnt LONG")
+        .agg(transform(
+          array_sort(collect_list(struct(col("rank"), col("pair")))),
+          e => e.getField("pair")).as("vs"))
+      bpeEncodeWalk(documents(s, d).transform(graft.Tables.spread(s, _)), vocab)
   }
 
   /** Docs per novelty bucket (doc ids arrive in ingest order, so the
@@ -1722,7 +1795,8 @@ object TextQueries {
       qFrameSample, qResizeStub, qFrameEnergy, qDhash, qDhashNearDup, qRollingFingerprint,
       qWinnow, qSentenceStats,
       qTopTerms, qCorpusStats, qTextNormalize, qStratifiedSample, qPiiRedact,
-      qGopherFilter, qBpePairs, qBpeEncode, qUnigramEntropy, qBpeTrain, qNgramNovelty,
+      qGopherFilter, qBpePairs, qBpeEncode, qBpeIndexEncode, qUnigramEntropy, qBpeTrain,
+      qNgramNovelty,
       qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash, qPngDecode,
       qPmi, qReadability, qFertility)
 }

@@ -46,6 +46,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_embed_topk",      // brute-force top-k, no queries
     "q_cms_topk",        // sketch over an empty vocabulary
     "q_bpe_train",       // iterative merge training, zero words
+    "q_bpe_index_encode",// persisted tokenizer artifact of an empty corpus
     "q_decontaminate",   // broadcast eval grams, empty corpus
     "q_zorder",          // layout clustering of nothing
     "q_dq_audit",        // constraint battery over empty tables

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 pins: (a) the persisted BPE tokenizer artifact serves an
+  * encode identical to the inline training path and really stores both
+  * tables (vocab + merges) under the freshness bracket; (b) the PQ serve
+  * paths score candidates with the in-row `pq_adc` expression — no
+  * per-block explode + re-aggregation in the search hot path.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]")
+  val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q_bpe_index_encode: result rows identical to the inline q_bpe_encode path") {
+    val inline = rows(TextQueries.qBpeEncode.run(spark, sf))
+    val stored = rows(TextQueries.qBpeIndexEncode.run(spark, sf))
+    assert(inline.nonEmpty)
+    assert(stored == inline)
+  }
+
+  test("bpe artifact: vocab and merges tables persist; merges equal the inline training") {
+    TextQueries.qBpeIndexEncode.run(spark, sf).collect() // ensure built
+    val dir = graft.operators.IndexStore.dirFor(sf, "bpe")
+    assert(new java.io.File(s"$dir/vocab").exists())
+    assert(new java.io.File(s"$dir/merges").exists())
+    // the stored merge table IS the q_bpe_train artifact, row for row —
+    // a production encoder replays it without retraining
+    val stored = rows(graft.operators.IndexStore
+      .read(spark, dir, "merges", "rank LONG, left STRING, right STRING, freq LONG")
+      .orderBy("rank"))
+    val trained = rows(TextQueries.qBpeTrain.run(spark, sf))
+    assert(trained.nonEmpty)
+    assert(stored == trained)
+    // vocab rank order equals the inline top-K pair order
+    val vocab = graft.operators.IndexStore
+      .read(spark, dir, "vocab", "rank LONG, pair STRING, cnt LONG")
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(vocab.size == TextQueries.BpeVocab)
+    assert(vocab.distinct.size == vocab.size)
+  }
+
+  test("bpe artifact: serve path reads the STORED vocab, not a retrained one") {
+    TextQueries.qBpeIndexEncode.run(spark, sf).collect() // ensure built
+    val dir = graft.operators.IndexStore.dirFor(sf, "bpe")
+    // poison the stored vocab (empty it) while keeping the meta fresh:
+    // a serve that retrains inline would be immune; one that reads the
+    // store must now tokenize with an empty vocab (n_tokens = n_alpha)
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val emptyVocab = s.read.schema("rank LONG, pair STRING, cnt LONG")
+      .parquet(s"$dir/vocab").limit(0)
+    emptyVocab.write.mode("overwrite").parquet(s"$dir/vocab_poison")
+    // swap dirs at the FS level (overwrite-in-place would self-read)
+    val v = new java.io.File(s"$dir/vocab"); val p = new java.io.File(s"$dir/vocab_poison")
+    val bak = new java.io.File(s"$dir/vocab_bak")
+    assert(v.renameTo(bak) && p.renameTo(v))
+    try {
+      // with an empty vocab nothing merges, so chars_per_token is
+      // exactly 1.0 wherever tokens exist
+      val out = TextQueries.qBpeIndexEncode.run(spark, sf)
+        .filter(col("n_tokens") > 0 && col("chars_per_token") =!= 1.0)
+        .count()
+      assert(out == 0L, "serve path ignored the stored vocab — it retrained inline")
+    } finally {
+      rm(new java.io.File(s"$dir/vocab"))
+      assert(bak.renameTo(v))
+    }
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(); ()
+  }
+
+  test("pq scoring is in-row: pq_adc in every ADC plan; serve paths never explode candidates") {
+    // inline gates legitimately explode while BUILDING codes/codebook —
+    // there the pin is only that scoring itself is the expression
+    for (q <- Seq(SimilarityQueries.qPqSearch, SimilarityQueries.qIvfPq)) {
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("pq_adc"),
+        s"${q.name}: ADC must be the in-row codegen expression")
+    }
+    // index SERVE paths read stored wide codes: the only legitimate
+    // explode is the query-side LUT blockify (queries × blocks, tiny);
+    // candidates must stay one row each
+    for (q <- Seq(
+        SimilarityQueries.qPqIndexSearch, SimilarityQueries.qIvfPqIndexSearch)) {
+      q.run(spark, sf).collect() // ensure the index exists...
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString // ...so this IS the serve plan
+      assert(p.contains("pq_adc"),
+        s"${q.name}: ADC must be the in-row codegen expression")
+      val generates = "\\bGenerate\\b".r.findAllIn(p).length
+      assert(generates <= 1,
+        s"${q.name}: candidate rows exploded per block ($generates Generates in plan)")
+    }
+  }
+}
