@@ -287,16 +287,38 @@ object SolarQueries {
        |  WHERE t_s >= $qbStartS AND t_s < $qbNowS
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
+  /** The decoded solar point bucket, PERSISTED once per source under the
+    * usual stamp/meta freshness bracket — the reference's own
+    * architecture (packets decode at INGEST into the point store; queries
+    * read the bucket), and the same ingest-once/serve-many discipline as
+    * the ANN and BPE artifacts. Before this, every one of the 17 qb gates
+    * re-ran the encode+decode chain over events (~1.4 s fixed cost per
+    * gate at sf0.1) to answer a ~38-row Flux query; a production bucket
+    * is parsed exactly once. Values are bit-identical either way (the
+    * decode chain is deterministic), so every oracle is unchanged. */
+  private def qbPoints(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.IndexStore
+    val dir = IndexStore.dirFor(d, "solar_points")
+    val stamp = IndexStore.sourceStamp(s"$d/events.parquet")
+    if (!IndexStore.isFresh(s, dir, stamp)) {
+      val n = events(s, d).count()
+      val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
+        SolarSynth.topicCol(col("user_id")).as("topic"),
+        SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value"))
+          .as("payload"),
+        col("ts").as("arrival"))
+      IndexStore.publish(s, dir, n, Seq(("points", SolarIngest.points(raw), Nil)), stamp)
+    }
+    IndexStore.read(s, dir, "points",
+      "measurement STRING, time TIMESTAMP, field STRING, value DOUBLE")
+  }
+
   /** The ranged+filtered builder the Flux-transformation gates share,
     * BEFORE the aggregate — so gates can pick their own window fn. */
   private def qbBuilder(
       s: org.apache.spark.sql.SparkSession, d: String): graft.query.QueryBuilder = {
-    val raw = events(s, d).repartition(s.sparkContext.defaultParallelism).select(
-      SolarSynth.topicCol(col("user_id")).as("topic"),
-      SolarSynth.encodeCol(col("user_id"), unix_timestamp(col("ts")), col("value"))
-        .as("payload"),
-      col("ts").as("arrival"))
-    val points = SolarIngest.points(raw)
+    val points = qbPoints(s, d)
     graft.query.QueryBuilder
       .fromDataFrame(s, () => points)
       .withNow(qbNowTs)

@@ -38,6 +38,16 @@ final class LoopbackBroker(user: String, password: String) {
 
   private val conns = new ConcurrentLinkedQueue[Conn]()
 
+  /** Retained last-known message per topic (spec §3.3.1.3): written by a
+    * RETAIN publish (empty payload clears), replayed — RETAIN bit set —
+    * to every subscriber whose new filter matches, however late it
+    * connects. This is what keeps a device's status topic observable to
+    * consumers that attach after the device last spoke. */
+  private val retained = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Retained-topic count, exposed for specs. */
+  def retainedCount: Int = retained.size
+
   private val acceptor = new Thread(() => {
     try {
       while (!server.isClosed) {
@@ -85,6 +95,19 @@ final class LoopbackBroker(user: String, password: String) {
               conn.subs.add(topic)
               conn.send(MqttWire.SUBACK,
                 Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte, qos.toByte))
+              // RETAIN replay (spec §3.3.1.3): a LATE subscriber gets
+              // each topic's stored last-known message matching the NEW
+              // filter (not filters it already held — those replayed at
+              // their own SUBSCRIBE), RETAIN bit SET so it can tell
+              // replay from a live publish
+              retained.forEach { (t, payload) =>
+                val hit =
+                  if (topic.endsWith("/#")) t.startsWith(topic.dropRight(1)) ||
+                    t == topic.dropRight(2)
+                  else t == topic
+                if (hit)
+                  conn.send(MqttWire.PUBLISH | 0x01, MqttWire.str(t) ++ payload)
+              }
             case MqttWire.UNSUBSCRIBE_TYPE =>
               val b = new DataInputStream(new java.io.ByteArrayInputStream(pkt.body))
               val id = b.readUnsignedShort()
@@ -106,6 +129,15 @@ final class LoopbackBroker(user: String, password: String) {
               val payload = new Array[Byte](b.available())
               b.readFully(payload)
               inboundCopies.incrementAndGet()
+              // RETAIN store (spec §3.3.1.3): the payload becomes the
+              // topic's last-known value; a zero-byte retained payload
+              // CLEARS it. Stored regardless of QoS — retention is
+              // orthogonal to the delivery handshake.
+              if (pkt.publishRetain) {
+                if (payload.isEmpty) retained.remove(topic)
+                else retained.put(topic, payload)
+                ()
+              }
               if (qos == 2) {
                 // deliver-on-PUBLISH with pid tracking (spec §4.3.3):
                 // a DUP re-send of an unreleased pid must NOT re-deliver.
@@ -185,12 +217,20 @@ final class LoopbackBroker(user: String, password: String) {
       case _ => publish(topic, payload)
     }
 
-  /** Broker-side publish to every subscribed connection (QoS 0). */
-  def publish(topic: String, payload: Array[Byte]): Unit =
+  /** Broker-side publish to every subscribed connection (QoS 0).
+    * `retain` additionally stores the payload as the topic's last-known
+    * value for late subscribers — the external-device pattern (the solar
+    * gateway publishes status topics retained). */
+  def publish(topic: String, payload: Array[Byte], retain: Boolean = false): Unit = {
+    if (retain) {
+      if (payload.isEmpty) retained.remove(topic) else retained.put(topic, payload)
+      ()
+    }
     conns.asScala.filter(_.matches(topic)).foreach { c =>
       try c.send(MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
       catch { case _: IOException => () }
     }
+  }
 
   /** Client-published messages ACCEPTED for delivery (exactly one entry
     * per QoS-2 flow regardless of DUP re-sends; every copy at QoS 0/1),

@@ -291,10 +291,14 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
       payload: Array[Byte],
       qos: Int = 0,
       ackTimeoutMs: Long = 1000,
-      maxResends: Int = 2): Boolean = {
+      maxResends: Int = 2,
+      retain: Boolean = false): Boolean = {
     if (!connected) return false
+    // RETAIN (spec §3.3.1.3) rides the PUBLISH fixed header's bit 0 on
+    // every transmission of the flow, including DUP re-sends
+    val rBit = if (retain) 0x01 else 0
     if (qos == 0) {
-      send(out, MqttWire.PUBLISH, MqttWire.str(topic) ++ payload)
+      send(out, MqttWire.PUBLISH | rBit, MqttWire.str(topic) ++ payload)
       return true
     }
     val pid = nextPid()
@@ -315,7 +319,7 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
         if (qos == 2 && pubRecd.contains(pid))
           send(out, MqttWire.PUBREL, MqttWire.packetId(pid)) // legs 1-2 done; PUBCOMP lost
         else
-          send(out, MqttWire.PUBLISH | (qos << 1) | dup, body)
+          send(out, MqttWire.PUBLISH | (qos << 1) | dup | rBit, body)
         ok = await(System.nanoTime() + ackTimeoutMs * 1000000L)
         attempt += 1
       }

@@ -46,6 +46,11 @@ object MqttWire {
     def publishQos: Int = (header >> 1) & 0x03
     /** PUBLISH DUP flag: set on a broker REdelivery (spec §3.3.1.1). */
     def publishDup: Boolean = (header & 0x08) != 0
+    /** PUBLISH RETAIN flag (spec §3.3.1.3): the broker stores the
+      * message as the topic's last-known value and replays it to every
+      * LATE subscriber — how a status topic stays observable for
+      * consumers that connect after the device last spoke. */
+    def publishRetain: Boolean = (header & 0x01) != 0
   }
 
   /** 2-byte big-endian packet id (PUBACK body, PUBLISH variable header). */

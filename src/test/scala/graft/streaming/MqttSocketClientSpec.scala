@@ -288,6 +288,53 @@ class MqttSocketClientSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("RETAIN: a late subscriber receives retained status and the gate opens without a fresh publish") {
+    // the production contract the reference relies on: the gateway
+    // publishes status topics RETAINED, so a consumer that connects
+    // after the device last spoke still learns it is online — data then
+    // passes the status gate with no fresh status publish
+    val broker = new LoopbackBroker("solar", "tok123")
+    try {
+      val pub = new MqttSocketClient(s"pub-${System.nanoTime()}")
+      assert(pub.connect(cfgFor(broker), new MqttCallbacks {}) === MqttReturnCode.Accepted)
+      val online = "online".getBytes("US-ASCII")
+      // retain across the QoS ladder: QoS 1 and QoS 2 flows both store
+      assert(pub.publish(Topics.MateStatus, online, qos = 1, retain = true))
+      assert(pub.publish(Topics.FxStatus, online, qos = 2, retain = true))
+      assert(broker.retainedCount === 2)
+
+      // subscriber connects AFTER the device spoke — no live status will
+      // ever be re-published
+      Thread.sleep(5) // distinct arrival ms for deterministic gate order
+      val log = s"retained-${System.nanoTime()}"
+      val sub = new MqttSocketClient(s"sub-${System.nanoTime()}")
+      val bridge = new IngestBridge(sub, log, "mate/#")
+      assert(sub.connect(cfgFor(broker), bridge) === MqttReturnCode.Accepted)
+      assert(await()(MqttSimBroker.size(log) === 2), "retained replay did not arrive")
+
+      // now a LIVE data message — the gate must already be open
+      Thread.sleep(5)
+      val fx = SolarSynth.encodeFx(1700000000L, 7)
+      assert(pub.publish(Topics.FxData, fx, qos = 1))
+      assert(await()(MqttSimBroker.size(log) === 3))
+
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      val raw = MqttSimBroker.slice(log, 0, 3)
+        .map(m => (m.topic, m.payload, m.arrivalMicros))
+        .toDF("topic", "payload", "us")
+        .select(col("topic"), col("payload"), timestamp_micros(col("us")).as("arrival"))
+      assert(graft.solar.SolarIngest.gated(raw).count() === 1,
+        "retained statuses must open the gate for the late subscriber")
+      assert(graft.solar.SolarIngest.gatedPoints(raw).count() === 14)
+
+      // a zero-byte retained payload CLEARS the slot (spec §3.3.1.3)
+      assert(pub.publish(Topics.FxStatus, Array.emptyByteArray, qos = 1, retain = true))
+      assert(await()(broker.retainedCount == 1), "empty retained payload must clear")
+      pub.disconnect(); sub.disconnect()
+    } finally broker.close()
+  }
+
   test("broker evicts an abandoned QoS-2 pid when a fresh non-DUP PUBLISH reuses it") {
     // a publisher that never PUBRELs (all its PUBRECs were lost past the
     // resend budget) leaves the pid in the broker's unreleased set; 65536
