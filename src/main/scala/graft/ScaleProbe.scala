@@ -84,6 +84,13 @@ object ScaleProbe {
       // serve is one corpus scan + a one-row vocab broadcast — wall
       // must track the scan, peak memory the pair-count shuffle
       "q_bpe_index_encode" -> (() => reg("q_bpe_index_encode").run(spark, dir)),
+      // xN batch docs probe the xN stored band index: work is the
+      // band-bucket equi-join, never |corpus|² — wall must track the
+      // signature scan + probe join
+      "q_dedup_index_probe" -> (() => reg("q_dedup_index_probe").run(spark, dir)),
+      // xN vectors residual-encoded; the per-(query, cell) LUT stays
+      // queries×nprobe×128 rows; candidates scale with cell occupancy
+      "q_ivfpq_residual" -> (() => reg("q_ivfpq_residual").run(spark, dir)),
       // df-capped inverted index: the df cap has an ABSOLUTE term
       // (SparseDfCap=256, see qSparseCosine's Scaladoc), so hot-gram
       // pair fanout stays linear in corpus size at 10x — the purely

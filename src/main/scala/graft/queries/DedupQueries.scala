@@ -505,8 +505,13 @@ object DedupQueries {
     * [[qDedupSimhash]]). Output: every batch doc with a base match —
     * how many base docs it collides with, the earliest one, and the
     * closest distance. */
-  val qDedupIncremental: Q = Q.sql(
-    "q_dedup_incremental", {
+  /** Shared incremental-dedup oracle: signature build, banding, the
+    * base(even)/batch(odd) split, band-bucket probe, hamming ≤ 3 verify,
+    * per-batch-doc rollup — used verbatim by the inline gate
+    * [[qDedupIncremental]] and the persisted-index gate
+    * [[qDedupIndexProbe]] (the stored band table IS the even half of the
+    * `bands` CTE, materialized). */
+  private val dedupIncrementalOracleSql: String = {
       val sigInt = "CAST(list_sum(list_transform(generate_series(1, 32), " +
         "i -> CASE WHEN substr(sig, i, 1) = '1' THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT)"
       val bandRows = (0 until 4)
@@ -534,22 +539,26 @@ object DedupQueries {
          |FROM pairs
          |GROUP BY batch_id
          |ORDER BY doc_id""".stripMargin
-    },
-    doc = "incremental dedup: new batch vs persisted base-corpus band index") { (s, d) =>
-    val sigs = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** One row per (doc, band): 32-bit SimHash split into 4 8-bit bands,
+    * carrying the integer signature for the hamming verify — the dedup
+    * index row shape, shared by the inline and persisted gates. */
+  private def simhashBands(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), simhashFast(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"), conv(col("sig"), 2, 10).cast("long").as("si"))
-    val bands = sigs
       .select(
         col("doc_id"), col("si"),
         posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
           .as(Seq("band", "bv")))
-    // base index: in production this is the PERSISTED table appended per
-    // accepted batch; here both sides derive from the same scan
-    val base = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .select(col("doc_id").as("base_id"), col("si").as("base_si"), col("band"), col("bv"))
-    val batch = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+  /** Probe a batch band table against a base band index: band-bucket
+    * equi-join, hamming ≤ 3 verify, one report row per matched batch
+    * doc — the shared serving shape. */
+  private def dedupProbe(
+      batch: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     batch.join(base, Seq("band", "bv"))
       .select(
         col("base_id"), col("doc_id").as("batch_id"),
@@ -562,6 +571,51 @@ object DedupQueries {
         min(col("base_id")).as("first_match"),
         min(col("h")).as("min_hamming"))
       .orderBy("doc_id")
+
+  val qDedupIncremental: Q = Q.sql(
+    "q_dedup_incremental",
+    dedupIncrementalOracleSql,
+    doc = "incremental dedup: new batch vs persisted base-corpus band index") { (s, d) =>
+    val bands = simhashBands(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism))
+    // base index: in production this is the PERSISTED table appended per
+    // accepted batch ([[qDedupIndexProbe]] stores it for real); here both
+    // sides derive from the same scan
+    val base = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("base_id"), col("si").as("base_si"), col("band"), col("bv"))
+    dedupProbe(bands.filter(pmod(col("doc_id"), lit(2)) === 1), base)
+  }
+
+  /** The dedup band index PERSISTED — completing the store-backed family
+    * (IVF / IVF-PQ / PQ / BPE → dedup): the base corpus's (band, bits,
+    * signature) table is built ONCE under the usual stamp/meta freshness
+    * bracket, and every incoming batch dedups against the STORED table —
+    * the index a crawl pipeline maintains across snapshots, probed
+    * thousands of times between rebuilds. Work per probe is
+    * |batch| × bucket hit rate; the base corpus is never rescanned.
+    * Output row-identical to [[qDedupIncremental]] (shared oracle;
+    * equality + store-not-recompute pinned in Round12OpsSpec). */
+  val qDedupIndexProbe: Q = Q.sql(
+    "q_dedup_index_probe",
+    dedupIncrementalOracleSql,
+    doc = "incremental dedup served from the PERSISTED base band index") { (s, d) =>
+    import graft.operators.IndexStore
+    val dir = IndexStore.dirFor(d, "dedup_bands")
+    val stamp = IndexStore.sourceStamp(s"$d/documents.parquet")
+    if (!IndexStore.isFresh(s, dir, stamp)) {
+      val n = documents(s, d).count()
+      val base = simhashBands(
+        documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("base_id"), col("si").as("base_si"), col("band"), col("bv"))
+      IndexStore.publish(s, dir, n, Seq(("bands", base, Nil)), stamp)
+    }
+    val base = IndexStore
+      .read(s, dir, "bands", "base_id LONG, base_si LONG, band INT, bv STRING")
+    val batch = simhashBands(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+    dedupProbe(batch, base)
   }
 
   /** Similarity bar for [[qFuzzyVerify]] and the matching Levenshtein
@@ -1492,6 +1546,7 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
+      qDedupIndexProbe,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
       qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup, qCdcDedup)
 }

@@ -70,5 +70,17 @@ class AnnRecallSpec extends AnyFunSuite {
     val recall = per.sum / per.size
     info(f"recall@5-in-10 — ivfpq: $recall%.2f (per-query: ${per.map(p => f"$p%.1f").mkString(",")})")
     assert(recall > 0.15, s"IVF-PQ recall $recall")
+
+    // residual encoding concentrates codebook precision on within-cell
+    // variation — honest report next to the raw-vector variant; same
+    // probed cells, so only PQ distortion differs
+    val resid = SimilarityQueries.qIvfPqResidual.run(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val perR = resid.toSeq.sortBy(_._1).map { case (qid, a) =>
+      (a & exact(qid)).size.toDouble / exact(qid).size
+    }
+    val recallR = perR.sum / perR.size
+    info(f"recall@5-in-10 — ivfpq-residual: $recallR%.2f (raw: $recall%.2f)")
+    assert(recallR > 0.15, s"residual IVF-PQ recall $recallR")
   }
 }

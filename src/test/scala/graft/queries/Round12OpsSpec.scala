@@ -77,10 +77,20 @@ class Round12OpsSpec extends AnyFunSuite {
     f.delete(); ()
   }
 
+  test("q_dedup_index_probe: result rows identical to the inline q_dedup_incremental path") {
+    val inline = rows(DedupQueries.qDedupIncremental.run(spark, sf))
+    val stored = rows(DedupQueries.qDedupIndexProbe.run(spark, sf))
+    assert(inline.nonEmpty)
+    assert(stored == inline)
+    val dir = graft.operators.IndexStore.dirFor(sf, "dedup_bands")
+    assert(new java.io.File(s"$dir/bands").exists(), "band index must persist")
+  }
+
   test("pq scoring is in-row: pq_adc in every ADC plan; serve paths never explode candidates") {
     // inline gates legitimately explode while BUILDING codes/codebook —
     // there the pin is only that scoring itself is the expression
-    for (q <- Seq(SimilarityQueries.qPqSearch, SimilarityQueries.qIvfPq)) {
+    for (q <- Seq(SimilarityQueries.qPqSearch, SimilarityQueries.qIvfPq,
+        SimilarityQueries.qIvfPqResidual)) {
       val p = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(p.contains("pq_adc"),
         s"${q.name}: ADC must be the in-row codegen expression")
