@@ -234,6 +234,7 @@ object ScaleProbe {
       // xN media rows, narrow per-row encode+decode — no shuffle at all
       "q_wav_decode" -> (() => reg("q_wav_decode").run(spark, dir)),
       "q_bmp_decode" -> (() => reg("q_bmp_decode").run(spark, dir)),
+      "q_png_resize" -> (() => reg("q_png_resize").run(spark, dir)),
       // xN vectors: base write + batch append both scale, cells stay 16
       "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)),
       // replica-prefixed vocab: the bigram stream AND the pair table both

@@ -109,6 +109,56 @@ object MediaCodec {
       info.colorType.toLong, bits))
   }
 
+  /** REAL bilinear thumbnail of a decoded grayscale PNG — the resize the
+    * multimodal stub only byte-shaped: decode (inflate + unfilter), then
+    * sample a 4×4 grid with half-pixel-centered bilinear interpolation
+    * carried in EXACT 1/64 fixed point. Source coordinate of output u is
+    * sx64 = ((2u+1)·w·32) / 4 − 32 (integer division, clamped at 0), so
+    * x0 = sx64/64, dx = sx64 mod 64, and each output value is the exact
+    * integer (64−dy)·((64−dx)·p00 + dx·p01) + dy·((64−dx)·p10 + dx·p11)
+    * ≤ 64²·255 — value/4096 is the conventional float result, but the
+    * integers cross engines bit-for-bit with no IEEE terms at all.
+    * Returns (w, h, sum, min, max, v00, v33) over the 16 cells. */
+  def pngResizeRow(payload: Array[Byte]): InternalRow = {
+    val (info, px) = PngCodec.decodeGray(payload)
+    val w = info.width; val h = info.height
+    var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var v00 = 0L; var v33 = 0L
+    var v = 0
+    while (v < 4) {
+      val sy64 = math.max(0L, (2L * v + 1) * h * 32 / 4 - 32)
+      val y0 = (sy64 / 64).toInt; val dy = sy64 % 64; val y1 = math.min(y0 + 1, h - 1)
+      var u = 0
+      while (u < 4) {
+        val sx64 = math.max(0L, (2L * u + 1) * w * 32 / 4 - 32)
+        val x0 = (sx64 / 64).toInt; val dx = sx64 % 64; val x1 = math.min(x0 + 1, w - 1)
+        def p(y: Int, x: Int): Long = px(y * w + x).toLong
+        val value = (64 - dy) * ((64 - dx) * p(y0, x0) + dx * p(y0, x1)) +
+          dy * ((64 - dx) * p(y1, x0) + dx * p(y1, x1))
+        sum += value
+        if (value < mn) mn = value
+        if (value > mx) mx = value
+        if (u == 0 && v == 0) v00 = value
+        if (u == 3 && v == 3) v33 = value
+        u += 1
+      }
+      v += 1
+    }
+    new GenericInternalRow(Array[Any](w.toLong, h.toLong, sum, mn, mx, v00, v33))
+  }
+
+  val PngResizeType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("rs_sum", LongType, nullable = false),
+    StructField("rs_min", LongType, nullable = false),
+    StructField("rs_max", LongType, nullable = false),
+    StructField("v00", LongType, nullable = false),
+    StructField("v33", LongType, nullable = false)))
+
+  def pngResize(payload: Column): Column =
+    GraftBridge.column(PngResize(GraftBridge.expression(payload)))
+
   def bmpStatsRow(payload: Array[Byte]): InternalRow = {
     val b = BmpCodec.decode(payload)
     new GenericInternalRow(Array[Any](
@@ -167,6 +217,18 @@ case class PngSynth9x8(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.MediaCodec.pngSynth9x8Bytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngResize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodec.PngResizeType
+  override def prettyName: String = "png_resize_4x4"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.pngResizeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.pngResizeRow($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

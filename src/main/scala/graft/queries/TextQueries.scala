@@ -1583,6 +1583,71 @@ object TextQueries {
         .orderBy("media_id")
   }
 
+  /** REAL image thumbnailing — the operation [[qResizeStub]] only
+    * byte-shaped, now actually computed: every synthetic PNG is decoded
+    * (chunk walk + CRC + inflate + unfilter, [[graft.mm.PngCodec]]) and
+    * bilinear-resampled to a 4×4 thumbnail with half-pixel-centered
+    * interpolation carried in EXACT 1/64 fixed point — every output cell
+    * is the integer (64−dy)·((64−dx)·p00+dx·p01) + dy·((64−dx)·p10+dx·p11)
+    * (value/4096 is the conventional float thumbnail), so the oracle
+    * replays the identical integer tree from the pixel FORMULA alone and
+    * any misparse in any decode layer shifts exact integers. Narrow
+    * per-row codegen kernel, zero shuffles before the output sort —
+    * the standard thumbnail/feature-extract pass of a multimodal
+    * pipeline, at corpus scale. */
+  val qPngResize: Q = Q.sql(
+    "q_png_resize",
+    """WITH m AS (SELECT doc_id AS media_id, CAST(doc_id AS BIGINT) AS seed FROM documents),
+      |g AS (
+      |  SELECT media_id,
+      |    list_transform(generate_series(0, 7), y ->
+      |      list_transform(generate_series(0, 8), x ->
+      |        ((seed*31 + 97*x + 131*y) % 256 + (seed*31 + 97*x + 131*y + 11) % 256
+      |          + (seed*31 + 97*x + 131*y + 22) % 256) // 3)) AS gr
+      |  FROM m
+      |), cells AS (
+      |  SELECT media_id, gr, u, v,
+      |    greatest(((2*u+1)*9*32)//4 - 32, 0) AS sx64,
+      |    greatest(((2*v+1)*8*32)//4 - 32, 0) AS sy64
+      |  FROM g
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS u) _u
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS v) _v
+      |), vals AS (
+      |  SELECT media_id, u, v,
+      |    (64 - sy64 % 64) * ((64 - sx64 % 64) * gr[sy64//64 + 1][sx64//64 + 1]
+      |        + (sx64 % 64) * gr[sy64//64 + 1][least(sx64//64 + 1, 8) + 1])
+      |      + (sy64 % 64) * ((64 - sx64 % 64) * gr[least(sy64//64 + 1, 7) + 1][sx64//64 + 1]
+      |        + (sx64 % 64) * gr[least(sy64//64 + 1, 7) + 1][least(sx64//64 + 1, 8) + 1])
+      |      AS v4096
+      |  FROM cells
+      |)
+      |SELECT media_id,
+      |  CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |  CAST(sum(v4096) AS BIGINT) AS rs_sum,
+      |  CAST(min(v4096) AS BIGINT) AS rs_min,
+      |  CAST(max(v4096) AS BIGINT) AS rs_max,
+      |  CAST(max(CASE WHEN u = 0 AND v = 0 THEN v4096 END) AS BIGINT) AS v00,
+      |  CAST(max(CASE WHEN u = 3 AND v = 3 THEN v4096 END) AS BIGINT) AS v33
+      |FROM vals GROUP BY media_id ORDER BY media_id""".stripMargin,
+    doc = "real PNG thumbnail: decode + 4x4 bilinear resize in exact 1/64 fixed point") {
+    (s, d) =>
+      import graft.expressions.MediaCodec
+      documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          MediaCodec.pngResize(
+            MediaCodec.pngSynth9x8(col("doc_id").cast("long"))).as("rs"))
+        .select(
+          col("media_id"),
+          col("rs.width").as("width"),
+          col("rs.height").as("height"),
+          col("rs.rs_sum").as("rs_sum"),
+          col("rs.rs_min").as("rs_min"),
+          col("rs.rs_max").as("rs_max"),
+          col("rs.v00").as("v00"),
+          col("rs.v33").as("v33"))
+        .orderBy("media_id")
+  }
+
   /** Pointwise mutual information of adjacent word pairs (Church & Hanks
     * 1990) — THE collocation detector: pmi = ln(c(a,b)·N / (c(a,·)·c(·,b)))
     * over the corpus bigram stream, reported for pairs seen ≥ 5 times,
@@ -1798,5 +1863,5 @@ object TextQueries {
       qGopherFilter, qBpePairs, qBpeEncode, qBpeIndexEncode, qUnigramEntropy, qBpeTrain,
       qNgramNovelty,
       qZipfFit, qVadSegments, qAudioFingerprint, qWavDecode, qBmpDecode, qBmpDhash, qPngDecode,
-      qPmi, qReadability, qFertility)
+      qPngResize, qPmi, qReadability, qFertility)
 }

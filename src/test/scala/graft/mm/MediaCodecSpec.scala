@@ -112,4 +112,38 @@ class MediaCodecSpec extends AnyFunSuite {
     val short = BmpCodec.encode(4, 3, (_, _, _) => 1).dropRight(5)
     intercept[IllegalArgumentException](BmpCodec.decode(short))
   }
+
+  test("png resize: fixed-point bilinear equals the double reference; flat image is exact") {
+    import graft.expressions.MediaCodec
+    // a constant image must resize to the constant everywhere (weights
+    // sum to 64·64 = 4096 at every cell)
+    val flat = PngCodec.encodeGray(9, 8, (_, _) => 200, fixedHuffman = false)
+    val fr = MediaCodec.pngResizeRow(flat)
+    assert(fr.getLong(3) == 200L * 4096 && fr.getLong(4) == 200L * 4096,
+      s"flat image must thumbnail flat: min=${fr.getLong(3)} max=${fr.getLong(4)}")
+    // on an arbitrary grid the fixed-point integers equal the IEEE
+    // half-pixel bilinear reference times 4096 (weights are /64-grained,
+    // so the double math is itself exact and the comparison is ==)
+    for (seed <- Seq(0L, 3L, 17L)) {
+      val bytes = MediaCodec.pngSynth9x8Bytes(seed)
+      val row = MediaCodec.pngResizeRow(bytes)
+      val (_, px) = PngCodec.decodeGray(bytes)
+      def p(y: Int, x: Int): Double = px(y * 9 + x).toDouble
+      def ref(u: Int, v: Int): Double = {
+        val sx = math.max(0.0, (u + 0.5) * 9.0 / 4 - 0.5)
+        val sy = math.max(0.0, (v + 0.5) * 8.0 / 4 - 0.5)
+        val x0 = sx.toInt; val y0 = sy.toInt
+        val x1 = math.min(x0 + 1, 8); val y1 = math.min(y0 + 1, 7)
+        val dx = sx - x0; val dy = sy - y0
+        (1 - dy) * ((1 - dx) * p(y0, x0) + dx * p(y0, x1)) +
+          dy * ((1 - dx) * p(y1, x0) + dx * p(y1, x1))
+      }
+      val cells = for (v <- 0 until 4; u <- 0 until 4) yield ref(u, v) * 4096
+      assert(row.getLong(2) == cells.sum.round, s"seed $seed sum")
+      assert(row.getLong(3) == cells.min.round && row.getLong(4) == cells.max.round,
+        s"seed $seed extrema")
+      assert(row.getLong(5) == (ref(0, 0) * 4096).round &&
+        row.getLong(6) == (ref(3, 3) * 4096).round, s"seed $seed corners")
+    }
+  }
 }

@@ -122,6 +122,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bmp_decode",      // header parse over zero media rows
     "q_bmp_dhash",       // perceptual hash over zero decoded images
     "q_png_decode",      // PNG inflate+unfilter over zero media rows
+    "q_png_resize",      // bilinear thumbnail over zero media rows
     "q_qb_quantile",     // per-window P90 with no windows
     "q_ivf_index_update",// incremental append of an empty batch
     "q_qb_state_count",  // run counting over zero points
