@@ -93,8 +93,12 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     var acc = 0.0
     var blk = 0
     while (blk < nb) {
+      // a null code slot would read as 0 (block 0's first centroid) and
+      // silently misscore — fail loudly instead, like the range check
+      require(!codes.isNullAt(blk), s"pq_adc: null code at block $blk")
       val c = codes.getInt(blk)
       require(c >= 0 && c < cents, s"pq_adc: code $c out of range [0, $cents)")
+      require(!lut.isNullAt(blk * cents + c), s"pq_adc: null LUT entry at ($blk, $c)")
       acc += lut.getDouble(blk * cents + c)
       blk += 1
     }
@@ -117,10 +121,17 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
         |int $cents = $lut.numElements() / $nb;
         |double $acc = 0.0;
         |for (int $blk = 0; $blk < $nb; $blk++) {
+        |  if ($codes.isNullAt($blk)) {
+        |    throw new IllegalArgumentException("pq_adc: null code at block " + $blk);
+        |  }
         |  int $c = $codes.getInt($blk);
         |  if ($c < 0 || $c >= $cents) {
         |    throw new IllegalArgumentException(
         |      "pq_adc: code " + $c + " out of range [0, " + $cents + ")");
+        |  }
+        |  if ($lut.isNullAt($blk * $cents + $c)) {
+        |    throw new IllegalArgumentException(
+        |      "pq_adc: null LUT entry at (" + $blk + ", " + $c + ")");
         |  }
         |  $acc += $lut.getDouble($blk * $cents + $c);
         |}

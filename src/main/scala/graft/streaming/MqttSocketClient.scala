@@ -302,7 +302,7 @@ final class MqttSocketClient(clientId: String = "graft-ingest") extends MqttClie
       return true
     }
     val pid = nextPid()
-    pubInFlight.add(pid)
+    armOutbound(pid)
     val body = MqttWire.str(topic) ++ MqttWire.packetId(pid) ++ payload
     def await(deadline: Long): Boolean = {
       pubSignal.synchronized {
