@@ -88,6 +88,9 @@ object ScaleProbe {
       // band-bucket equi-join, never |corpus|² — wall must track the
       // signature scan + probe join
       "q_dedup_index_probe" -> (() => reg("q_dedup_index_probe").run(spark, dir)),
+      // xN base write + xN batch-1 append + xN batch-2 probe — the
+      // maintenance cost is one banding scan per accepted batch
+      "q_dedup_index_update" -> (() => reg("q_dedup_index_update").run(spark, dir)),
       // xN vectors residual-encoded; the per-(query, cell) LUT stays
       // queries×nprobe×128 rows; candidates scale with cell occupancy
       "q_ivfpq_residual" -> (() => reg("q_ivfpq_residual").run(spark, dir)),

@@ -618,6 +618,71 @@ object DedupQueries {
     dedupProbe(batch, base)
   }
 
+  /** INCREMENTAL dedup-index maintenance — the lifecycle step between
+    * [[qDedupIndexProbe]]'s build-once and a crawl pipeline's reality:
+    * accepted batches are APPENDED into the stored band table so the
+    * NEXT batch dedups against base + everything accepted since, without
+    * ever rebuilding. Here: the base snapshot (even ids) is built, the
+    * first batch (ids ≡ 1 mod 4) is appended — SimHash bands carry no
+    * trained state, so append is pure accretion — and the second batch
+    * (ids ≡ 3 mod 4) probes the STORED accreted table. Crash safety via
+    * the usual meta bracket (invalidate first, meta last); appended-files
+    * layout + inline row-identity pinned in Round12OpsSpec. */
+  val qDedupIndexUpdate: Q = Q.sql(
+    "q_dedup_index_update", {
+      val sigInt = "CAST(list_sum(list_transform(generate_series(1, 32), " +
+        "i -> CASE WHEN substr(sig, i, 1) = '1' THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT)"
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, si, $b AS band, substr(sig, ${8 * b + 1}, 8) AS bv FROM sigs")
+        .mkString("\nUNION ALL\n")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, $tokenHashesSql AS hs FROM documents
+         |), sigs0 AS (
+         |  SELECT doc_id, ${simhashOfSql("hs")} AS sig FROM hashed
+         |), sigs AS (
+         |  SELECT doc_id, sig, $sigInt AS si FROM sigs0
+         |), bands AS (
+         |$bandRows
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS batch_id,
+         |    CAST(bit_count(xor(a.si, b.si)) AS BIGINT) AS h
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |  WHERE (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1) AND b.doc_id % 4 = 3
+         |    AND bit_count(xor(a.si, b.si)) <= 3
+         |)
+         |SELECT batch_id AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_base_matches,
+         |  CAST(min(base_id) AS BIGINT) AS first_match,
+         |  CAST(min(h) AS BIGINT) AS min_hamming
+         |FROM pairs
+         |GROUP BY batch_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    doc = "dedup-index maintenance: batch 1 APPENDED, batch 2 probes the accreted index") {
+    (s, d) =>
+    import graft.operators.IndexStore
+    val dir = IndexStore.dirFor(d, "dedup_bands_inc")
+    val stamp = IndexStore.sourceStamp(s"$d/documents.parquet")
+    if (!IndexStore.isFresh(s, dir, stamp)) {
+      val n = documents(s, d).count()
+      def bandsOf(pred: org.apache.spark.sql.Column) = simhashBands(
+        documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .filter(pred)
+        .select(col("doc_id").as("base_id"), col("si").as("base_si"), col("band"), col("bv"))
+      IndexStore.invalidate(dir)
+      IndexStore.write(bandsOf(pmod(col("doc_id"), lit(2)) === 0), dir, "bands", Nil)
+      // accepted batch 1 accretes into the SAME table — no rebuild
+      IndexStore.append(bandsOf(pmod(col("doc_id"), lit(4)) === 1), dir, "bands", Nil)
+      IndexStore.writeMeta(s, dir, n, stamp)
+    }
+    val base = IndexStore
+      .read(s, dir, "bands", "base_id LONG, base_si LONG, band INT, bv STRING")
+    val batch2 = simhashBands(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .filter(pmod(col("doc_id"), lit(4)) === 3)
+    dedupProbe(batch2, base)
+  }
+
   /** Similarity bar for [[qFuzzyVerify]] and the matching Levenshtein
     * band: a pair passes at sim ≥ 0.8, i.e. d ≤ 0.2·maxlen. The banded
     * distance is only lossless when 0.2·maxlen ≤ [[FuzzyBand]], i.e.
@@ -1546,7 +1611,7 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(qDedupExact, qMinhashSignature, qDedupMinhash, qDedupSimhash, qJaccardNgram,
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
-      qDedupIndexProbe,
+      qDedupIndexProbe, qDedupIndexUpdate,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
       qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup, qCdcDedup)
 }

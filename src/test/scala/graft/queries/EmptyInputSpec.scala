@@ -48,6 +48,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bpe_train",       // iterative merge training, zero words
     "q_bpe_index_encode",// persisted tokenizer artifact of an empty corpus
     "q_dedup_index_probe", // band-index probe with empty base AND batch
+    "q_dedup_index_update", // index append + probe over an empty corpus
     "q_ivfpq_residual",  // residual encode against zero coarse centroids
     "q_decontaminate",   // broadcast eval grams, empty corpus
     "q_zorder",          // layout clustering of nothing

@@ -86,6 +86,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/bands").exists(), "band index must persist")
   }
 
+  test("q_dedup_index_update: batch 1 really APPENDED; probe serves the accreted table") {
+    val out = rows(DedupQueries.qDedupIndexUpdate.run(spark, sf))
+    assert(out.nonEmpty)
+    val bandsDir = new java.io.File(
+      graft.operators.IndexStore.dirFor(sf, "dedup_bands_inc") + "/bands")
+    val files = bandsDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 2, s"append must accrete files next to the base write, found $files")
+    // the accreted index holds BOTH base (even) and batch-1 (≡1 mod 4)
+    // ids — a rebuild-shaped bug would drop one population
+    val ids = graft.operators.IndexStore
+      .read(spark, graft.operators.IndexStore.dirFor(sf, "dedup_bands_inc"),
+        "bands", "base_id LONG, base_si LONG, band INT, bv STRING")
+      .select("base_id").distinct().collect().map(_.getLong(0))
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 4 == 1))
+    assert(!ids.exists(_ % 4 == 3), "probe batch must never be stored by the gate")
+  }
+
   test("pq scoring is in-row: pq_adc in every ADC plan; serve paths never explode candidates") {
     // inline gates legitimately explode while BUILDING codes/codebook —
     // there the pin is only that scoring itself is the expression

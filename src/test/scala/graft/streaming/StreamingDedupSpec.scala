@@ -36,4 +36,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     q.stop()
     assert(got === Seq(("alpha", "x"), ("alpha", "y"), ("beta", "x"), ("gamma", "x")))
   }
+
+  test("streaming near-dup probe of the persisted band index equals the batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // build (or reuse) the stored band index via the batch gate
+    graft.queries.DedupQueries.qDedupIndexProbe.run(spark, sf).collect()
+    val dir = graft.operators.IndexStore.dirFor(sf, "dedup_bands")
+
+    // the batch gate's own answer for the odd-id probe docs = ground truth
+    val expected = graft.queries.DedupQueries.qDedupIndexProbe.run(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+
+    // stream the same probe docs through in TWO micro-batches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").filter("doc_id % 2 = 1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingDedup.probeBandIndex(batch, dir).collect().map(_.toString)
+        ()
+      }
+      .start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    // per-doc grain: a doc's bands never span batches, so the streamed
+    // reports concatenate to exactly the batch gate's rows
+    assert(got.sorted.toSeq === expected)
+    assert(expected.nonEmpty)
+  }
 }
