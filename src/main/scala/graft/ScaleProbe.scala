@@ -238,6 +238,10 @@ object ScaleProbe {
       "q_wav_decode" -> (() => reg("q_wav_decode").run(spark, dir)),
       "q_bmp_decode" -> (() => reg("q_bmp_decode").run(spark, dir)),
       "q_png_resize" -> (() => reg("q_png_resize").run(spark, dir)),
+      // xN docs, replica-prefixed vocab: the pair count and the graph
+      // both scale xN (no cross-replica edges); the iteration touches
+      // only the vocabulary graph
+      "q_textrank" -> (() => reg("q_textrank").run(spark, dir)),
       // xN vectors: base write + batch append both scale, cells stay 16
       "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)),
       // replica-prefixed vocab: the bigram stream AND the pair table both

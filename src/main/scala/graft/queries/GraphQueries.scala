@@ -74,6 +74,86 @@ object GraphQueries {
       .orderBy("n_name")
   }
 
+  /** TextRank keyword-graph thresholds: content words are tokens of
+    * length ≥ [[TrMinWordLen]]; an edge needs ≥ [[TrMinCooc]] adjacent
+    * co-occurrences (thresholds the long boilerplate tail out of the
+    * graph and keeps the oracle's unrolled iterations tractable). */
+  val TrMinWordLen = 4
+  val TrMinCooc = 3
+  val TrTopK = 20
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text" — public): build the word co-occurrence
+    * graph (adjacent content-word pairs, undirected, weighted by count)
+    * and rank vocabulary by damped PageRank; the top-ranked words are
+    * the corpus's keywords — the classic unsupervised keyphrase signal a
+    * curation pipeline computes next to TF-IDF. Reuses
+    * [[graft.operators.PageRank]] verbatim: the fact-scale work is ONE
+    * bigram explode + pair count (map-side combined), the iteration then
+    * touches only the vocabulary-sized graph — same distill-then-iterate
+    * shape as [[qPagerank]], whose float-parity argument (integer edge
+    * weights, one normalization division, round at the output edge)
+    * carries over unchanged. Undirectedness = both directed edges with
+    * the same weight, exactly the paper's symmetric formulation. Output
+    * order keys on the ROUNDED rank then keyword, so ties are total. */
+  val qTextrank: Q = Q.sql(
+    "q_textrank", {
+      val tokensSql = graft.text.TextFunctions.tokensSql
+      val wordBigramsSql =
+        s"list_transform(generate_series(1, len($tokensSql) - 1), " +
+          s"i -> $tokensSql[i] || ' ' || $tokensSql[i+1])"
+      val iters = (1 to PrIters).map(i => dotIter(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH bg AS (
+         |  SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b
+         |  FROM (SELECT unnest($wordBigramsSql) AS g FROM documents) _g
+         |), pr AS (
+         |  SELECT a, b FROM bg
+         |  WHERE length(a) >= $TrMinWordLen AND length(b) >= $TrMinWordLen AND a <> b
+         |), ec AS (
+         |  SELECT least(a, b) AS l, greatest(a, b) AS r, CAST(count(*) AS DOUBLE) AS c
+         |  FROM pr GROUP BY 1, 2 HAVING count(*) >= $TrMinCooc
+         |), e AS (
+         |  SELECT l AS src, r AS dst, c AS w FROM ec
+         |  UNION ALL SELECT r, l, c FROM ec
+         |),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |wn AS (SELECT e.src, e.dst, e.w / ow.ow AS w FROM e JOIN ow ON ow.src = e.src),
+         |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node AS keyword, round(r$PrIters.r, 6) AS rank
+         |FROM r$PrIters
+         |ORDER BY round(r$PrIters.r, 6) DESC, keyword
+         |LIMIT $TrTopK""".stripMargin
+    },
+    doc = s"TextRank keywords: co-occurrence graph + $PrIters PageRank iterations, top-$TrTopK") {
+    (s, d) =>
+      import graft.text.TextFunctions.tokens
+      val w = col("w")
+      val pairs = documents(s, d)
+        .transform(graft.Tables.spread(s, _))
+        .select(tokens(col("text")).as("w"))
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(
+          length(col("a")) >= TrMinWordLen && length(col("b")) >= TrMinWordLen &&
+            col("a") =!= col("b"))
+      val ec = pairs
+        .groupBy(least(col("a"), col("b")).as("l"), greatest(col("a"), col("b")).as("r"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .filter(col("c") >= TrMinCooc)
+      val edges = ec.select(col("l").as("src"), col("r").as("dst"), col("c").as("weight"))
+        .union(ec.select(col("r").as("src"), col("l").as("dst"), col("c").as("weight")))
+      graft.operators.PageRank.run(edges, PrIters, PrDamping)
+        .select(col("node").as("keyword"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("keyword"))
+        .limit(TrTopK)
+  }
+
   /** Minimum shared-order count for a co-supply edge — thresholds the
     * nearly-complete raw co-occurrence graph down to a meaningful one. */
   val TriMinShared = 5
@@ -663,6 +743,6 @@ object GraphQueries {
         .orderBy("dist")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore, qRandomWalk, qLinkPred, qAssortativity,
-    qBfsHops)
+  val all: Seq[Q] = Seq(qPagerank, qTextrank, qTriangles, qKcore, qRandomWalk, qLinkPred,
+    qAssortativity, qBfsHops)
 }

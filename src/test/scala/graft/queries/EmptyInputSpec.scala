@@ -139,6 +139,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_qb_holt_winters", // Holt fold over zero series (len>=2 filter)
     "q_kendall_tau",     // concordance grid with zero cells
     "q_bfs_hops",        // frontier loop with an empty source
+    "q_textrank",        // PageRank over an empty co-occurrence graph
     "q_kaplan_meier",    // survival curve with zero users
     "q_dtw_profiles",    // DTW pair join over zero profiles
     "q_isotonic",        // PAVA over an empty score frame
