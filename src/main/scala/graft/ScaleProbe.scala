@@ -242,6 +242,9 @@ object ScaleProbe {
       // both scale xN (no cross-replica edges); the iteration touches
       // only the vocabulary graph
       "q_textrank" -> (() => reg("q_textrank").run(spark, dir)),
+      // xN docs, replica-prefixed vocab: gram table AND occurrence
+      // stream scale xN; the serve join is vocab-bounded per replica
+      "q_lm_index_score" -> (() => reg("q_lm_index_score").run(spark, dir)),
       // xN vectors: base write + batch append both scale, cells stay 16
       "q_ivf_index_update" -> (() => reg("q_ivf_index_update").run(spark, dir)),
       // replica-prefixed vocab: the bigram stream AND the pair table both

@@ -213,31 +213,52 @@ object RankQueries {
     * The per-document accumulation is the fixed-point integer sum
     * documented on [[qBigramLm]] — a codegen HashAggregate with map-side
     * partials; no aggregation buffer ever holds a document. */
-  private[queries] def nllPerDoc(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+  /** The TRAINED bigram LM table: one row per distinct gram with its
+    * fixed-point log-prob `li` (add-one smoothing over the corpus) —
+    * the artifact [[qBigramLm]] consumes inline and [[qLmIndexScore]]
+    * persists. Vocabulary²-bounded (Heaps-sublinear in corpus size). */
+  private[queries] def lmGrams(docs: DataFrame): DataFrame = {
     val bg = docs
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), explode(bigramsOf(col("w"))).as("g"))
+      .select(tokens(col("text")).as("w"))
+      .select(explode(bigramsOf(col("w"))).as("g"))
     val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(split(col("g"), " ").getItem(0).as("w1")).agg(sum(col("c2")).as("c1"))
     val v = docs
       .select(explode(tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-    val liByGram = c2
+    c2
       .join(c1, split(col("g"), " ").getItem(0) === col("w1"))
       .crossJoin(broadcast(v))
       .select(col("g"), round(lp * NllQuantum, 0).cast("long").as("li"))
+  }
+
+  /** Per-doc NLL scoring of a (g, li) gram table against the per-
+    * occurrence bigram stream — shared by the inline and persisted-LM
+    * gates so their outputs are identical by construction. `hintLm`
+    * broadcasts the LM side explicitly (needed when it derives from
+    * posexplode and Catalyst's static estimate would pick the corpus
+    * side — see [[nllPerDoc]]); the store-read path passes false and
+    * lets AQE decide from the REAL file size, the scale-safe default. */
+  private def nllScore(docs: DataFrame, lm: DataFrame, hintLm: Boolean): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), explode(bigramsOf(col("w"))).as("g"))
     bg
-      .join(broadcast(liByGram), "g")
+      .join(if (hintLm) broadcast(lm) else lm, "g")
       .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        // decimal(20,0) sum: exact at any document length (a long sum
-        // could wrap past ~2e8 bigrams in one doc); DuckDB's BIGINT sum
-        // is hugeint, also exact — both convert the same integer to
-        // double at the end
         (sum(col("li").cast("decimal(20,0)")).cast("double") / NllQuantum).as("s"))
+  }
+
+  private[queries] def nllPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    // decimal(20,0) sum inside nllScore: exact at any document length (a
+    // long sum could wrap past ~2e8 bigrams in one doc); DuckDB's BIGINT
+    // sum is hugeint, also exact — both convert the same integer to
+    // double at the end
+    nllScore(docs, lmGrams(docs), hintLm = true)
   }
 
   val qBigramLm: Q = Q.sql(
@@ -248,6 +269,43 @@ object RankQueries {
        |ORDER BY doc_id""".stripMargin,
     doc = "bigram-LM perplexity scoring (add-one smoothing, ordered log-prob fold)") { (s, d) =>
     nllPerDoc(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** The bigram LM PERSISTED — the language-model member of the
+    * store-backed artifact family (ANN indexes, BPE tokenizer, dedup
+    * bands): CCNet-style pipelines train the scoring LM ONCE (on
+    * Wikipedia, in the paper) and score crawls with it for months, so
+    * the trained gram table must live on disk, not be re-derived inline
+    * per scoring run. Build: [[lmGrams]] (one row per distinct gram,
+    * fixed-point log-prob — vocabulary²-bounded) published under the
+    * usual stamp/meta freshness bracket. Serve: the per-occurrence
+    * bigram stream joins the STORED table — read from parquet, so AQE
+    * sees the REAL size and picks the join side itself (the inline path
+    * must hint because Catalyst cannot size a posexplode subtree; from
+    * disk the hint would just be a scale hazard). Output row-identical
+    * to [[qBigramLm]] by shared oracle and construction (`li` is stored
+    * as an exact LONG); identity + artifact layout pinned in
+    * Round12OpsSpec. */
+  val qLmIndexScore: Q = Q.sql(
+    "q_lm_index_score",
+    s"""WITH $nllCtesSql
+       |SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_nll
+       |FROM folded
+       |ORDER BY doc_id""".stripMargin,
+    doc = "bigram-LM scoring served from the PERSISTED trained gram table") { (s, d) =>
+    import graft.operators.IndexStore
+    val dir = IndexStore.dirFor(d, "lm")
+    val stamp = IndexStore.sourceStamp(s"$d/documents.parquet")
+    val docs = documents(s, d).transform(graft.Tables.spread(s, _))
+    if (!IndexStore.isFresh(s, dir, stamp)) {
+      val n = documents(s, d).count()
+      IndexStore.publish(s, dir, n, Seq(("grams", lmGrams(docs), Nil)), stamp)
+    }
+    val lm = IndexStore.read(s, dir, "grams", "g STRING, li LONG")
+    nllScore(docs, lm, hintLm = false)
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("s") / col("n_bigrams"), 6).as("avg_nll"))
       .orderBy("doc_id")
@@ -1242,6 +1300,6 @@ object RankQueries {
 
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qBigramLm, qPplBucket, qQualityClassifier, qLinearProbe, qRepNgram, qHashSplit,
-      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey,
+      qPostings, qCooccurrence, qPhraseSearch, qPrCurve, qRocAuc, qKneserNey, qLmIndexScore,
       qCalibration, qGainCurve, qNdcg, qIsotonic)
 }

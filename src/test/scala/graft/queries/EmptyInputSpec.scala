@@ -40,6 +40,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_sparse_cosine",   // df-capped inverted index
     "q_percentiles",     // distributed order statistics on zero rows
     "q_bigram_lm",       // LM trained on nothing
+    "q_lm_index_score",  // persisted LM artifact of an empty corpus
     "q_linear_probe",    // GD with n = 0 (division by zero count)
     "q_kmeans",          // centroid init from an empty corpus
     "q_ivfpq",           // IVF cells + PQ codebook from an empty corpus

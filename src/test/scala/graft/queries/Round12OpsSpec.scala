@@ -86,6 +86,15 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/bands").exists(), "band index must persist")
   }
 
+  test("q_lm_index_score: result rows identical to the inline q_bigram_lm path") {
+    val inline = rows(RankQueries.qBigramLm.run(spark, sf))
+    val stored = rows(RankQueries.qLmIndexScore.run(spark, sf))
+    assert(inline.nonEmpty)
+    assert(stored == inline)
+    val dir = graft.operators.IndexStore.dirFor(sf, "lm")
+    assert(new java.io.File(s"$dir/grams").exists(), "trained gram table must persist")
+  }
+
   test("q_dedup_index_update: batch 1 really APPENDED; probe serves the accreted table") {
     val out = rows(DedupQueries.qDedupIndexUpdate.run(spark, sf))
     assert(out.nonEmpty)
