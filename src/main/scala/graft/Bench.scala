@@ -136,7 +136,10 @@ object Bench {
     // those queries (unset = full battery, what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.registry)(ns => SparkEntry.registry.filter(q => ns(q.name)))
-    val results = selected.map { q =>
+    // try/finally: if any query's plan construction throws (run() itself,
+    // not the guarded action), the listener must still come off the shared
+    // in-JVM bus or it contaminates every later Bench run in this JVM
+    val results = try selected.map { q =>
       val stats = (0 to passes).map { _ =>
         // drop caches a query persisted internally (LSH signature tables):
         // every pass must recompute, not read the previous pass's cache
@@ -165,8 +168,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       q.name -> stats
-    }
-    spark.sparkContext.removeSparkListener(peakListener)
+    } finally spark.sparkContext.removeSparkListener(peakListener)
     val heapAfterMb = heapUsedMb
     val loadAvg = osBean.getSystemLoadAverage
     val total = results.map(_._2.map(_.sec).min).sum

@@ -2,9 +2,9 @@ package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Dot product over two `array<double>` columns as a native Catalyst
   * expression with a tight codegen loop.
@@ -143,6 +143,104 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** In-row coarse-quantizer assignment: the top-`n` nearest centroids for a
+  * vector, scored against a FLAT broadcast centroid array — the whole
+  * cell-assignment loop of an IVF-family index in one expression.
+  *
+  * Why an expression: the compositional form cross-joins every vector
+  * against the K-row centroid table (a K× row blowup, each copy carrying
+  * the 64-double vector) and ranks with a per-vector window — the rank
+  * sort buffer was the 250 MiB peak-task-memory hotspot in the 10×
+  * ScaleProbe of the IVF-PQ residual pipeline. This loop reads the
+  * broadcast-local centroid array instead: ONE row per vector in, one out,
+  * no window, peak memory flat in K and corpus size.
+  *
+  * Children: `cids` (array<long>, centroid ids SORTED ASCENDING — the
+  * caller builds them with array_sort so index order is id order),
+  * `cents` (array<double>, row-major flat K×dim), `cnrms` (array<double>,
+  * K precomputed L2 norms), `v` (array<double>, the vector). Static
+  * params: `n` (how many cells), `byCos` (true = rank by cosine DESC,
+  * the IVF convention here; false = rank by squared L2 ASC, the
+  * kmeans/IVFADC convention). Ties keep the LOWER centroid id — exactly
+  * `row_number() OVER (ORDER BY score [DESC], cid)`.
+  *
+  * Parity: the dot product and the query norm accumulate sequentially
+  * (index 0 → dim-1) like [[DotProduct]]/`l2norm`, cosine divides
+  * `dot / (vnrm * cnrm)` and L2 composes `vnrm² − 2·dot + cnrm²` in the
+  * same association order as the oracle SQL — score bits match the
+  * window-ranked form exactly, so the selected cells are identical.
+  *
+  * The heavy loop lives in a static helper ([[VecTopCells.topCells]]) so
+  * generated code stays tiny (NOTES lesson 8); nulls use standard
+  * null-intolerant semantics. */
+case class VecTopCells(
+    first: Expression, second: Expression, third: Expression, fourth: Expression,
+    n: Int, byCos: Boolean) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_top_cells"
+
+  override def nullSafeEval(cids: Any, cents: Any, cnrms: Any, v: Any): Any =
+    VecTopCells.topCells(cids.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      cnrms.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData], n, byCos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cids, cents, cnrms, v) =>
+      s"${ev.value} = graft.expressions.VecTopCells.topCells(" +
+        s"$cids, $cents, $cnrms, $v, $n, $byCos);")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+object VecTopCells {
+  /** See [[VecTopCells]]. Insertion-sorted top-`n` (n is 1 or nprobe —
+    * tiny), strict-better comparisons so equal scores keep the earlier
+    * (lower-id) centroid. */
+  def topCells(
+      cids: ArrayData, cents: ArrayData, cnrms: ArrayData, v: ArrayData,
+      n: Int, byCos: Boolean): ArrayData = {
+    val dim = v.numElements()
+    val k = cids.numElements()
+    require(cnrms.numElements() == k,
+      s"vec_top_cells: ${cnrms.numElements()} norms for $k centroids")
+    require(cents.numElements() == k.toLong * dim,
+      s"vec_top_cells: flat centroid length ${cents.numElements()} != $k*$dim")
+    var sd = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); sd += x * x; i += 1 }
+    val vnrm = math.sqrt(sd)
+    val m = math.min(n, k)
+    val bestS = new Array[Double](m)
+    val bestK = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < dim) { dot += v.getDouble(j) * cents.getDouble(off + j); j += 1 }
+      val score =
+        if (byCos) dot / (vnrm * cnrms.getDouble(c))
+        else vnrm * vnrm - 2.0 * dot + cnrms.getDouble(c) * cnrms.getDouble(c)
+      var pos = filled
+      while (pos > 0 && (if (byCos) score > bestS(pos - 1) else score < bestS(pos - 1))) pos -= 1
+      if (pos < m) {
+        var q = math.min(filled, m - 1)
+        while (q > pos) { bestS(q) = bestS(q - 1); bestK(q) = bestK(q - 1); q -= 1 }
+        bestS(pos) = score
+        bestK(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val res = new Array[Long](filled)
+    i = 0
+    while (i < filled) { res(i) = cids.getLong(bestK(i)); i += 1 }
+    new GenericArrayData(res)
+  }
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -154,4 +252,12 @@ object VectorOps {
 
   /** L2 norm via the same sequential accumulation. */
   def l2norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Top-`n` coarse cells in rank order: see [[VecTopCells]]. */
+  def topCells(
+      cids: Column, cents: Column, cnrms: Column, v: Column,
+      n: Int, byCos: Boolean = true): Column =
+    GraftBridge.column(VecTopCells(
+      GraftBridge.expression(cids), GraftBridge.expression(cents),
+      GraftBridge.expression(cnrms), GraftBridge.expression(v), n, byCos))
 }

@@ -543,8 +543,11 @@ object DedupQueries {
 
   /** One row per (doc, band): 32-bit SimHash split into 4 8-bit bands,
     * carrying the integer signature for the hamming verify — the dedup
-    * index row shape, shared by the inline and persisted gates. */
-  private def simhashBands(docs: org.apache.spark.sql.DataFrame) =
+    * index row shape, shared by the inline and persisted gates AND by the
+    * streaming probe ([[graft.streaming.StreamingDedup.probeBandIndex]]):
+    * one definition, so a band-layout change can never silently break
+    * batch/stream parity. */
+  private[graft] def simhashBands(docs: org.apache.spark.sql.DataFrame) =
     docs
       .select(col("doc_id"), simhashFast(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"), conv(col("sig"), 2, 10).cast("long").as("si"))

@@ -394,32 +394,52 @@ object SimilarityQueries {
 
   /** The IVF query path, shared by the oracle-checked fixed-centroid query
     * and the KMeans-trained index: assign every vector to its nearest cell
-    * (broadcast cross-score + rank), probe the NProbe nearest cells per
-    * query, exact cosine re-rank inside the probed cells. `cents` is any
-    * (cid, cv double[], cnrm) frame — tiny, always broadcast. */
+    * (in-row argmin against the flat broadcast centroid array), probe the
+    * NProbe nearest cells per query, exact cosine re-rank inside the
+    * probed cells. `cents` is any (cid, cv double[], cnrm) frame — tiny,
+    * always broadcast. */
   def ivfSearch(all: DataFrame, cents: DataFrame, nProbe: Int = NProbe): DataFrame = {
-    val scored = ivfScored(all, cents)
-    val assigned = scored.filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = scored.filter(col("crank") <= nProbe && col("vec_id") < NumQueries)
+    val assigned = assignCells(all, cents)
+    val probes = probeCells(all.filter(col("vec_id") < NumQueries), cents, nProbe)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
     ivfSearchAssigned(probes, all, assigned)
   }
 
-  /** Cell-scoring half of the IVF pipeline: every vector of `all` ranked
-    * against every (broadcast, tiny) centroid by cosine, ties broken by
-    * centroid id — crank 1 is the owning cell, cranks ≤ nprobe are a
-    * query's probe set. */
-  private def ivfScored(all: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast => bc}
-    val centCos =
-      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    all
-      .crossJoin(bc(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-  }
+  /** One-row frame of a (cid, cv, cnrm) centroid table flattened for the
+    * in-row argmin ([[graft.expressions.VecTopCells]]): centroid ids
+    * sorted ascending — index order IS id order, so the expression's
+    * keep-the-earlier tiebreak equals the oracle's `ORDER BY … , cid` —
+    * the vectors as one flat row-major array, the norms aligned. Always
+    * tiny (K centroids); always broadcast by the caller. */
+  private def centFlat(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("ca"))
+      .select(
+        transform(col("ca"), e => e.getField("cid")).as("__cids"),
+        flatten(transform(col("ca"), e => e.getField("cv"))).as("__cvs"),
+        transform(col("ca"), e => e.getField("cnrm")).as("__cnrms"))
+
+  /** Top-`n` coarse cells per vector of `df` against a (cid, cv, cnrm)
+    * centroid table: all of `df`'s columns plus `cells` (array<long>,
+    * rank order). ONE row per vector in and out — this replaced the
+    * crossJoin-×K + rank-window shape whose per-task sort buffer peaked
+    * at 250 MiB in the 10× ScaleProbe (r12 verdict item); the scoring
+    * loop lives in [[graft.expressions.VecTopCells]], score bits and
+    * tiebreaks identical to the windowed form, so every oracle is
+    * unchanged. */
+  private def coarseTop(df: DataFrame, cents: DataFrame, n: Int, byCos: Boolean): DataFrame =
+    df.crossJoin(broadcast(centFlat(cents)))
+      .withColumn("cells", graft.expressions.VectorOps.topCells(
+        col("__cids"), col("__cvs"), col("__cnrms"), col("v"), n, byCos))
+      .drop("__cids", "__cvs", "__cnrms")
+
+  /** Coarse cell assignment (cosine, id tiebreak): (vec_id, v, nrm, cell). */
+  private def assignCells(df: DataFrame, cents: DataFrame): DataFrame =
+    coarseTop(df, cents, 1, byCos = true)
+      .select(col("vec_id"), col("v"), col("nrm"), element_at(col("cells"), 1).as("cell"))
+
+  /** Probe list (cosine): one (vec_id, cid) row per probed cell. */
+  private def probeCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    coarseTop(df, cents, n, byCos = true).select(col("vec_id"), explode(col("cells")).as("cid"))
 
   /** Search half of the IVF pipeline: probe cells equi-join the assigned
     * corpus (`assigned`: vec_id, v, nrm, cell — inline-computed or read
@@ -496,8 +516,7 @@ object SimilarityQueries {
     val all = vecs(s, d)
     val cents = all.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = ivfScored(all, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(all, cents)
     graft.operators.IndexStore.publish(s, dir, n, Seq(
       // repartition by cell first → exactly one file per cell directory
       ("vectors", assigned.repartition(col("cell")), Seq("cell")),
@@ -565,7 +584,7 @@ object SimilarityQueries {
       val idx = graft.operators.IndexStore.read(s, dir, "vectors", IvfVecSchema)
       val cents = graft.operators.IndexStore.read(s, dir, "centroids", IvfCentSchema)
       val queries = vecs(s, d).filter(col("vec_id") < NumQueries)
-      val probes = ivfScored(queries, cents).filter(col("crank") <= NProbe)
+      val probes = probeCells(queries, cents, NProbe)
         .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
       ivfSearchAssigned(probes, queries, idx)
   }
@@ -783,16 +802,36 @@ object SimilarityQueries {
       pqAdcSearch(codes, lut)
   }
 
+  /** Layout guard for a flat block-major LUT: [[graft.expressions.PqAdc]]
+    * derives the stride as `lut.length / codes.length`, so a tall LUT
+    * missing (b, cid) pairs in a way that PRESERVES divisibility (e.g.
+    * one missing cid per block) would pass its length check and silently
+    * score against neighboring entries. Pin the exact expected size here
+    * instead; the guard is folded into the value (slice offset) so column
+    * pruning can never skip it, and `slice(lt, 1, n)` is the identity on
+    * a correctly-sized array — oracle hashes unchanged. */
+  private def lutChecked(lt: Column, expected: Int): Column = {
+    val guard = coalesce(
+      assert_true(size(lt) === expected,
+        concat(lit(s"pq LUT misaligned: expected $expected (blocks*cents) entries, got "),
+          size(lt))).cast("int"),
+      lit(0))
+    slice(lt, lit(1) + guard, lit(expected))
+  }
+
   /** Fold the tall per-(q_id, b, cid) lookup table into ONE flat
     * array<double> row per query, block-major (`lt[b*PqCents + cid]`):
     * the broadcast payload [[graft.expressions.PqAdc]] indexes. Every
     * (block, centroid) pair is present exactly once, so the sorted
-    * struct order IS the layout order. */
+    * struct order IS the layout order; [[lutChecked]] fails loudly if a
+    * pair is missing rather than letting the stride misalign. */
   private def pqLutFlat(lut: DataFrame): DataFrame =
     lut.groupBy(col("q_id")).agg(
-      transform(
-        array_sort(collect_list(struct(col("b"), col("cid"), col("ld2")))),
-        e => e.getField("ld2")).as("lt"))
+      lutChecked(
+        transform(
+          array_sort(collect_list(struct(col("b"), col("cid"), col("ld2")))),
+          e => e.getField("ld2")),
+        PqBlocks * PqCents).as("lt"))
 
   /** The in-row ADC sum over a wide code row + its flat LUT column `lt`
     * ([[graft.expressions.PqAdc]]) — no explode, no re-aggregation. */
@@ -873,11 +912,10 @@ object SimilarityQueries {
         // the frozen coarse quantizer; cells accrete, centroids never move
         val cents = all.filter(col("vec_id") < IvfCells)
           .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-        def assign(part: DataFrame) = ivfScored(part, cents).filter(col("crank") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
         IndexStore.invalidate(dir)
         IndexStore.write(
-          assign(all.filter(pmod(col("vec_id"), lit(4)) =!= 3)).repartition(col("cell")),
+          assignCells(all.filter(pmod(col("vec_id"), lit(4)) =!= 3), cents)
+            .repartition(col("cell")),
           dir, "vectors", Seq("cell"))
         IndexStore.write(cents, dir, "centroids", Nil)
         // the incremental batch: assigned against the STORED centroid
@@ -885,9 +923,7 @@ object SimilarityQueries {
         // the index), appended into the existing cell directories
         val storedCents = IndexStore.read(s, dir, "centroids", IvfCentSchema)
         IndexStore.append(
-          ivfScored(all.filter(pmod(col("vec_id"), lit(4)) === 3), storedCents)
-            .filter(col("crank") === 1)
-            .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+          assignCells(all.filter(pmod(col("vec_id"), lit(4)) === 3), storedCents)
             .repartition(col("cell")),
           dir, "vectors", Seq("cell"))
         IndexStore.writeMeta(s, dir, n, stamp)
@@ -895,7 +931,7 @@ object SimilarityQueries {
       val idx = IndexStore.read(s, dir, "vectors", IvfVecSchema)
       val cents = IndexStore.read(s, dir, "centroids", IvfCentSchema)
       val queries = vecs(s, d).filter(col("vec_id") < NumQueries)
-      val probes = ivfScored(queries, cents).filter(col("crank") <= NProbe)
+      val probes = probeCells(queries, cents, NProbe)
         .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
       ivfSearchAssigned(probes, queries, idx)
   }
@@ -1009,21 +1045,14 @@ object SimilarityQueries {
     "q_ivfpq", ivfPqOracleSql,
     doc = s"IVF-PQ: $IvfCells cells nprobe=$NProbe coarse prune, PQ-ADC scoring of codes only") {
     (s, d) =>
-      // coarse IVF stage — same expressions q_ann_ivf pins
+      // coarse IVF stage — same score bits q_ann_ivf pins, via the
+      // in-row argmin (no ×K blowup, no rank window)
       val all = vecs(s, d)
       val icents = all.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("icid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val centCos =
-        graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
-      val iscored = all.crossJoin(broadcast(icents))
-        .select(col("vec_id"), col("icid"), centCos.as("ccos"))
-        .withColumn("crank", row_number().over(wAssign))
-      val iassigned = iscored.filter(col("crank") === 1)
-        .select(col("vec_id"), col("icid").as("cell"))
-      val iprobes = iscored
-        .filter(col("crank") <= NProbe && col("vec_id") < PqSearchQueries)
-        .select(col("vec_id").as("q_id"), col("icid").as("pcell"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val iassigned = assignCells(all, icents).select(col("vec_id"), col("cell"))
+      val iprobes = probeCells(all.filter(col("vec_id") < PqSearchQueries), icents, NProbe)
+        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
       // PQ stage — same helpers q_pq_search pins
       val vecsAll = pqVecs(s, d)
       val blocked = pqBlockify(vecsAll, "vec_id").withColumnRenamed("s", "x")
@@ -1062,20 +1091,14 @@ object SimilarityQueries {
     (0 until PqBlocks).map(b => s"c$b LONG").mkString(", ") + ", cell LONG"
 
   /** Coarse IVF scoring against a (broadcastable) centroid table: the
-    * top-`maxRank` cells per vector as (vec_id, icid) — same expressions
-    * q_ann_ivf pins. ONE definition serves both the build-side
-    * assignment (rank 1) and the query-side probe list (rank ≤ NProbe),
-    * so the tie-break order can never diverge between them. */
-  private def ivfPqCoarse(df: DataFrame, icents: DataFrame, maxRank: Int): DataFrame = {
-    val centCos =
-      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("icid"))
-    df.crossJoin(broadcast(icents))
-      .select(col("vec_id"), col("icid"), centCos.as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= maxRank)
-      .select(col("vec_id"), col("icid"))
-  }
+    * top-`maxRank` cells per vector as (vec_id, icid) — same score bits
+    * q_ann_ivf pins, via the in-row argmin. ONE definition serves both
+    * the build-side assignment (rank 1) and the query-side probe list
+    * (rank ≤ NProbe), so the tie-break order can never diverge between
+    * them. */
+  private def ivfPqCoarse(df: DataFrame, icents: DataFrame, maxRank: Int): DataFrame =
+    probeCells(df, icents.withColumnRenamed("icid", "cid"), maxRank)
+      .select(col("vec_id"), col("cid").as("icid"))
 
   /** Coarse IVF cell assignment: (vec_id, cell). */
   private def ivfPqAssignCells(df: DataFrame, icents: DataFrame): DataFrame =
@@ -1327,9 +1350,11 @@ object SimilarityQueries {
       // flat LUT per (query, probed cell) — the broadcast payload the
       // in-row ADC indexes, one row per candidate afterwards
       val lutFlat = lut.groupBy(col("q_id"), col("pcell")).agg(
-        transform(
-          array_sort(collect_list(struct(col("b"), col("cid"), col("ld2")))),
-          e => e.getField("ld2")).as("lt"))
+        lutChecked(
+          transform(
+            array_sort(collect_list(struct(col("b"), col("cid"), col("ld2")))),
+            e => e.getField("ld2")),
+          PqBlocks * PqCents).as("lt"))
       val cand = broadcast(iprobes)
         .join(wideCodes, col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
       pqAdcFinish(cand
@@ -1404,19 +1429,10 @@ object SimilarityQueries {
   }
 
   /** Cluster assignment for SemDeDup: argmax cosine against a broadcast
-    * centroid frame (cid, cv, cnrm), ties to the lower cid. Returns
-    * (vec_id, v, nrm, cell). */
-  def semAssign(vecsDf: DataFrame, cents: DataFrame): DataFrame = {
-    val centCos =
-      graft.expressions.VectorOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    vecsDf
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), centCos.as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-  }
+    * centroid frame (cid, cv, cnrm), ties to the lower cid — the shared
+    * in-row argmin ([[assignCells]]). Returns (vec_id, v, nrm, cell). */
+  def semAssign(vecsDf: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(vecsDf, cents)
 
   /** Within-cell near-dup pairs over a [[semAssign]] output — the keyed
     * equi-join on `cell` that replaces the all-pairs cross product.
@@ -2264,8 +2280,8 @@ object SimilarityQueries {
     val all = vecs(s, d)
     val cents = all.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    ivfScored(all, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    assignCells(all, cents)
+      .select(col("vec_id"), col("cell"))
       .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
       .groupBy("cell", "label")
       .agg(count(lit(1)).cast("decimal(19,0)").as("nij"))

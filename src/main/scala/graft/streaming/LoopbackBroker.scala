@@ -146,6 +146,18 @@ final class LoopbackBroker(user: String, password: String) {
                 // resend budget) and wrapped back to the id — evict the
                 // stale entry so the new message delivers instead of
                 // being silently swallowed as a phantom duplicate.
+                // diagnosability: MQTT 3.1.1 dedup keys on the pid FLOW
+                // state with DUP only informational, so a sender that
+                // retransmits an unreleased pid WITHOUT setting DUP gets
+                // double-delivery here. The in-repo client always sets DUP
+                // on resends (pinned by MqttSocketClientSpec); surface the
+                // eviction so an accidental double-delivery from a foreign
+                // client is attributable rather than silent.
+                if (!pkt.publishDup && conn.inboundUnreleased.contains(pid))
+                  System.err.println(
+                    s"[LoopbackBroker] evicting unreleased QoS-2 pid $pid on fresh " +
+                      "non-DUP PUBLISH (sender wrapped or retransmitted without DUP); " +
+                      "the new message will deliver")
                 if (!pkt.publishDup) conn.inboundUnreleased.remove(pid)
                 if (conn.inboundUnreleased.add(pid)) {
                   inbound.add(topic -> new String(payload, "UTF-8"))

@@ -43,21 +43,24 @@ object StreamingDedup {
     * per-batch work is |batch| × 4 band rows through one equi-join, the
     * corpus itself is never touched. Exactly the batch probe's plan,
     * lifted onto a stream — semantics equality is spec-pinned by running
-    * the same docs both ways. Aggregation runs per micro-batch (update
-    * mode or foreachBatch); a doc's bands never span batches, so
-    * per-batch grain IS per-doc grain. */
+    * the same docs both ways.
+    *
+    * CONTRACT: `docs` must be a foreachBatch BATCH frame, not the raw
+    * streaming frame (enforced below). The dedup + per-doc aggregate
+    * below are stateless batch ops at that grain; applied to a streaming
+    * frame directly they would accumulate dedup/aggregate state across
+    * micro-batches forever (no watermark) and suppress a doc_id's band
+    * hits on reappearance — the opposite of "every batch reports". The
+    * band shape is [[graft.queries.DedupQueries.simhashBands]] itself,
+    * not a re-implementation, so stream and index layouts cannot drift. */
   def probeBandIndex(docs: DataFrame, indexDir: String): DataFrame = {
-    import graft.text.TextFunctions.simhashFast
+    require(!docs.isStreaming,
+      "probeBandIndex takes a foreachBatch batch frame; on a streaming frame its " +
+        "dedup/aggregate state would grow unbounded and mix across micro-batches")
     val spark = docs.sparkSession
     val base = graft.operators.IndexStore
       .read(spark, indexDir, "bands", "base_id LONG, base_si LONG, band INT, bv STRING")
-    val bands = docs
-      .select(col("doc_id"), simhashFast(col("text")).as("sig"))
-      .select(col("doc_id"), col("sig"), conv(col("sig"), 2, 10).cast("long").as("si"))
-      .select(
-        col("doc_id"), col("si"),
-        posexplode(array((0 until 4).map(b => substring(col("sig"), 8 * b + 1, 8)): _*))
-          .as(Seq("band", "bv")))
+    val bands = graft.queries.DedupQueries.simhashBands(docs.select(col("doc_id"), col("text")))
     bands.join(base, Seq("band", "bv"))
       .select(
         col("base_id"), col("doc_id"),
