@@ -94,6 +94,16 @@ object ScaleProbe {
       // xN vectors residual-encoded; the per-(query, cell) LUT stays
       // queries×nprobe×128 rows; candidates scale with cell occupancy
       "q_ivfpq_residual" -> (() => reg("q_ivfpq_residual").run(spark, dir)),
+      // xN vectors through 2 Lloyd iterations (one narrow in-row-argmin
+      // pass + one 64-column integer aggregate each), 2 codebook
+      // iterations (broadcast join + struct-min hash agg), then the
+      // one-time index build; wall must track the training scans, peak
+      // memory stays flat (no rank window anywhere in the family now)
+      "q_ivfadc_trained" -> (() => {
+        graft.operators.IndexStore.invalidate(
+          graft.operators.IndexStore.dirFor(dir, "ivfadc"))
+        reg("q_ivfadc_trained").run(spark, dir)
+      }),
       // df-capped inverted index: the df cap has an ABSOLUTE term
       // (SparseDfCap=256, see qSparseCosine's Scaladoc), so hot-gram
       // pair fanout stays linear in corpus size at 10x — the purely
