@@ -295,7 +295,10 @@ object ScaleProbe {
       "q_ivfpq_index_update" -> (() => reg("q_ivfpq_index_update").run(spark, dir)),
       // xN docs -> xN independent encode+inflate+unfilter pipelines:
       // narrow per-row codegen work, wall must track the corpus scan
-      "q_png_decode" -> (() => reg("q_png_decode").run(spark, dir)))
+      "q_png_decode" -> (() => reg("q_png_decode").run(spark, dir)),
+      // xN docs -> xN independent encode+entropy-decode+IDCT pipelines:
+      // same narrow per-row shape as the PNG gate, two 8x8 blocks per doc
+      "q_jpeg_decode" -> (() => reg("q_jpeg_decode").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import graft.mm.{BmpCodec, PngCodec, WavCodec}
+import graft.mm.{BmpCodec, JpegCodec, PngCodec, WavCodec}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -207,6 +207,99 @@ object MediaCodec {
     GraftBridge.column(PngSynth9x8(GraftBridge.expression(seed)))
   def pngStats(payload: Column): Column =
     GraftBridge.column(PngStats(GraftBridge.expression(payload)))
+
+  /** The 16×8 grayscale plane of the JPEG gate: the SAME pixel formula
+    * as the PNG/BMP 9×8 gates ((B+G+R)/3 of the channel formula), x
+    * extended to 0..15 so the image spans TWO 8×8 blocks — DC
+    * prediction across MCUs gets real coverage. */
+  def jpegGray16x8(seed: Long): Array[Int] = {
+    require(seed >= 0, s"jpeg_synth seed must be nonnegative, got $seed")
+    val px = new Array[Int](16 * 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 16) {
+        val b = (seed * 31 + 97L * x + 131L * y) % 256
+        val g = (seed * 31 + 97L * x + 131L * y + 11) % 256
+        val r = (seed * 31 + 97L * x + 131L * y + 22) % 256
+        px(y * 16 + x) = ((b + g + r) / 3).toInt
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** 16×8 grayscale baseline JFIF bytes — a REAL JPEG stream (markers,
+    * Annex K quantization + Huffman tables, entropy coding with byte
+    * stuffing) of the formula plane, via [[graft.mm.JpegCodec]]. */
+  def jpegSynth16x8Bytes(seed: Long): Array[Byte] =
+    JpegCodec.encodeGray(16, 8, jpegGray16x8(seed))
+
+  /** Decode a JPEG payload and fold the genuinely decoded pixels into
+    * (width, height, psum, pwsum, err): plain and position-weighted
+    * pixel sums plus the total absolute reconstruction error against
+    * the original formula plane for `seed` — JPEG is lossy but exactly
+    * deterministic, so all three are exact integers the oracle replays
+    * from the pixel formula through the integer fDCT → quantize →
+    * dequantize → IDCT pipeline (the lossless entropy layer cancels in
+    * the oracle but any bug in it corrupts coefficients and shifts
+    * these sums). */
+  def jpegStatsRow(payload: Array[Byte], seed: Long): InternalRow = {
+    val d = JpegCodec.decode(payload)
+    require(d.width == 16 && d.height == 8,
+      s"jpeg gate expects the 16x8 profile, decoded ${d.width}x${d.height}")
+    val orig = jpegGray16x8(seed)
+    var psum = 0L; var pwsum = 0L; var err = 0L
+    var i = 0
+    while (i < d.px.length) {
+      psum += d.px(i)
+      pwsum += d.px(i).toLong * (i + 1)
+      err += math.abs(d.px(i) - orig(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      d.width.toLong, d.height.toLong, psum, pwsum, err))
+  }
+
+  val JpegStatsType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("psum", LongType, nullable = false),
+    StructField("pwsum", LongType, nullable = false),
+    StructField("err", LongType, nullable = false)))
+
+  def jpegSynth16x8(seed: Column): Column =
+    GraftBridge.column(JpegSynth16x8(GraftBridge.expression(seed)))
+  def jpegStats(payload: Column, seed: Column): Column =
+    GraftBridge.column(
+      JpegStats(GraftBridge.expression(payload), GraftBridge.expression(seed)))
+}
+
+case class JpegSynth16x8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_synth_16x8"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.jpegSynth16x8Bytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.jpegSynth16x8Bytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JpegStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = MediaCodec.JpegStatsType
+  override def prettyName: String = "jpeg_stats"
+  override def nullSafeEval(payload: Any, seed: Any): Any =
+    MediaCodec.jpegStatsRow(payload.asInstanceOf[Array[Byte]], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, s) =>
+      s"${ev.value} = graft.expressions.MediaCodec.jpegStatsRow($p, $s);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class PngSynth9x8(child: Expression) extends UnaryExpression {

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus a batched feature-extraction
   * operator.
   *
-  * Decode status: UNCOMPRESSED containers now have REAL from-scratch
-  * decoders — [[WavCodec]] (RIFF/WAVE PCM, chunk-walking) and
-  * [[BmpCodec]] (24-bit BMP, stride-honoring), both oracle-gated
-  * (`q_wav_decode`, `q_bmp_decode`) and spec-pinned
-  * (`MediaCodecSpec`). Only COMPRESSED codecs (JPEG/MP3/H.264) remain
-  * behind this stub seam: [[StubDecoder]] is a deterministic fake
-  * standing in for the JNI/native decoder a production cluster ships.
+  * Decode status: image and PCM containers have REAL from-scratch
+  * decoders — [[WavCodec]] (RIFF/WAVE PCM, chunk-walking), [[BmpCodec]]
+  * (24-bit BMP, stride-honoring), [[PngCodec]] (full RFC-1951 inflate +
+  * unfilter) and [[JpegCodec]] (baseline T.81: markers, Annex K Huffman
+  * tables, integer IDCT) — all oracle-gated (`q_wav_decode`,
+  * `q_bmp_decode`, `q_png_decode`, `q_jpeg_decode`) and spec-pinned.
+  * Only the AUDIO/VIDEO compressed codecs (MP3/H.264) remain behind
+  * this stub seam: [[StubDecoder]] is a deterministic fake standing in
+  * for the JNI/native decoder a production cluster ships.
   * Everything around it — the schema contract, the per-partition
   * batching, the fixed batch shape a vectorized decoder would need, the
   * resulting feature schema — is real Spark plumbing and is what the
@@ -104,11 +106,4 @@ object Multimodal {
         .otherwise(array().cast("array<binary>")))
   }
 
-  /** "Resize" stub: a real implementation hands each frame to a native
-    * decoder; the stub truncates/pads to the target size, preserving the
-    * schema contract (binary in → fixed-length binary out). */
-  def resizeStub(media: DataFrame, targetBytes: Int = 64): DataFrame =
-    media.withColumn(
-      "thumb",
-      rpad(substring(col("payload"), 1, targetBytes), targetBytes, Array[Byte](0)))
 }

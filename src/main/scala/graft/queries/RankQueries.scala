@@ -240,7 +240,7 @@ object RankQueries {
     * posexplode and Catalyst's static estimate would pick the corpus
     * side — see [[nllPerDoc]]); the store-read path passes false and
     * lets AQE decide from the REAL file size, the scale-safe default. */
-  private def nllScore(docs: DataFrame, lm: DataFrame, hintLm: Boolean): DataFrame = {
+  private[graft] def nllScore(docs: DataFrame, lm: DataFrame, hintLm: Boolean): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), explode(bigramsOf(col("w"))).as("g"))
