@@ -115,7 +115,12 @@ object Bench {
         if (t.taskMetrics != null)
           peakTaskMem.updateAndGet(p => math.max(p, t.taskMetrics.peakExecutionMemory))
     }
-    spark.sparkContext.addSparkListener(peakListener)
+    // adjudication bypass (SPARK_GRAFT_BENCH_NOPEAK=1): run the battery
+    // with NO task-end listener attached, so a suspected
+    // instrumentation cost can be measured as a single-variable A/B on
+    // the same tree (peak_task_mb then reports 0)
+    val noPeak = sys.env.contains("SPARK_GRAFT_BENCH_NOPEAK")
+    if (!noPeak) spark.sparkContext.addSparkListener(peakListener)
     // the listener bus is ASYNCHRONOUS: task-end events can straggle past
     // the action that produced them, so without a drain the read/reset
     // around a pass boundary misattributes one pass's peak to the next.
@@ -168,7 +173,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       q.name -> stats
-    } finally spark.sparkContext.removeSparkListener(peakListener)
+    } finally if (!noPeak) spark.sparkContext.removeSparkListener(peakListener)
     val heapAfterMb = heapUsedMb
     val loadAvg = osBean.getSystemLoadAverage
     val total = results.map(_._2.map(_.sec).min).sum

@@ -142,8 +142,14 @@ object JpegCodec {
       var f = 0L
       for (x <- 0 until 8) f += r(x)(v) * CosT(x)(u)
       val f2 = sdiv14(f * AlphaT(u)) * AlphaT(v)
-      val q = QLum(u * 8 + v).toLong
-      out(u * 8 + v) = sround(f2, q << (2 * FpShift + 16)).toInt
+      // u couples with x (columns) above, so u is the HORIZONTAL
+      // frequency: T.81 stores S(v,u) at raster row v, column u — and
+      // the quantization table is not symmetric, so the index order
+      // here is load-bearing (a transposed layout roundtrips
+      // self-consistently but no conformant decoder can read it; the
+      // ImageIO interop specs pin this)
+      val q = QLum(v * 8 + u).toLong
+      out(v * 8 + u) = sround(f2, q << (2 * FpShift + 16)).toInt
     }
     val zz = new Array[Int](64)
     for (i <- 0 until 64) zz(i) = out(Zigzag(i))
@@ -151,16 +157,21 @@ object JpegCodec {
   }
 
   /** Inverse path: quantized zigzag coefficients → clamped raster
-    * samples. Per-term sdiv14 staging keeps every partial in range:
+    * samples, against an arbitrary (raster-order) quantization table —
+    * the decoder dequantizes with the table PARSED from the stream's
+    * DQT, as T.81 requires, so foreign-encoder streams (different
+    * quality scalings) decode correctly. Per-term sdiv14 staging keeps
+    * every partial in range:
     * X1(u,y)=Σ_v sdiv14(Sq·Q·α_v·CosT(y)(v)); X2=sdiv14(X1·α_u);
     * p = clamp(round(Σ_u X2·CosT(x)(u) / 2^30) + 128). */
-  def dequantIdct(zz: Array[Int]): Array[Int] = {
+  def dequantIdct(zz: Array[Int], quant: Array[Int] = QLum): Array[Int] = {
     val rq = new Array[Long](64)
-    for (i <- 0 until 64) rq(Zigzag(i)) = zz(i).toLong * QLum(Zigzag(i))
+    for (i <- 0 until 64) rq(Zigzag(i)) = zz(i).toLong * quant(Zigzag(i))
     val x1 = Array.ofDim[Long](8, 8)
     for (u <- 0 until 8; y <- 0 until 8) {
       var acc = 0L
-      for (v <- 0 until 8) acc += sdiv14(rq(u * 8 + v) * AlphaT(v) * CosT(y)(v))
+      // rq is in the T.81 raster layout: S(v,u) at row v, column u
+      for (v <- 0 until 8) acc += sdiv14(rq(v * 8 + u) * AlphaT(v) * CosT(y)(v))
       x1(u)(y) = acc
     }
     val out = new Array[Int](64)
@@ -362,7 +373,9 @@ object JpegCodec {
           w = ((data(body + 3) & 0xff) << 8) | (data(body + 4) & 0xff)
           val nc = data(body + 5) & 0xff
           if (nc != 1) fail(s"grayscale only, got $nc components")
-          if ((data(body + 7) & 0xff) != 0x11) fail("subsampling unsupported")
+          // sampling factors are irrelevant in a single-component scan
+          // (T.81 A.2: non-interleaved data units are raster-ordered
+          // blocks regardless of Hi/Vi), so none are rejected here
           if (w % 8 != 0 || h % 8 != 0) fail("partial blocks unsupported")
         case 0xc4 =>
           var p = body
@@ -389,13 +402,13 @@ object JpegCodec {
     }
     if (w < 0 || quant == null || dcTab == null || acTab == null)
       fail("scan started before SOF/DQT/DHT")
-    if (!(quant sameElements QLum)) fail("quant table differs from the Annex K profile")
     val br = new BitReader(data, scanAt)
     val px = new Array[Int](w * h)
     var pred = 0
     for (by <- 0 until h / 8; bx <- 0 until w / 8) {
       val zz = new Array[Int](64)
       val t = decodeSym(br, dcTab)
+      if (t > 11) fail(s"DC category $t out of the 8-bit baseline range")
       pred += extend(br.bits(t), t)
       zz(0) = pred
       var k = 1
@@ -403,6 +416,7 @@ object JpegCodec {
         val rs = decodeSym(br, acTab)
         val run = rs >> 4
         val s = rs & 0x0f
+        if (s > 10) fail(s"AC size $s out of the 8-bit baseline range")
         if (s == 0) {
           if (run == 15) k += 16 // ZRL
           else k = 64 // EOB
@@ -413,7 +427,7 @@ object JpegCodec {
           k += 1
         }
       }
-      val block = dequantIdct(zz)
+      val block = dequantIdct(zz, quant)
       for (y <- 0 until 8; x <- 0 until 8)
         px((by * 8 + y) * w + bx * 8 + x) = block(y * 8 + x)
     }

@@ -242,10 +242,14 @@ object TextQueries {
     // round-half-away(x/d) via nonnegative truncating division
     def sround(e: String, dh: String, d: String) =
       s"(CASE WHEN ($e) >= 0 THEN (($e) + ($dh)) // ($d) ELSE -((-($e) + ($dh)) // ($d)) END)"
+    // the lambda's (u, v) matrix holds F(u,v) with u the HORIZONTAL
+    // frequency; T.81's raster table is S(v,u), so the quant entry for
+    // F(u,v) is ql[v+1][u+1] — transposed indexing, exactly as in
+    // JpegCodec.fdctQuant
     val fQuant = sround(
       sdiv14("CAST(list_sum(list_transform(generate_series(0, 7), x -> " +
         "r[x+1][v+1] * cl[x+1][u+1])) AS BIGINT) * al[u+1]") + " * al[v+1]",
-      "ql[u+1][v+1] * 8796093022208", "ql[u+1][v+1] * 17592186044416")
+      "ql[v+1][u+1] * 8796093022208", "ql[v+1][u+1] * 17592186044416")
     val pixel = sround(
       "CAST(list_sum(list_transform(generate_series(0, 7), u -> " +
         sdiv14("x1[u+1][y+1] * al[u+1]") + " * cl[x+1][u+1])) AS BIGINT)",
@@ -283,7 +287,7 @@ object TextQueries {
        |rq AS (
        |  SELECT media_id, gr, b, cl, al,
        |    list_transform(generate_series(0, 7), u ->
-       |      list_transform(generate_series(0, 7), v -> sq[u+1][v+1] * ql[u+1][v+1])) AS rr
+       |      list_transform(generate_series(0, 7), v -> sq[u+1][v+1] * ql[v+1][u+1])) AS rr
        |  FROM qz
        |),
        |xp AS (

@@ -85,6 +85,44 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JpegCodec.decode(prog))
   }
 
+  test("forward interop: the JDK ImageIO decoder accepts our streams and agrees per-pixel") {
+    // javax.imageio ships a real libjpeg-lineage baseline decoder; it
+    // accepting our markers/Huffman/entropy stream is external
+    // conformance the in-repo roundtrip cannot fake (the PngCodecSpec
+    // java.util.zip argument). IDCTs may legally differ by ±1/sample
+    // (T.81 Annex A accuracy), so compare within that tolerance.
+    for (seed <- Seq(0L, 1L, 17L, 123L, 444L)) {
+      val bytes = JpegCodec.encodeGray(16, 8, MediaCodec.jpegGray16x8(seed))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"seed $seed: ImageIO rejected our stream")
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val ours = JpegCodec.decode(bytes).px
+      val maxd = (for (y <- 0 until 8; x <- 0 until 16)
+        yield math.abs(img.getRaster.getSample(x, y, 0) - ours(y * 16 + x))).max
+      assert(maxd <= 1, s"seed $seed: decoder disagreement $maxd beyond IDCT tolerance")
+    }
+  }
+
+  test("reverse interop: our decoder reads an ImageIO-encoded grayscale baseline JPEG") {
+    val (w, h) = (16, 8)
+    val px = MediaCodec.jpegGray16x8(42L)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val foreign = bos.toByteArray // foreign quant tables + markers
+    val d = JpegCodec.decode(foreign)
+    assert(d.width == w && d.height == h)
+    // our decode of the foreign stream agrees with ImageIO's own
+    // re-decode of it within IDCT tolerance — the parsed-DQT dequant
+    // path is what makes this possible
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    val maxd = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(img2.getRaster.getSample(x, y, 0) - d.px(y * w + x))).max
+    assert(maxd <= 1, s"decoder disagreement $maxd on the foreign stream")
+  }
+
   test("jpegStatsRow folds the decoded plane (width/height/sums consistent)") {
     val seed = 11L
     val payload = MediaCodec.jpegSynth16x8Bytes(seed)
