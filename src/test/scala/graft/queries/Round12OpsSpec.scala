@@ -122,17 +122,30 @@ class Round12OpsSpec extends AnyFunSuite {
         s"${q.name}: ADC must be the in-row codegen expression")
     }
     // index SERVE paths read stored wide codes: the only legitimate
-    // explode is the query-side LUT blockify (queries × blocks, tiny);
-    // candidates must stay one row each
+    // explodes are QUERY-grain (tiny) — the LUT blockify (queries ×
+    // blocks, recognizable by its slice(v…) sub-vector args) and, since
+    // the in-row-argmin coarse probe, the probe-list explode(cells)
+    // (queries × nprobe; its subtree is additionally duplicated into the
+    // dynamic-partition-pruning filter on the cell-bucketed codes scan,
+    // so it can appear twice in the plan string). CANDIDATE rows must
+    // stay one row each: no Generate may touch the stored code columns
+    // (c0..c7) — the old explode→join→re-aggregate serve shape did
+    // exactly that and is what this pin bans.
     for (q <- Seq(
         SimilarityQueries.qPqIndexSearch, SimilarityQueries.qIvfPqIndexSearch)) {
       q.run(spark, sf).collect() // ensure the index exists...
       val p = q.run(spark, sf).queryExecution.executedPlan.toString // ...so this IS the serve plan
       assert(p.contains("pq_adc"),
         s"${q.name}: ADC must be the in-row codegen expression")
-      val generates = "\\bGenerate\\b".r.findAllIn(p).length
-      assert(generates <= 1,
-        s"${q.name}: candidate rows exploded per block ($generates Generates in plan)")
+      val genLines = p.linesIterator.filter(_.contains("Generate")).toSeq
+      assert(genLines.size <= 3,
+        s"${q.name}: unexpected extra explodes (${genLines.size} Generates in plan)")
+      for (g <- genLines) {
+        assert(g.contains("explode(cells") || g.contains("slice("),
+          s"${q.name}: Generate is neither probe-list nor LUT blockify: $g")
+        assert(!"\\bc[0-7]#".r.findFirstIn(g).isDefined,
+          s"${q.name}: candidate code columns exploded per block: $g")
+      }
     }
   }
 }
