@@ -91,9 +91,17 @@ object ScaleProbe {
       // xN base write + xN batch-1 append + xN batch-2 probe — the
       // maintenance cost is one banding scan per accepted batch
       "q_dedup_index_update" -> (() => reg("q_dedup_index_update").run(spark, dir)),
-      // xN vectors residual-encoded; the per-(query, cell) LUT stays
-      // queries×nprobe×128 rows; candidates scale with cell occupancy
-      "q_ivfpq_residual" -> (() => reg("q_ivfpq_residual").run(spark, dir)),
+      // xN vectors residual-encoded (the q_ivfpq_residual dataflow,
+      // a fixture since its r14 retirement); the per-(query, cell) LUT
+      // stays queries×nprobe×128 rows; candidates scale with occupancy
+      "ivfpq_residual_fixture" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val allV = graft.queries.SimilarityQueries.vecsOf(spark, dir)
+        val firstK = allV
+          .filter(col("vec_id") < graft.queries.SimilarityQueries.IvfCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        graft.queries.SimilarityQueries.residualAdcSearch(allV, firstK)
+      }),
       // xN vectors through 2 Lloyd iterations (one narrow in-row-argmin
       // pass + one 64-column integer aggregate each), 2 codebook
       // iterations (broadcast join + struct-min hash agg), then the
@@ -298,7 +306,10 @@ object ScaleProbe {
       "q_png_decode" -> (() => reg("q_png_decode").run(spark, dir)),
       // xN docs -> xN independent encode+entropy-decode+IDCT pipelines:
       // same narrow per-row shape as the PNG gate, two 8x8 blocks per doc
-      "q_jpeg_decode" -> (() => reg("q_jpeg_decode").run(spark, dir)))
+      "q_jpeg_decode" -> (() => reg("q_jpeg_decode").run(spark, dir)),
+      // xN docs -> xN independent color 4:2:0 encode+decode pipelines
+      // (12 blocks + chroma upsample + two color converts per row)
+      "q_jpeg_color" -> (() => reg("q_jpeg_color").run(spark, dir)))
     // targeted re-probe: SPARK_GRAFT_PROBE_ONLY=a,b runs just those
     // pipelines (a suspicious single number is only attributable by an
     // uncontended re-run — the full probe may share the host with other

@@ -274,6 +274,70 @@ object MediaCodec {
   def jpegStats(payload: Column, seed: Column): Column =
     GraftBridge.column(
       JpegStats(GraftBridge.expression(payload), GraftBridge.expression(seed)))
+
+  /** The 32×16 packed-RGB plane of the COLOR JPEG gate: the r/g/b
+    * channel formulas of the PNG/BMP/JPEG-gray gates kept as separate
+    * channels (not averaged), x extended to 0..31 so the image spans
+    * TWO 16×16 4:2:0 MCUs — interleaved MCU order, per-component DC
+    * prediction AND the restart reset all get real coverage. */
+  def jpegColor32x16(seed: Long): Array[Int] = {
+    require(seed >= 0, s"jpeg_color_synth seed must be nonnegative, got $seed")
+    val px = new Array[Int](32 * 16)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 32) {
+        val b = ((seed * 31 + 97L * x + 131L * y) % 256).toInt
+        val g = ((seed * 31 + 97L * x + 131L * y + 11) % 256).toInt
+        val r = ((seed * 31 + 97L * x + 131L * y + 22) % 256).toInt
+        px(y * 32 + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** 32×16 color baseline JFIF bytes — a REAL YCbCr 4:2:0 stream
+    * (Annex K luma+chroma tables, interleaved MCUs, DRI=1 so a restart
+    * marker separates the two MCUs and resets all three DC predictors),
+    * via [[graft.mm.JpegCodec.encodeColor]]. */
+  def jpegColorSynthBytes(seed: Long): Array[Byte] =
+    JpegCodec.encodeColor(32, 16, jpegColor32x16(seed), restartInterval = 1)
+
+  /** Decode a color JPEG payload and fold the genuinely decoded RGB
+    * pixels into (width, height, psum, pwsum, err): channel sum,
+    * channel-position-weighted sum (weight 3i+1/2/3 for R/G/B of pixel
+    * i), and the exact absolute reconstruction error against the
+    * original packed plane for `seed` — lossy but bit-deterministic,
+    * so all three are exact integers the oracle replays through the
+    * full color pipeline (YCbCr → subsample → fDCT → quantize →
+    * dequantize → IDCT → fancy upsample → RGB). */
+  def jpegColorStatsRow(payload: Array[Byte], seed: Long): InternalRow = {
+    val d = JpegCodec.decode(payload)
+    require(d.width == 32 && d.height == 16 && d.channels == 3,
+      s"jpeg color gate expects the 32x16 RGB profile, decoded " +
+        s"${d.width}x${d.height}x${d.channels}")
+    val orig = jpegColor32x16(seed)
+    var psum = 0L; var pwsum = 0L; var err = 0L
+    var i = 0
+    while (i < d.px.length) {
+      val r = (d.px(i) >> 16) & 0xff; val g = (d.px(i) >> 8) & 0xff; val b = d.px(i) & 0xff
+      val or = (orig(i) >> 16) & 0xff; val og = (orig(i) >> 8) & 0xff; val ob = orig(i) & 0xff
+      psum += r + g + b
+      pwsum += r.toLong * (3L * i + 1) + g.toLong * (3L * i + 2) + b.toLong * (3L * i + 3)
+      err += math.abs(r - or) + math.abs(g - og) + math.abs(b - ob)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      d.width.toLong, d.height.toLong, psum, pwsum, err))
+  }
+
+  def jpegColorSynth32x16(seed: Column): Column =
+    GraftBridge.column(JpegColorSynth32x16(GraftBridge.expression(seed)))
+  def jpegColorStats(payload: Column, seed: Column): Column =
+    GraftBridge.column(
+      JpegColorStats(GraftBridge.expression(payload), GraftBridge.expression(seed)))
 }
 
 case class JpegSynth16x8(child: Expression) extends UnaryExpression {
@@ -297,6 +361,32 @@ case class JpegStats(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (p, s) =>
       s"${ev.value} = graft.expressions.MediaCodec.jpegStatsRow($p, $s);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JpegColorSynth32x16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_color_synth_32x16"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.jpegColorSynthBytes(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MediaCodec.jpegColorSynthBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JpegColorStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = MediaCodec.JpegStatsType
+  override def prettyName: String = "jpeg_color_stats"
+  override def nullSafeEval(payload: Any, seed: Any): Any =
+    MediaCodec.jpegColorStatsRow(payload.asInstanceOf[Array[Byte]], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, s) =>
+      s"${ev.value} = graft.expressions.MediaCodec.jpegColorStatsRow($p, $s);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -15,6 +15,9 @@ import scala.jdk.CollectionConverters._
   * the network-blip path).
   */
 final class LoopbackBroker(user: String, password: String) {
+  // diagnostics go through the logger, not System.err (bench/demo tails
+  // stay clean; log4j routing still surfaces it under test)
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[LoopbackBroker])
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
   @volatile var up = true
   val port: Int = server.getLocalPort
@@ -154,10 +157,10 @@ final class LoopbackBroker(user: String, password: String) {
                 // eviction so an accidental double-delivery from a foreign
                 // client is attributable rather than silent.
                 if (!pkt.publishDup && conn.inboundUnreleased.contains(pid))
-                  System.err.println(
-                    s"[LoopbackBroker] evicting unreleased QoS-2 pid $pid on fresh " +
-                      "non-DUP PUBLISH (sender wrapped or retransmitted without DUP); " +
-                      "the new message will deliver")
+                  log.warn(
+                    s"evicting unreleased QoS-2 pid $pid on fresh non-DUP PUBLISH " +
+                      "(sender wrapped or retransmitted without DUP); the new " +
+                      "message will deliver")
                 if (!pkt.publishDup) conn.inboundUnreleased.remove(pid)
                 if (conn.inboundUnreleased.add(pid)) {
                   inbound.add(topic -> new String(payload, "UTF-8"))
