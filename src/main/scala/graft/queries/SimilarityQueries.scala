@@ -1259,112 +1259,14 @@ object SimilarityQueries {
       ivfPqServe(s, d, dir)
   }
 
-  /** RESIDUAL IVF-PQ (Jégou et al. 2011 §V.A — the actual FAISS IVFADC
-    * formulation): PQ encodes each vector's RESIDUAL against its coarse
-    * centroid, r = v − c(cell), instead of the raw vector. Residuals
-    * concentrate near the origin, so the same 8×16 codebook spends its
-    * precision on within-cell variation — the refinement that makes
-    * IVF-PQ accurate enough to serve at billion scale. The price is a
-    * PER-PROBED-CELL query LUT (the query residual depends on which cell
-    * is probed): queries × nprobe × blocks × cents rows — still tiny and
-    * broadcast. Dataflow is [[qIvfPq]] with the residual subtraction
-    * fused into both encode paths; candidates still score through the
-    * in-row [[graft.expressions.PqAdc]] against a flat per-(query, cell)
-    * LUT, one row per candidate.
-    *
-    * Parity: the residual subtraction is one exact IEEE op per element
-    * in both engines; block distances are the same position-ordered
-    * folds the parent gates pin, so `ad2` ships raw.
-    *
-    * Honesty note: with the deterministic first-K coarse centroids this
-    * gate's oracle replays, residuals are NOT actually concentrated on
-    * this synthetic corpus — AnnRecallSpec reports the measured recall
-    * next to the raw-vector variant rather than asserting an
-    * improvement. This gate pins the IVFADC dataflow and bit-parity;
-    * the recall win ships in [[qIvfAdcTrained]] (Lloyd-trained
-    * quantizers, also fully oracle-replayed), where AnnRecallSpec
-    * asserts residual > raw. */
-  val qIvfPqResidual: Q = Q.sql(
-    "q_ivfpq_residual", {
-      val adcSum = (0 until PqBlocks).map(b => s"max(CASE WHEN b = $b THEN ld2 END)")
-        .mkString(" + ")
-      val blockGen = s"CROSS JOIN (SELECT unnest(generate_series(0, ${PqBlocks - 1})) AS b) _b"
-      val d2Fold = s"""list_reduce(list_prepend(0.0,
-         |      list_transform(generate_series(1, $PqSubDim),
-         |        i -> (x[i] - c[i]) * (x[i] - c[i]))), (a, y) -> a + y)""".stripMargin
-      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nv AS (SELECT vec_id, v, $normSelfSql AS nrm FROM vecs),
-         |icents AS (SELECT vec_id AS icid, v AS cv, nrm AS cnrm FROM nv WHERE vec_id < $IvfCells),
-         |iscored AS (
-         |  SELECT q.vec_id, c.icid,
-         |    CAST(row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY (${dotSql("q", "c").replace("c.v[", "c.cv[")}) / (q.nrm * c.cnrm) DESC,
-         |        c.icid) AS BIGINT) AS crank
-         |  FROM nv q JOIN icents c ON true
-         |),
-         |iassigned AS (SELECT vec_id, icid AS cell FROM iscored WHERE crank = 1),
-         |resid AS (
-         |  SELECT a.vec_id, a.cell,
-         |    list_transform(generate_series(1, $Dim), i -> q.v[i] - c.cv[i]) AS r
-         |  FROM iassigned a JOIN nv q ON q.vec_id = a.vec_id JOIN icents c ON c.icid = a.cell
-         |),
-         |rblocked AS (
-         |  SELECT vec_id, cell, b, list_slice(r, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS x
-         |  FROM resid $blockGen
-         |),
-         |rcents AS (SELECT vec_id AS cid, b, x AS c FROM rblocked WHERE vec_id < $PqCents),
-         |dists AS (
-         |  SELECT rblocked.vec_id, rblocked.cell, rblocked.b, cid, $d2Fold AS d2,
-         |    row_number() OVER (PARTITION BY rblocked.vec_id, rblocked.b
-         |      ORDER BY $d2Fold, cid) AS rn
-         |  FROM rblocked JOIN rcents ON rblocked.b = rcents.b
-         |),
-         |best AS (SELECT vec_id, cell, b, CAST(cid AS BIGINT) AS cid FROM dists WHERE rn = 1),
-         |iprobes AS (
-         |  SELECT vec_id AS q_id, icid AS pcell FROM iscored
-         |  WHERE crank <= $NProbe AND vec_id < $PqSearchQueries
-         |),
-         |qresid AS (
-         |  SELECT p.q_id, p.pcell,
-         |    list_transform(generate_series(1, $Dim), i -> q.v[i] - c.cv[i]) AS rq
-         |  FROM iprobes p JOIN nv q ON q.vec_id = p.q_id JOIN icents c ON c.icid = p.pcell
-         |),
-         |qblocked AS (
-         |  SELECT q_id, pcell, b, list_slice(rq, b * $PqSubDim + 1, b * $PqSubDim + $PqSubDim) AS x
-         |  FROM qresid $blockGen
-         |),
-         |lut AS (
-         |  SELECT q_id, pcell, rcents.b AS b, CAST(cid AS BIGINT) AS cid, $d2Fold AS ld2
-         |  FROM qblocked JOIN rcents ON qblocked.b = rcents.b
-         |),
-         |cand AS (
-         |  SELECT p.q_id, p.pcell, a.vec_id
-         |  FROM iprobes p JOIN iassigned a ON a.cell = p.pcell AND a.vec_id <> p.q_id
-         |),
-         |adc0 AS (
-         |  SELECT cand.q_id, cand.vec_id, best.b, lut.ld2
-         |  FROM cand
-         |  JOIN best ON best.vec_id = cand.vec_id
-         |  JOIN lut ON lut.q_id = cand.q_id AND lut.pcell = cand.pcell
-         |    AND lut.b = best.b AND lut.cid = best.cid
-         |),
-         |adc AS (SELECT q_id, vec_id, $adcSum AS ad2 FROM adc0 GROUP BY q_id, vec_id),
-         |r AS (
-         |  SELECT q_id, vec_id, ad2,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) AS rn
-         |  FROM adc
-         |)
-         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ad2
-         |FROM r WHERE rn <= $PqSearchK
-         |ORDER BY q_id, rn""".stripMargin
-    },
-    doc = s"residual IVF-PQ (IVFADC): PQ on cell residuals, per-(query, cell) LUT") {
-    (s, d) =>
-      val all = vecs(s, d)
-      val icents = all.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      residualAdcSearch(all, icents)
-  }
+  // RETIRED GATE `q_ivfpq_residual` (r14, the r13 verdict's item 3):
+  // the first-K-seeded residual IVFADC measured recall 0.30 vs raw 0.50
+  // (untrained centroids don't concentrate residuals on this corpus), so
+  // the registry no longer ships a gate that loses to its own baseline —
+  // the winning, Lloyd-trained form is [[qIvfAdcTrained]] (fully
+  // oracle-replayed), and the untrained dataflow stays exercised as a
+  // spec fixture through [[residualAdcSearch]] (AnnRecallSpec reports
+  // its recall; Round12OpsSpec pins its in-row PqAdc serve shape).
 
   /** Per-block fixed-point Lloyd training of a PQ codebook over a
     * blocked (vec_id, b, x) frame — the sub-quantizer half of what FAISS
@@ -1401,12 +1303,16 @@ object SimilarityQueries {
   }
 
   /** The residual (IVFADC) search against an arbitrary (cid, cv, cnrm)
-    * coarse-centroid frame — [[qIvfPqResidual]]'s body with the
-    * centroids factored out: the Lloyd-trained persisted gate and the
-    * recall spec feed trained cells through the IDENTICAL dataflow.
+    * coarse-centroid frame (Jégou et al. 2011 §V.A): PQ encodes each
+    * vector's residual r = v − c(cell) with a PER-PROBED-CELL query LUT
+    * (queries × nprobe × blocks × cents rows — tiny and broadcast);
+    * candidates score through the in-row [[graft.expressions.PqAdc]].
+    * The Lloyd-trained persisted gate ([[qIvfAdcTrained]]) and the
+    * recall spec feed trained cells through this IDENTICAL dataflow.
     * `codebookIters` > 0 additionally Lloyd-trains the residual PQ
-    * codebook ([[lloydCodebook]]); 0 keeps the first-[[PqCents]]
-    * seed codebook (the oracle-pinned [[qIvfPqResidual]] convention). */
+    * codebook ([[lloydCodebook]]); 0 keeps the first-[[PqCents]] seed
+    * codebook (the untrained convention — since r14 a spec fixture
+    * only; see the retirement note above [[lloydCodebook]]). */
   private[graft] def residualAdcSearch(
       all: DataFrame, icents0: DataFrame, codebookIters: Int = 0,
       nq: Int = PqSearchQueries): DataFrame = {
@@ -2713,7 +2619,7 @@ object SimilarityQueries {
     Seq(qEmbedTopk, qKmeans, qEmbedNearDup, qAnnLsh, qAnnIvf, qIvfPq, qEmbedQuantize, qEmbedPq, qPqSearch,
       qSemDedup, qRandomProjection, qMmrSelect, qAnnRefine, qRrfHybrid, qHardNegatives,
       qGramMatrix, qEffectiveRank, qDbscanGrid, qIvfIndexBuild, qIvfIndexSearch,
-      qIvfIndexUpdate, qPqIndexSearch, qIvfPqIndexSearch, qIvfPqIndexUpdate, qIvfPqResidual,
+      qIvfIndexUpdate, qPqIndexSearch, qIvfPqIndexSearch, qIvfPqIndexUpdate,
       qIvfAdcTrained,
       qSourceCentroids, qAri, qVmeasure)
 

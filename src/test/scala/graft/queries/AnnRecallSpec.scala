@@ -74,10 +74,17 @@ class AnnRecallSpec extends AnyFunSuite {
     // residual encoding concentrates codebook precision on within-cell
     // variation — honest report next to the raw-vector variant; same
     // probed cells, so only PQ distortion differs. With UNTRAINED
-    // first-K centroids residuals don't concentrate (this gate pins the
-    // IVFADC dataflow, not the recall win — that's the trained test
-    // below).
-    val resid = SimilarityQueries.qIvfPqResidual.run(spark, sf).collect()
+    // first-K centroids residuals don't concentrate; since r14 this
+    // dataflow is a spec fixture only (the q_ivfpq_residual gate was
+    // retired because it measured below its raw baseline — the recall
+    // win ships in q_ivfadc_trained, the trained test below).
+    val allV = SimilarityQueries.vecsOf(spark, sf)
+    val firstKCents = allV
+      .filter(org.apache.spark.sql.functions.col("vec_id") < SimilarityQueries.IvfCells)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cid"),
+        org.apache.spark.sql.functions.col("v").as("cv"),
+        org.apache.spark.sql.functions.col("nrm").as("cnrm"))
+    val resid = SimilarityQueries.residualAdcSearch(allV, firstKCents).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val perR = resid.toSeq.sortBy(_._1).map { case (qid, a) =>
       (a & exact(qid)).size.toDouble / exact(qid).size

@@ -115,11 +115,22 @@ class Round12OpsSpec extends AnyFunSuite {
   test("pq scoring is in-row: pq_adc in every ADC plan; serve paths never explode candidates") {
     // inline gates legitimately explode while BUILDING codes/codebook —
     // there the pin is only that scoring itself is the expression
-    for (q <- Seq(SimilarityQueries.qPqSearch, SimilarityQueries.qIvfPq,
-        SimilarityQueries.qIvfPqResidual)) {
+    for (q <- Seq(SimilarityQueries.qPqSearch, SimilarityQueries.qIvfPq)) {
       val p = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(p.contains("pq_adc"),
         s"${q.name}: ADC must be the in-row codegen expression")
+    }
+    // the untrained residual dataflow (q_ivfpq_residual's body, a spec
+    // fixture since its r14 retirement) keeps the same in-row pin
+    {
+      import org.apache.spark.sql.functions.col
+      val allV = SimilarityQueries.vecsOf(spark, sf)
+      val firstK = allV.filter(col("vec_id") < SimilarityQueries.IvfCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val p = SimilarityQueries.residualAdcSearch(allV, firstK)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("pq_adc"),
+        "residualAdcSearch: ADC must be the in-row codegen expression")
     }
     // index SERVE paths read stored wide codes: the only legitimate
     // explodes are QUERY-grain (tiny) — the LUT blockify (queries ×
