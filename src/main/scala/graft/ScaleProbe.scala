@@ -91,6 +91,9 @@ object ScaleProbe {
       // xN base write + xN batch-1 append + xN batch-2 probe — the
       // maintenance cost is one banding scan per accepted batch
       "q_dedup_index_update" -> (() => reg("q_dedup_index_update").run(spark, dir)),
+      // one row per corpus token through the window-key shuffle; dup
+      // filter is a plain count>=2; islands state = one doc's positions
+      "q_exact_substr" -> (() => reg("q_exact_substr").run(spark, dir)),
       // xN vectors residual-encoded (the q_ivfpq_residual dataflow,
       // a fixture since its r14 retirement); the per-(query, cell) LUT
       // stays queries×nprobe×128 rows; candidates scale with occupancy

@@ -1299,6 +1299,117 @@ object DedupQueries {
         .orderBy("doc_id")
   }
 
+  /** Minimum duplicated-substring length (tokens) for the published
+    * exact-substring semantics of [[qExactSubstr]]. */
+  val ExactSubstrL = 8
+
+  /** EXACT-SUBSTRING dedup at published fidelity (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr tool): the positions to cut from each document are
+    * the union of ALL duplicated substrings of length ≥ L tokens,
+    * where "duplicated" means the substring occurs at ≥ 2 sites in the
+    * corpus — ANY two sites, including twice inside one document
+    * (self-repetition is exactly what the published method removes and
+    * what [[qDupSpans]]'s distinct-doc recurrence cannot see).
+    *
+    * Distributed form: a substring of length M ≥ L is duplicated iff
+    * each of its length-L windows is (every window of a duplicated
+    * span recurs at the partner site; conversely a duplicated window
+    * IS a duplicated substring of length L) — so the union of
+    * duplicated substrings ≥ L equals the union of duplicated
+    * length-L windows, and the suffix array of the published tool
+    * reduces to an index-join over window keys. Two windows [i, i+L)
+    * and [j, j+L), i < j, overlap-or-touch iff j ≤ i + L, so maximal
+    * covered spans fall out of a lag-based gaps-and-islands pass
+    * (break when the gap exceeds L). Unlike [[qDupSpans]]'s
+    * strictly-consecutive islands, this never double-counts a token:
+    * `dup_tokens` here is the TRUE covered-position count — the number
+    * of tokens ExactSubstr would cut.
+    *
+    * Scale design: one row per corpus token keyed by a 16-byte md5
+    * (inverted-index shuffle, never all-pairs); recurrence is a PLAIN
+    * count ≥ 2 (map-side combinable — cheaper than q_dup_spans'
+    * distinct-doc count, no Expand); only recurring windows flow into
+    * the join back; the islands pass windows by doc_id with per-task
+    * state bounded by one document's positions. The brute-force
+    * all-pairs longest-common-extension ground truth exists ONLY in
+    * `ExactSubstrSpec`, which proves the window-union reduction
+    * non-circularly at spec scale. */
+  val qExactSubstr: Q = Q.sql(
+    "q_exact_substr",
+    s"""WITH tok AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), wins AS (
+       |  SELECT doc_id, len(ts) AS n,
+       |    unnest(generate_series(1, len(ts) - ${ExactSubstrL - 1})) AS i, ts
+       |  FROM tok WHERE len(ts) >= $ExactSubstrL
+       |), keyed AS (
+       |  SELECT doc_id, n, i,
+       |    md5(array_to_string(list_slice(ts, i, i + ${ExactSubstrL - 1}), ' ')) AS k
+       |  FROM wins
+       |), dup AS (
+       |  SELECT k FROM keyed GROUP BY k HAVING count(*) >= 2
+       |), hits AS (
+       |  SELECT w.doc_id, w.n, w.i FROM keyed w JOIN dup USING (k)
+       |), brk AS (
+       |  SELECT doc_id, n, i,
+       |    CASE WHEN lag(i) OVER w IS NULL
+       |      OR i - lag(i) OVER w > $ExactSubstrL THEN 1 ELSE 0 END AS b
+       |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), isl AS (
+       |  SELECT doc_id, n, i,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, max(n) AS n, min(i) AS s, max(i) + ${ExactSubstrL - 1} AS e
+       |  FROM isl GROUP BY doc_id, grp
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span,
+       |  CAST((1000000 * sum(e - s + 1)) // max(n) AS BIGINT) AS dup_ppm
+       |FROM spans GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin,
+    doc = s"exact-substring dedup (Lee et al.): variable-length duplicated spans >= " +
+      s"$ExactSubstrL tokens, union coverage, within-doc repeats counted") { (s, d) =>
+    val L = ExactSubstrL
+    val keyed = documents(s, d)
+      .transform(graft.Tables.spread(s, _))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= L)
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(1), col("n") - (L - 1)), i =>
+          struct(i.as("i"),
+            md5(concat_ws(" ", slice(col("ts"), i, lit(L)))).as("k")))).as("w"))
+      .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.k").as("k"))
+    // plain occurrence count — map-side combined, within-doc repeats count
+    val dup = keyed.groupBy(col("k")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("k"))
+    val hits = keyed.join(dup, "k")
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = hits
+      .withColumn("b",
+        when(lag(col("i"), 1).over(wD).isNull ||
+          col("i") - lag(col("i"), 1).over(wD) > L, 1).otherwise(0))
+      .withColumn("grp", sum(col("b")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(max(col("n")).as("n"), min(col("i")).as("s"),
+        (max(col("i")) + (L - 1)).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span"),
+        max(col("n")).cast("long").as("ntok"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
+        expr("1000000L * dup_tokens div ntok").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Sorted-neighborhood window (sorted-rank distance ≤ W−1 pairs up). */
   val SnWindow = 4
   /** Jaro-Winkler match threshold for the verify stage. */
@@ -1616,5 +1727,5 @@ object DedupQueries {
       qJaccardAdaptive, qDedupClusters, qClusterSplit, qContainment, qDedupIncremental,
       qDedupIndexProbe, qDedupIndexUpdate,
       qFuzzyVerify, qCorpusClean, qSubstringDup, qJaroPairs, qLineDedup, qSparseCosine,
-      qDupSpans, qSortedNeighborhood, qSurvivorship, qBloomDedup, qCdcDedup)
+      qDupSpans, qExactSubstr, qSortedNeighborhood, qSurvivorship, qBloomDedup, qCdcDedup)
 }

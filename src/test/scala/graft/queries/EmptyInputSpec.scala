@@ -50,6 +50,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bpe_index_encode",// persisted tokenizer artifact of an empty corpus
     "q_dedup_index_probe", // band-index probe with empty base AND batch
     "q_dedup_index_update", // index append + probe over an empty corpus
+    "q_exact_substr",    // duplicated-span coverage of an empty corpus
     "q_ivfadc_trained",  // Lloyd training + persisted index over an empty corpus
     "q_jpeg_decode",     // JPEG synth+decode over an empty corpus
     "q_jpeg_color",      // color JPEG (4:2:0 + restarts) over an empty corpus
