@@ -344,7 +344,12 @@ object TextQueries {
     doc = "real baseline JPEG: markers + Huffman + dequant + integer IDCT, " +
       "oracle replays the lossy pipeline exactly") { (s, d) =>
     import graft.expressions.MediaCodec
+    // spread BEFORE the per-row codec: the single-file bench scan would
+    // otherwise run the whole encode→decode kernel on one core (guide
+    // §2.6 idle capacity; spread() is a guarded no-op on a multi-file
+    // production scan) — measured 1.07 s → ~0.4 s at sf0.1
     documents(s, d)
+      .transform(graft.Tables.spread(s, _))
       .select(col("doc_id").as("media_id"),
         MediaCodec.jpegStats(
           MediaCodec.jpegSynth16x8(col("doc_id").cast("long")),
@@ -554,7 +559,11 @@ object TextQueries {
     doc = "real color JPEG (YCbCr 4:2:0, restarts): chroma tables + interleaved " +
       "MCUs + fancy upsample, oracle replays the full color pipeline") { (s, d) =>
     import graft.expressions.MediaCodec
+    // spread BEFORE the per-row color codec — same single-scan-partition
+    // hazard as qJpegDecode, and this kernel is ~6× heavier (12 blocks +
+    // chroma upsample per row): measured 3.26 s single-core at sf0.1
     documents(s, d)
+      .transform(graft.Tables.spread(s, _))
       .select(col("doc_id").as("media_id"),
         MediaCodec.jpegColorStats(
           MediaCodec.jpegColorSynth32x16(col("doc_id").cast("long")),

@@ -13,7 +13,128 @@ object Profile {
     val spark = GraftSession.builder(master = "local[32]", app = "profile").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (name == "minhash_stages") {
+    if (name == "spin_count1") {
+      // Spin trivial 2-job queries for ~120 s so an external sampler can
+      // attribute the per-job overhead.
+      println("PID=" + java.lang.ProcessHandle.current().pid())
+      val until = System.nanoTime() + 120L * 1000000000L
+      var n = 0
+      while (System.nanoTime() < until) { spark.range(1).count(); n += 1 }
+      println(s"count1 iterations: $n")
+      spark.stop(); return
+    } else if (name == "latency_matrix") {
+      // Same micro-latency probes under config variants, one fresh session
+      // each — attributes the per-stage orchestration cost.
+      import org.apache.spark.sql.functions._
+      spark.stop()
+      val variants: Seq[(String, Seq[(String, String)])] = Seq(
+        "baseline" -> Seq.empty,
+        "bypass1" -> Seq("spark.shuffle.sort.bypassMergeThreshold" -> "1"),
+        "buf8k" -> Seq("spark.shuffle.file.buffer" -> "8k"),
+        "bypass1_buf8k" -> Seq(
+          "spark.shuffle.sort.bypassMergeThreshold" -> "1",
+          "spark.shuffle.file.buffer" -> "8k"),
+        "sp8" -> Seq("spark.sql.shuffle.partitions" -> "8"))
+      for ((label, confs) <- variants) {
+        val b = graft.GraftSession.builder(master = "local[32]", app = s"lat-$label")
+        confs.foreach { case (k, v) => b.config(k, v) }
+        val s = b.getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            tasks.incrementAndGet()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        })
+        def t(l2: String, reps: Int)(f: => Unit): Unit = {
+          f
+          tasks.set(0); jobs.set(0)
+          val t0 = System.nanoTime()
+          (1 to reps).foreach(_ => f)
+          val ms = (System.nanoTime() - t0) / 1e6 / reps
+          Thread.sleep(100)
+          println(f"  [$label] $l2: $ms%.1f ms/op  tasks/op=${tasks.get.toDouble / reps}%.1f jobs/op=${jobs.get.toDouble / reps}%.1f")
+        }
+        t("count1", 20)(s.range(1).count())
+        t("gb-noop", 20)(
+          s.range(0, 1000000, 1, 32).groupBy((col("id") % 97).as("k")).count()
+            .write.format("noop").mode("overwrite").save())
+        t("2shuffle-noop", 20)(
+          s.range(0, 1000000, 1, 32).groupBy((col("id") % 97).as("k")).count()
+            .orderBy("count").write.format("noop").mode("overwrite").save())
+        s.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+      }
+      return
+    } else if (name == "latency_diag") {
+      // Raw orchestration latency: empty jobs, 32-task jobs, one-shuffle
+      // and two-shuffle AQE queries, a noop write of a one-row frame.
+      import org.apache.spark.sql.functions._
+      def t(label: String, reps: Int)(f: => Unit): Unit = {
+        f // warm
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => f)
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e6 / reps}%.1f ms/op over $reps")
+      }
+      t("range(1).count", 20)(spark.range(1).count())
+      t("range(1e6,32p).count", 20)(spark.range(0, 1000000, 1, 32).count())
+      t("noop write 1 row", 20)(
+        spark.range(1).write.format("noop").mode("overwrite").save())
+      t("noop write groupBy shuffle", 20)(
+        spark.range(0, 1000000, 1, 32).groupBy((col("id") % 97).as("k")).count()
+          .write.format("noop").mode("overwrite").save())
+      t("noop write 2-shuffle", 20)(
+        spark.range(0, 1000000, 1, 32).groupBy((col("id") % 97).as("k")).count()
+          .orderBy("count").write.format("noop").mode("overwrite").save())
+      t("read lineitem + agg", 10)(
+        graft.Tables.lineitem(spark, sfDir).agg(count(lit(1))).write
+          .format("noop").mode("overwrite").save())
+      t("construct lineitem reader", 20) {
+        graft.Tables.lineitem(spark, sfDir); ()
+      }
+    } else if (name == "floor_diag") {
+      // Decompose the per-query fixed cost for a list of queries: plan
+      // construction (q.run return) vs action, plus job/stage/task counts
+      // via a listener — the "where does a 0.7 s query spend its time"
+      // evidence for the optimization round.
+      val names = if (args.length > 2) args(2).split(",").toSeq
+        else Seq("q1_agg", "q_local_volume", "q_pmi", "q_tfidf")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          if (t.taskMetrics != null)
+            taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        }
+      })
+      for (n <- names) {
+        val q = SparkEntryLookup.find(n)
+        (1 to 4).foreach { i =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val df = q.run(spark, sfDir)
+          val t1 = System.nanoTime()
+          jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
+          df.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          Thread.sleep(100) // let listener drain
+          println(f"$n pass $i: construct ${(t1 - t0) / 1e9}%.3f s  action ${(t2 - t1) / 1e9}%.3f s" +
+            f"  jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get / 1e3}%.2f s")
+          graft.ScratchCache.releaseAll()
+        }
+      }
+    } else if (name == "minhash_stages") {
       import graft.Tables._
       import graft.text.TextFunctions._
       import org.apache.spark.sql.functions._
