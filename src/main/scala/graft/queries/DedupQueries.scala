@@ -1074,7 +1074,12 @@ object DedupQueries {
     val gramKey = conv(substring(md5(col("t0")), 1, 15), 16, 10).cast("long")
     val tf = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("t0"))
+      // stage tokens() before shinglesOf: shingles(text) inlines the
+      // regex split into the shingle lambda, re-splitting per element
+      // (O(tokens²) per doc — a large share of this query's historic
+      // cpu_ratio ~20)
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(graft.text.TextFunctions.shinglesOf(col("w"))).as("t0"))
       .select(col("doc_id"), gramKey.as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     // df as a count-over-window on the SAME t-shuffle (not a groupBy +

@@ -728,12 +728,21 @@ object RankQueries {
        |WHERE cnt >= $CoocMinCount
        |ORDER BY pmi DESC, pair LIMIT $CoocTopK""".stripMargin,
     doc = s"PMI collocations: top-$CoocTopK adjacent pairs (count >= $CoocMinCount)") { (s, d) =>
+    // stage tokens() in its own select: inlined into bigramsOf's lambda
+    // the regex split re-evaluates per array ELEMENT (the q_lang_id
+    // lesson — O(tokens²) splits per doc; here measured as the bimodal
+    // 1.4/6.0 s passes)
     val pc = documents(s, d)
       .transform(graft.Tables.spread(s, _))
-      .select(explode(bigramsOf(tokens(col("text")))).as("pair"))
+      .select(tokens(col("text")).as("w"))
+      .select(explode(bigramsOf(col("w"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
       .transform(graft.ScratchCache.tracked)
+    // no materializing count() before the fan-out here: with tokens
+    // staged the explode+count subtree is cheap enough that a worst-case
+    // concurrent duplicate costs less than the extra job (measured
+    // min 1.38 s without vs 1.79 s with at sf0.1)
     val left = substring_index(col("pair"), " ", 1)
     val right = element_at(split(col("pair"), " "), 2)
     val lc = pc.groupBy(left.as("l")).agg(sum(col("cnt")).as("cl"))
@@ -998,8 +1007,17 @@ object RankQueries {
     doc = "Kneser-Ney smoothed bigram LM, top-50 bigrams (continuation-count smoothing)") {
     (s, d) =>
       val docs = documents(s, d).transform(graft.Tables.spread(s, _))
-      val bg = docs.select(explode(bigramsOf(tokens(col("text")))).as("g"))
-      val c2 = bg.groupBy("g").agg(count(lit(1)).as("c"))
+      // tokens() staged in its own select — inlined into the bigram
+      // lambda it re-splits per element (O(tokens²) per doc: measured
+      // ~100 CPU-seconds per pass at sf0.1, ~25× the staged form)
+      val bg = docs.select(tokens(col("text")).as("w"))
+        .select(explode(bigramsOf(col("w"))).as("g"))
+      // c2 fans out to FOUR consumers (ctx, pre, nb, the final join):
+      // scratch-cache + materialize so the corpus explode runs once
+      // (NOTES lesson 11b)
+      val c2 = graft.ScratchCache.tracked(
+        bg.groupBy("g").agg(count(lit(1)).as("c")))
+      c2.count()
       val w1of = split(col("g"), " ").getItem(0)
       val w2of = split(col("g"), " ").getItem(1)
       val ctx = c2.groupBy(w1of.as("cw1"))

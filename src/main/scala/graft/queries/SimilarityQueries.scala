@@ -2108,10 +2108,14 @@ object SimilarityQueries {
          |WHERE rn <= $RrfTopK ORDER BY q_id, rn""".stripMargin,
       doc = s"hybrid retrieval: RRF of 3-gram and cosine rankings, depth $RrfDepth, top $RrfTopK") {
       (s, d) =>
+        // tokens staged before the shingle lambda (the inline form
+        // re-splits per element — the 15.7 s cold pass in the r14
+        // baseline battery)
         val g = documents(s, d)
           .transform(graft.Tables.spread(s, _))
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
           .select(col("doc_id"),
-            explode(array_distinct(TextFunctions.shingles(col("text")))).as("t"))
+            explode(array_distinct(TextFunctions.shinglesOf(col("w")))).as("t"))
         val qg = g.filter(col("doc_id") < RrfQ).select(col("doc_id").as("q_id"), col("t"))
         val ids = embeddings(s, d).select(col("vec_id").as("c_id"))
         val wl = Window.partitionBy(col("q_id")).orderBy(col("shared").desc, col("c_id"))
