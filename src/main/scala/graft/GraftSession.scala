@@ -120,6 +120,13 @@ object GraftSession {
       // deployment uses — deployment-matching in the faithful direction,
       // not a local-only tune.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Allow shuffled-hash join where its size conditions hold instead of
+      // always preferring sort-merge (optimization guide §3.1/§9 baseline
+      // config): SMJ pays two full sorts; SHJ builds a per-partition hash
+      // table on the smaller side. AQE's skew-join splitting and the
+      // size conditions (build side must fit a partition) bound the OOM
+      // risk that motivated Spark's conservative default.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       // Catalyst extensions: the edit-distance prefilter rewrite (a sound
       // length-difference bound ahead of every levenshtein<=k predicate)

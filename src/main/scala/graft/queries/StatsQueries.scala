@@ -454,14 +454,21 @@ object StatsQueries {
     doc = "median/MAD robust outlier fence per group (two distributed order-statistic passes)") { (s, d) =>
     val c = events(s, d).select(
       col("event_type"), round(col("value") * 100).cast("long").as("v"))
-    val m = graft.operators.Quantiles
+    // m is group-grain tiny but its PLAN is exact#1's whole bookkeeping
+    // pipeline; uncached it re-executes for every consumer — exact#2's
+    // range-sampling pass, exact#2's shuffle, and the final fence join
+    // each replayed it (measured: 49 jobs for this one gate). Cache +
+    // materialize (NOTES lesson 11b); same for md below.
+    val m = graft.ScratchCache.tracked(graft.operators.Quantiles
       .exact(c, "event_type", "v", Seq(0.5), Seq("med"))
-      .select(col("event_type"), col("med"))
+      .select(col("event_type"), col("med")))
+    m.count()
     val a = c.join(broadcast(m), "event_type")
       .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
-    val md = graft.operators.Quantiles
+    val md = graft.ScratchCache.tracked(graft.operators.Quantiles
       .exact(a, "event_type", "ad", Seq(0.5), Seq("mad"))
-      .select(col("event_type"), col("mad"))
+      .select(col("event_type"), col("mad")))
+    md.count()
     a.join(broadcast(m), "event_type").join(broadcast(md), "event_type")
       .groupBy(col("event_type"), col("med"), col("mad"))
       .agg(
