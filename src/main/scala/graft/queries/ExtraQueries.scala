@@ -445,7 +445,6 @@ object ExtraQueries {
     (s, d) =>
       val ob = graft.ScratchCache.tracked(
         lineitem(s, d)
-          .transform(graft.Tables.spread(s, _))
           .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
             col("p_partkey") === col("l_partkey"))
           .select(col("l_orderkey").as("o"), col("p_brand").as("b"))

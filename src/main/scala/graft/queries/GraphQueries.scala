@@ -172,10 +172,7 @@ object GraphQueries {
     * corpus. Shared by [[qTriangles]] and [[qKcore]]. */
   private def coSupplyEdges(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    // spread the single-file bench scan so the map-side partial
-    // collect_set runs on every core, not one (guarded no-op at scale)
     val sets = lineitem(s, d)
-      .transform(graft.Tables.spread(s, _))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
     sets
@@ -549,9 +546,7 @@ object GraphQueries {
     (s, d) =>
       import org.apache.spark.sql.expressions.Window
       // join-free pair weights: per-order supplier sets, in-row pairs
-      // (spread: same single-task-scan parallelization as coSupplyEdges)
       val pc = lineitem(s, d)
-        .transform(graft.Tables.spread(s, _))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
         .select(explode(flatten(transform(col("ss"), (x, i) =>
@@ -635,9 +630,7 @@ object GraphQueries {
     doc = "Newman degree assortativity of the part co-purchase graph (exact integer edge sums)") {
     (s, d) =>
       // in-row pair generation from per-order part sets — linear in orders
-      // (spread: parallelize the single-task bench scan, no-op at scale)
       val e = lineitem(s, d)
-        .transform(graft.Tables.spread(s, _))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(flatten(transform(col("ps"), (x, i) =>
@@ -717,7 +710,6 @@ object GraphQueries {
     doc = "BFS hop-distance histogram from the co-purchase hub (frontier loop vs recursive CTE)") {
     (s, d) =>
       val e = lineitem(s, d)
-        .transform(graft.Tables.spread(s, _))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(flatten(transform(col("ps"), (x, i) =>

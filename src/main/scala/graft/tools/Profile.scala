@@ -29,12 +29,14 @@ object Profile {
       spark.stop()
       val variants: Seq[(String, Seq[(String, String)])] = Seq(
         "baseline" -> Seq.empty,
-        "bypass1" -> Seq("spark.shuffle.sort.bypassMergeThreshold" -> "1"),
-        "buf8k" -> Seq("spark.shuffle.file.buffer" -> "8k"),
-        "bypass1_buf8k" -> Seq(
-          "spark.shuffle.sort.bypassMergeThreshold" -> "1",
-          "spark.shuffle.file.buffer" -> "8k"),
-        "sp8" -> Seq("spark.sql.shuffle.partitions" -> "8"))
+        "buf4k_lz4k" -> Seq(
+          "spark.shuffle.file.buffer" -> "4k",
+          "spark.io.compression.lz4.blockSize" -> "4k"),
+        "buf4k_nocomp" -> Seq(
+          "spark.shuffle.file.buffer" -> "4k",
+          "spark.shuffle.compress" -> "false",
+          "spark.shuffle.spill.compress" -> "false"),
+        "lz4k" -> Seq("spark.io.compression.lz4.blockSize" -> "4k"))
       for ((label, confs) <- variants) {
         val b = graft.GraftSession.builder(master = "local[32]", app = s"lat-$label")
         confs.foreach { case (k, v) => b.config(k, v) }
